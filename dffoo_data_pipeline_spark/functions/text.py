@@ -1,0 +1,90 @@
+"""Text-analysis column expressions (SURVEY.md §2k, BASELINE north star).
+
+Everything here is a pure `pyspark.sql` Column builder — JVM-evaluated,
+whole-stage-codegen friendly, zero Python in the hot path — so the same
+expressions run unchanged over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+# Deliberately tiny, deterministic stopword set shared with the DuckDB
+# oracles (plans/llm_ops.py keeps SQL literals in sync).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text) -> Column:
+    """Mean token length, rounded for cross-engine determinism."""
+    toks = tokens(text)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return round_det(total / F.size(toks), 4)
+
+
+def stopword_ratio(text, stopwords=EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — cheap language/quality signal."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return round_det(hits / F.size(toks), 4)
+
+
+def punct_ratio(text) -> Column:
+    """Punctuation chars / total chars."""
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return round_det(n_punct / F.length(text), 4)
+
+
+def digit_ratio(text) -> Column:
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return round_det(n_digit / F.length(text), 4)
+
+
+def quality_score(text) -> Column:
+    """Composite heuristic quality score in [0, 1] (Gopher/C4-style gates
+    re-expressed as arithmetic): rewards mid-length docs, real word shapes,
+    low punctuation/digit noise.  Deterministic, SQL-mirrorable."""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    avg_len = avg_token_len(text)
+    wordshape_ok = F.when((avg_len >= 2) & (avg_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    noise = punct_ratio(text) + digit_ratio(text)
+    return round_det((length_ok + wordshape_ok + (1 - F.least(noise, F.lit(1.0)))) / 3, 4)
+
+
+def normalized_text(text) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_md5(text) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    (md5 is bit-identical across engines, unlike xxhash64/murmur.)"""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """n-gram word shingles as array<string> (space-joined), via a
+    positional transform over the token array — no explode needed when the
+    consumer wants per-doc shingle sets."""
+    toks = tokens(normalized_text(text))
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )

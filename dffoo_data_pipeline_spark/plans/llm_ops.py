@@ -1,0 +1,287 @@
+"""LLM-data-pipeline operators over `documents`/`embeddings` (§2k).
+
+Dedup, fingerprinting, text quality, language heuristics, similarity — the
+operations a 100 TB training-data pipeline runs.  SQL-expressible ones get
+DuckDB oracles; sketch/hash-partition ops (MinHash-LSH, SimHash) are Spark
+primitives whose hash functions are engine-specific → rows-only checks,
+with their pair-level *outputs* validated by unit tests instead
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions import text as TX
+from dffoo_data_pipeline_spark.operators import dedup, similarity
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy; SURVEY.md §2k).
+
+    Scale: the shuffle key is the 128-bit content hash — uniformly
+    distributed, no skew; the canonical pick (min doc_id) is a partial agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@_register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup (deterministic survivor, unlike
+    dropDuplicates whose survivor is partition-order dependent)."""
+    return dedup.exact_keep_first(
+        load_table(spark, sf_dir, "documents"), text_col="text", order_col="doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           length(text) AS text_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 fingerprint per document (§2k text analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fingerprint"),
+        F.length("text").alias("text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token stats, quality, language heuristic
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))  AS n_tokens,
+           length(text)                                  AS n_chars_measured,
+           FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          t -> length(t))) * 1.0
+                  / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + shape stats, array-expression only (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_measured"),
+        TX.avg_token_len("text").alias("avg_token_len"),
+    )
+
+
+@_register(
+    "text_quality_score",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                              x -> length(x))) * 1.0
+                      / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000 AS avg_len,
+               FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                      / length(text)) * 10000 + 0.5) / 10000 AS pr,
+               FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                      / length(text)) * 10000 + 0.5) / 10000 AS dr
+        FROM documents)
+    SELECT doc_id,
+           FLOOR(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN avg_len >= 2 AND avg_len <= 12 THEN 1.0 ELSE 0.0 END
+                   + (1 - LEAST(pr + dr, 1.0))) / 3) * 10000 + 0.5) / 10000 AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / word-shape / noise gates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@_register(
+    "text_lang_signal",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           FLOOR((CAST(SUM(CAST(FLOOR((len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ('the','a','of','and','to','in','is','it')))
+                       * 1.0 / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000
+                     AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
+             AS avg_stopword_ratio
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID signal: English-stopword ratio aggregated per labeled
+    lang (the n-gram-heuristic building block; classification = argmax of
+    per-language signals)."""
+    d = load_table(spark, sf_dir, "documents")
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    ratio_dec = TX.stopword_ratio("text").cast("decimal(18,4)")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_det(F.sum(ratio_dec).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_stopword_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: n-gram Jaccard (oracle-checked) + MinHash/SimHash (Spark-native)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.isect * 1.0 / (sa.sz + sb.sz - i.isect), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+             JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= 0.2
+"""
+
+
+@_register("dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-shingle Jaccard near-dup pairs (threshold 0.2).
+
+    Scale: relational formulation — explode shingles, self-equi-join on the
+    shingle (the join only materializes pairs that SHARE a shingle, which
+    is exactly the LSH-style candidate pruning), group to intersection
+    counts, derive |A∪B| from per-doc sizes.  No O(n²) cross join; shuffle
+    keys are shingles (high cardinality, low skew).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.2)
+
+
+@_register("dedup_minhash_lsh")  # rows-only: engine-specific hash functions
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle → 64 minhashes → 16 bands →
+    bucket join).  The scale path for near-dup at 100 TB: candidate
+    generation is linear in corpus size.  Pair quality is unit-tested
+    against exact Jaccard (tests/test_dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, id_col="doc_id", text_col="text", n=3, num_hashes=64, bands=16
+    )
+
+
+@_register("dedup_simhash")  # rows-only: engine-specific hash functions
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + bucket key (near-dup via identical
+    16-bit bands; hamming-distance verification in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = """
+WITH pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM pairs)
+WHERE rn <= 5
+"""
+
+
+@_register("similarity_cosine_topk", _COSINE_TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per vector (the exact baseline).
+
+    Scale: O(n²) — correct but not the 100 TB path; see
+    `similarity_lsh_topk` for the bucketed variant.  The pair generation
+    broadcasts the smaller side and computes the dot product with
+    JVM-side array expressions (no Python).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(e, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@_register("similarity_lsh_topk")  # rows-only: random-hyperplane signs are seed/hash-specific
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH bucketing: candidates share a sign
+    signature prefix; exact cosine re-ranking within buckets.  Recall vs
+    brute force is unit-tested (tests/test_similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, id_col="vec_id", vec_col="embedding", k=5, planes=16, prefix_bits=6)

@@ -1,0 +1,859 @@
+"""Relational breadth (SURVEY.md §2b-§2h "gap" rows).
+
+The reference performs projections, regex predicates, dict-lookup joins and
+running-sum aggregation in Python loops; a general engine needs the full
+relational surface.  Every query here is a declarative DataFrame plan —
+Catalyst handles pushdown/pruning/join-selection — paired with a DuckDB
+oracle.
+
+Scale notes (100 TB bar) are given per query: which side broadcasts, what
+the shuffle key is, why the plan survives 1000 executors.
+
+Determinism rules for oracle hash-matching:
+- money/double aggregates are ROUND()ed (sum order across partitions is
+  nondeterministic in the last ulp);
+- every LIMIT is totally ordered by a unique key suffix;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions import numeric as N
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (reference A1/A2 conditional running sums → groupBy + agg)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                                  AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)      AS sum_charge,
+           SUM(l_quantity) / COUNT(*)                                       AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — partial aggregation map-side, 6-group shuffle.
+
+    Scale: the groupBy key has ~6 distinct values; Spark's hash aggregate
+    does partial (map-side) combine so the shuffle carries 6 rows per task
+    regardless of input size.  Filter reaches the parquet scan
+    (PushedFilters on l_shipdate).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            N.money_sum(N.dec2("l_extendedprice")).alias("sum_base_price"),
+            N.money_sum(disc_price).alias("sum_disc_price"),
+            N.money_sum(disc_price * (1 + N.dec_small("l_tax"))).alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            N.exact_avg(N.dec2("l_extendedprice")).alias("avg_price"),
+            N.exact_avg(N.dec_small("l_discount")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — selective dims broadcast, fact shuffles once.
+
+    Scale: customer(filtered) is small relative to lineitem → broadcast
+    hash join avoids shuffling the fact for the first join; AQE picks the
+    strategy from runtime stats.  Top-k is a global sort of the small
+    aggregated result, ordered with a unique tiebreak so LIMIT is stable.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(N.money_sum(N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — star join: all dims broadcast, one fact pass.
+
+    Scale: supplier/nation/region are classic broadcast dims; the only
+    shuffle is lineitem⋈orders on orderkey and the final 5-row group.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(N.money_sum(N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / predicates (reference S1-S8, P1-P8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scan_filter_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate at the scan (reference P1/P8 analog).
+
+    Scale: `.explain` shows PushedFilters [l_quantity > 45, l_returnflag =
+    'R'] and a 4-column ReadSchema — at 100 TB the scan reads row groups
+    that survive min/max pruning, nothing else.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    )
+
+
+@_register(
+    "typed_projection",
+    """
+    SELECT CAST(o_orderkey AS BIGINT)      AS order_key,
+           CAST(o_custkey AS INTEGER)      AS cust_key,
+           CAST(o_orderstatus AS VARCHAR)  AS order_status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+           SUBSTR(o_orderpriority, 1, 2)   AS priority_code
+    FROM orders
+    """,
+)
+def typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style typed cast-projection (reference P2, stg_abilities.sql:5-14).
+
+    The CHARACTER(2) semantics of the reference's game_version column are
+    reproduced with SUBSTR.  Pure projection: no shuffle, full codegen.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("order_key"),
+        F.col("o_custkey").cast("int").alias("cust_key"),
+        F.col("o_orderstatus").cast("string").alias("order_status"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total_price"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
+        F.substring("o_orderpriority", 1, 2).alias("priority_code"),
+    )
+
+
+@_register(
+    "derived_columns",
+    """
+    SELECT p_partkey,
+           SPLIT_PART(p_name, ' ', 1)                      AS color,
+           SPLIT_PART(p_name, ' ', 2)                      AS shape,
+           REPLACE(p_brand, 'Brand#', '')                  AS brand_num,
+           CAST(REPLACE(p_brand, 'Brand#', '') AS INTEGER) AS brand_id,
+           UPPER(SPLIT_PART(p_name, ' ', 1))               AS color_uc
+    FROM part
+    """,
+)
+def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split/replace/case derivations (reference P3, F2-F5:
+    short_name/ability_id extraction web_scraper.py:380-381)."""
+    p = load_table(spark, sf_dir, "part")
+    color = F.split(F.col("p_name"), " ").getItem(0)
+    return p.select(
+        "p_partkey",
+        color.alias("color"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("shape"),
+        F.regexp_replace("p_brand", "Brand#", "").alias("brand_num"),
+        F.regexp_replace("p_brand", "Brand#", "").cast("int").alias("brand_id"),
+        F.upper(color).alias("color_uc"),
+    )
+
+
+@_register(
+    "regex_line_gates",
+    """
+    SELECT event_id, event_type, props,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value
+    FROM events
+    WHERE regexp_matches(props, '"k": \\d\\d+') AND event_type IN ('click', 'view')
+    """,
+)
+def regex_line_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex gate + group extraction (reference P8/F1: rlike line gates and
+    re.search().group(n), web_scraper.py:391-413)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("props").rlike('"k": \\d\\d+') & F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "event_type",
+            "props",
+            F.regexp_extract("props", '"k": (\\d+)', 1).cast("int").alias("k_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference J1-J4 dict lookups → real joins; gap: semi/anti/range/asof)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "join_broadcast_correction",
+    """
+    WITH fix(n_nationkey, fixed_name) AS (
+        VALUES (0, 'NATION_ZERO'), (3, 'NATION_THREE'), (7, 'NATION_SEVEN')
+    )
+    SELECT n.n_nationkey, COALESCE(f.fixed_name, n.n_name) AS nation_name,
+           n.n_regionkey
+    FROM nation n LEFT JOIN fix f ON n.n_nationkey = f.n_nationkey
+    """,
+)
+def join_broadcast_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's correction-dict override (J1: FIX_HP_CAP_DICT applied
+    at web_scraper.py:501-504) as a broadcast left join + COALESCE.
+
+    Scale: the correction table is bounded (hand-maintained) → broadcast;
+    the fact side never shuffles.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    fix = spark.createDataFrame(
+        [(0, "NATION_ZERO"), (3, "NATION_THREE"), (7, "NATION_SEVEN")],
+        "n_nationkey int, fixed_name string",
+    )
+    return (
+        n.join(F.broadcast(fix), "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            F.coalesce("fixed_name", "n_name").alias("nation_name"),
+            "n_regionkey",
+        )
+    )
+
+
+@_register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference J2 membership lookup,
+    web_scraper.py:506-511: `if ability in UNCAPPED_ABILITIES_DICT`)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_register(
+    "join_anti_skip_parsed",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_skip_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (reference P7: skip JP high-armor when the GL row
+    already exists, web_scraper.py:990-995 — 'skip what's already computed')."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "join_outer_full",
+    """
+    SELECT COALESCE(a.k, b.k) AS k, a.oc AS order_cnt, b.ec AS event_cnt
+    FROM (SELECT o_custkey % 20 AS k, COUNT(*) AS oc FROM orders GROUP BY 1) a
+    FULL OUTER JOIN (SELECT user_id AS k, COUNT(*) AS ec FROM events GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (gap row in SURVEY.md §2c)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy((F.col("o_custkey") % 20).alias("k"))
+        .agg(F.count(F.lit(1)).alias("oc"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    return o.join(e, "k", "full_outer").select(
+        F.col("k"), F.col("oc").alias("order_cnt"), F.col("ec").alias("event_cnt")
+    )
+
+
+@_register(
+    "join_range_buckets",
+    """
+    WITH buckets(bucket_name, lo, hi) AS (
+        VALUES ('low', 0.0, 200000.0), ('mid', 200000.0, 400000.0), ('high', 400000.0, 1000000.0)
+    )
+    SELECT b.bucket_name, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM orders o JOIN buckets b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bucket_name
+    """,
+)
+def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a bounded bucket dimension.
+
+    Scale: a non-equi join is only safe when one side broadcasts — here the
+    bucket dim is tiny and explicit `F.broadcast` keeps it a
+    BroadcastNestedLoopJoin over 3 rows, never a cartesian shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = spark.createDataFrame(
+        [("low", 0.0, 200000.0), ("mid", 200000.0, 400000.0), ("high", 400000.0, 1000000.0)],
+        "bucket_name string, lo double, hi double",
+    )
+    return (
+        o.join(F.broadcast(b), (o.o_totalprice >= b.lo) & (o.o_totalprice < b.hi))
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            N.money_sum(N.dec2("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "join_asof_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's most recent click.
+
+    Scale: the naive form is an O(n²) range join per user; the scalable
+    Spark expression is union + ordered window — ONE shuffle on user_id,
+    then a running `last(click_ts, ignorenulls=True)` carried forward in
+    time order.  This is the streaming-friendly as-of pattern.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))  # 'click' < 'purchase': same-ts click visible
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2e) / sorts & top-k (§2f)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_rank_top_orders",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               RANK()       OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderstatus) AS status_rank
+        FROM orders)
+    WHERE rn <= 2
+    """,
+)
+def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank per group, top-k per key (gap §2e/§2f).
+
+    Scale: top-k-per-key via window avoids a global sort; one shuffle on
+    the partition key. Unique tiebreak (o_orderkey) makes rn deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("status_rank"),
+        ).where(F.col("rn") <= 2)
+    )
+
+
+@_register(
+    "window_lead_lag_gap",
+    """
+    SELECT event_id, user_id, ts,
+           date_diff('microsecond', lag(ts)  OVER w, ts) AS micros_since_prev,
+           lead(event_type) OVER w                        AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag over an ordered per-key stream — the exact Spark analog of
+    the reference's offset line addressing (`lines[i ± k]`,
+    web_scraper.py:392-441 → SURVEY.md §2e)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("micros_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@_register(
+    "window_rolling_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value_3,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_avg
+    FROM events
+    """,
+)
+def window_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit rowsBetween frames (gap §2e): 3-row rolling sum + running avg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(N.dec2("value")).over(w.rowsBetween(-2, 0)).cast("double").alias("rolling_value_3"),
+        (
+            F.sum(N.dec2("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("running_avg"),
+    )
+
+
+@_register(
+    "sort_global_topk",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (gap §2f).  Scale: Spark's TakeOrderedAndProject keeps
+    k rows per partition then merges on the driver — no full sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distinct aggregation (§2d gaps)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "agg_rollup_date",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), o_orderstatus)
+    """,
+)
+def agg_rollup_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (gap §2d)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus", "o_totalprice")
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), N.money_sum(N.dec2("o_totalprice")).alias("total_price"))
+    )
+
+
+@_register(
+    "agg_cube_flags",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(l_quantity) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two flag dimensions (gap §2d)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+    )
+
+
+@_register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey)  AS n_customers,
+           COUNT(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (gap §2d).  Scale: Spark expands distinct aggs
+    into a two-phase plan automatically; for 100 TB approximate variants
+    (see `agg_approx_distinct`) avoid the expansion entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB path for distinct counts:
+    constant memory per group, no distinct-expansion shuffle.  Rows-only
+    check (sketch estimates are not oracle-comparable across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2g) and row multiplication (A6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "set_union_distinct_routing",
+    """
+    SELECT k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+    ) ORDER BY k
+    """,
+)
+def set_union_distinct_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-distinct of two key sets — the reference's JP-pass routing
+    set(reworks + not_in_gl) (U2, web_scraper.py:1187)."""
+    a = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    return a.union(b).distinct().orderBy("k")
+
+
+@_register(
+    "set_intersect_except",
+    """
+    SELECT 'both' AS side, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'only_f' AS side, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (gap §2g) with a discriminator column (U3)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    op = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    both = f.intersect(op).select(F.lit("both").alias("side"), "k")
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity deltas
+    only_f = f.subtract(op).select(F.lit("only_f").alias("side"), "k")
+    return both.unionByName(only_f)
+
+
+@_register(
+    "explode_row_split",
+    """
+    SELECT p_partkey, t.word AS name_word
+    FROM part, UNNEST(string_split(p_name, ' ')) AS t(word)
+    """,
+)
+def explode_row_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N row multiplication via explode (reference A6: the uncapped-split
+    emits a second row per ability, web_scraper.py:513-541)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("name_word"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (§2h) — string/date/array/json in one pass each
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_string_functions",
+    """
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS name_uc,
+           LOWER(c_mktsegment)                             AS seg_lc,
+           LENGTH(c_name)                                  AS name_len,
+           SUBSTR(c_name, 10, 8)                           AS name_digits,
+           CONCAT(c_mktsegment, '-', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           REPLACE(c_name, 'Customer#', 'C')               AS short_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 6, '0')        AS padded_key,
+           TRIM('  x  ')                                   AS trimmed
+    FROM customer
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (F2-F5 + gaps)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 8).alias("name_digits"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.regexp_replace("c_name", "Customer#", "C").alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("padded_key"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+@_register(
+    "scalar_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)   AS m,
+           CAST(EXTRACT(day FROM o_orderdate) AS INTEGER)     AS d,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INTEGER) + 1 AS dow_1_7,
+           date_trunc('month', o_orderdate)                   AS month_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY        AS plus_30d,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+    FROM orders
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery (F7 + §2h date-arithmetic gap)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow_1_7"),  # Sunday=1, matches EXTRACT(dow)+1
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(d, 30).cast("timestamp").alias("plus_30d"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("bigint").alias("days_to_2002"),
+    )
+
+
+@_register(
+    "scalar_math_case_ladder",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price,
+           CAST(FLOOR(l_quantity / 10) AS INTEGER)      AS qty_decile,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           CASE WHEN l_returnflag = 'R' THEN 'returned'
+                WHEN l_linestatus = 'O' THEN 'open'
+                WHEN l_quantity >= 25 THEN 'bulk'
+                ELSE 'standard' END                     AS line_class
+    FROM lineitem
+    """,
+)
+def scalar_math_case_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + the when-ladder classification pattern (reference A3 branch
+    ladder, web_scraper.py:444-490, as chained F.when)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))).cast("double").alias("net_price"),
+        F.floor(F.col("l_quantity") / 10).cast("int").alias("qty_decile"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_linestatus") == "O", "open")
+        .when(F.col("l_quantity") >= 25, "bulk")
+        .otherwise("standard")
+        .alias("line_class"),
+    )
+
+
+@_register(
+    "scalar_json_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+)
+def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (§2h gap; reference keeps stringified structures,
+    stg_schema.yml:31-35 — we parse them columnar-side)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@_register(
+    "array_functions_agg",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def array_functions_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array build + ordered serialization (F8/F9: the reference's
+    attribute_list build web_scraper.py:296-305 and its stringified-list
+    output).  Sorted before join so the result is order-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+One place to configure the session so tests, the driver contract, and the
+benchmark all run with identical semantics:
+
+- UTC session timezone (the reference stamps UTC strings,
+  web_scraper.py:32; we make it a session invariant).
+- ANSI off: the oracle comparisons rely on permissive casts.
+- Arrow on: every Pandas-UDF boundary is Arrow-batched (the only sanctioned
+  Python path; row-at-a-time UDFs are banned in this codebase).
+- AQE on with coalescing + skew-join handling: at 100 TB the runtime
+  re-plan (skew splitting, dynamic partition coalescing) is what keeps
+  shuffle-heavy plans healthy; at local test scale it is harmless.
+- shuffle partitions default to the local core count (overridable via
+  SPARK_GRAFT_CPUS) — on a real cluster this would be set to ~2-3x total
+  cores or left to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
+    """Build (or fetch) the configured SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,60 @@
+"""Sources (SURVEY.md §2a).
+
+The reference's sources are scraped web pages and hand-maintained CSVs
+(web_scraper.py:131-173, raw_sources.yml); ours are columnar files read
+through the DataSource V2 parquet reader so Catalyst gets predicate
+pushdown, column pruning, and partition pruning for free.  At 100 TB the
+scan is the dominant cost — everything here is designed so `.explain`
+shows PushedFilters/ReadSchema doing the trimming, never Python.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dffoo_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (TESTDATA.md) as a DataFrame.
+
+    Parquet scan — scale path: on a cluster this same call reads a
+    partitioned table directory; filters/projections compose into the scan.
+
+    TIMESTAMP(NANOS) columns (events.ts) are stored as INT64 nanos, which
+    Spark's vectorized reader rejects; we read them as longs
+    (`nanosAsLong`) and truncate to microsecond timestamps — the same
+    truncation DuckDB applies, so oracle comparisons agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        # integer `div` (not `/`): ns values exceed double's 2^53 exactness
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register every synthetic table as a temp view for spark.sql plans."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_manual_entry_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Hand-curated CSV source (reference S8: followups_manual_entry.csv,
+    raw_sources.yml:97-171).  Explicit schema, header, permissive mode;
+    latin-1 tolerated because the reference's real file is latin-1
+    (FIXTURES.md T4)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("encoding", "ISO-8859-1")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )

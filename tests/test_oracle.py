@@ -1,0 +1,48 @@
+"""The correctness gate, run locally: every queries() entry with an oracle
+must match DuckDB on the same parquet tables (mirrors the driver's t2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_utils import compare, duckdb_conn
+
+
+def _cases():
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
+    return sorted(q), q, o
+
+
+NAMES, QUERIES, ORACLES = _cases()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    if name not in ORACLES:
+        # rows-only check (driver's weaker path for non-SQL-expressible ops)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
+        return
+    expected = duck.execute(ORACLES[name]).fetchdf()
+    errs = compare(df, expected, name)
+    assert not errs, "\n".join(errs)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
