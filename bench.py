@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the `noop` sink (full execution, no driver
+collect) — the number measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from dffoo_data_pipeline_spark.plans import all_queries  # noqa: E402
+from dffoo_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per major operator family (SURVEY.md §2).
+HEADLINE = [
+    "flagship_pricing_under_cap",  # classification + agg + broadcast fix + explode
+    "q1_pricing_summary",          # wide conditional aggregation
+    "q3_shipping_priority",        # multi-join + top-k
+    "q5_local_supplier_volume",    # star join
+    "window_rank_top_orders",      # window functions
+    "join_asof_last_click",        # as-of via ordered window
+    "events_sessionization",       # gap sessionization
+    "events_sliding_window",       # overlapping event-time windows
+    "dedup_exact_groups",          # content-hash dedup
+    "dedup_minhash_lsh",           # MinHash-LSH near-dup candidates
+    "similarity_cosine_topk",      # brute-force ANN baseline
+    "text_quality_score",          # text analysis battery
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    queries, _ = all_queries()
+
+    # warm the JVM + file listings once so query timings measure the
+    # engine, not session startup
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

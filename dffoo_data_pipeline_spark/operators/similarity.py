@@ -1,21 +1,31 @@
 """Embedding similarity search (SURVEY.md §2k; BASELINE north star).
 
-- `cosine_topk_bruteforce`: exact O(n²) baseline, JVM array expressions
-  (zip_with + aggregate) — no Python in the loop.
+- `cosine_topk_bruteforce` / `cosine_neardup_pairs`: exact search using the
+  broadcast-index pattern — the corpus embedding matrix is broadcast to
+  executors as one numpy array, and queries stream through an
+  Arrow-batched `mapInPandas` doing float64 matmuls.  This is the
+  vectorized slow-path rule from the project brief: higher-order column
+  expressions (`zip_with`+`aggregate`) are interpreted per element in
+  Spark and lose to BLAS by ~100× on 64-dim dots.
 - `lsh_topk`: random-hyperplane LSH bucketing + exact re-rank within
-  buckets — the approximate path whose cost is linear in corpus size.
+  buckets — the approximate path whose candidate cost is linear in corpus
+  size.
 
-Scale: brute force broadcasts the smaller side (the index fits executors
-for ≤ millions of vectors; beyond that, IVF-style partition pruning —
-`lsh_topk` here — is the path).  Dot products are computed in doubles for
-cross-engine determinism.
+Scale: the broadcast index must fit executor memory (~1.5 GB per 5M×64
+float64 vectors) — beyond that, partition the index (IVF-style, here
+`lsh_topk`) so each task scans one cell.  Queries never collect to the
+driver; only the bounded index does (explicitly, as an index build).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -28,12 +38,24 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def with_unit_vec(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
-    """Pre-normalize embeddings to unit length (double precision) so cosine
-    becomes a plain dot product downstream."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _norm(v)
-    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+def _collect_index(df: DataFrame, id_col: str, vec_col: str):
+    """Materialize the (bounded) index side as numpy: ids, matrix, norms."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    return ids, M, norms
+
+
+def _out_schema(df: DataFrame, id_col: str) -> T.StructType:
+    id_type = df.schema[id_col].dataType
+    return T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
 
 
 def cosine_topk_bruteforce(
@@ -41,45 +63,82 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every vector.
 
-    Returns (query_id, neighbor_id, cos_sim) with deterministic ordering
-    (sim DESC, neighbor_id ASC) and cos_sim rounded to 6 decimals.
+    Returns (query_id, neighbor_id, cos_sim) ordered deterministically
+    (sim DESC, neighbor_id ASC per query), cos_sim rounded to 6 decimals.
     """
-    vd = df.select(
-        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    )
-    a = vd.select(F.col(id_col).alias("query_id"), F.col("v").alias("va"))
-    b = vd.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim_raw"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim_raw", 6).alias("cos_sim"))
-    )
+    spark = df.sparkSession
+    ids, M, norms = _collect_index(df, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, M, norms))
+    schema = _out_schema(df, id_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_ids, idx_M, idx_norms = b.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            q_ids = pb[id_col].to_numpy()
+            Q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            q_norms = np.linalg.norm(Q, axis=1)
+            S = (Q @ idx_M.T) / np.outer(q_norms, idx_norms)
+            # mask self-matches, then exact top-k with (sim desc, id asc) order
+            S[q_ids[:, None] == idx_ids[None, :]] = -np.inf
+            kk = min(k, S.shape[1] - 1)
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for r in range(S.shape[0]):
+                cand = part[r]
+                order = np.lexsort((idx_ids[cand], -S[r, cand]))
+                sel = cand[order]
+                out_q.extend([q_ids[r]] * len(sel))
+                out_n.extend(idx_ids[sel])
+                out_s.extend(np.round(S[r, sel], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def cosine_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup detection)."""
-    vd = df.select(
-        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    )
-    a = vd.select(F.col(id_col).alias("doc_a"), F.col("v").alias("va"))
-    b = vd.select(F.col(id_col).alias("doc_b"), F.col("v").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return pairs.select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim")).where(
-        F.col("cos_sim") >= threshold
+    """All pairs with cosine ≥ threshold (embedding near-dup detection);
+    doc_a < doc_b.  Same broadcast-index matmul pattern as top-k."""
+    spark = df.sparkSession
+    ids, M, norms = _collect_index(df, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, M, norms))
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", id_type),
+            T.StructField("doc_b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_ids, idx_M, idx_norms = b.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            q_ids = pb[id_col].to_numpy()
+            Q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            q_norms = np.linalg.norm(Q, axis=1)
+            S = (Q @ idx_M.T) / np.outer(q_norms, idx_norms)
+            Sr = np.round(S, 6)
+            keep = (Sr >= threshold) & (q_ids[:, None] < idx_ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"doc_a": q_ids[r], "doc_b": idx_ids[c], "cos_sim": Sr[r, c]}
+            )
 
-def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed → stable buckets)."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((planes, dim)).tolist()
+    return rng.standard_normal((planes, dim))
 
 
 def lsh_topk(
@@ -95,28 +154,24 @@ def lsh_topk(
     """Approximate top-k via random-hyperplane LSH.
 
     Bucket key = first `prefix_bits` sign bits of the hyperplane
-    projections; exact cosine re-rank inside each bucket.  Vectors in
-    sparse buckets simply return fewer than k neighbors — standard ANN
-    recall/latency trade, measured in tests against the brute-force
-    baseline.
+    projections; exact cosine re-rank inside each bucket (grouped matmul
+    in Arrow batches via applyInPandas).  Vectors in sparse buckets return
+    fewer than k neighbors — the standard ANN recall/latency trade,
+    measured against brute force in tests/test_similarity.py.
 
     Scale: one shuffle on the bucket key (2^prefix_bits buckets; tune
-    prefix_bits ~ log2(n / target_bucket_size)); within-bucket work is
-    quadratic in bucket size only.
+    prefix_bits ≈ log2(n / target_bucket_size)); within-bucket work is
+    quadratic in bucket size only, and no index is broadcast — this is
+    the partitioned (IVF-style) path for corpora beyond executor memory.
     """
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        dim = first[0]["d"]
-    hp = _hyperplanes(dim, planes, seed)
+        dim = len(df.select(vec_col).head()[0])
+    hp = _hyperplanes(dim, planes, seed)[:prefix_bits]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sig_bits = [
         (
             F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(c) for c in hp[p]]),
-                    lambda x, w: x * w,
-                ),
+                F.zip_with(v, F.array(*[F.lit(c) for c in hp[p]]), lambda x, w: x * w),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -128,19 +183,35 @@ def lsh_topk(
         (bit * F.lit(1 << i) for i, bit in enumerate(sig_bits[1:], start=1)),
         sig_bits[0],
     )
-    bucketed = df.select(F.col(id_col), v.alias("v"), bucket.alias("bucket"))
-    a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col("v").alias("va")
+    bucketed = df.select(F.col(id_col), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb")
-    )
-    pairs = a.join(b, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim_raw"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim_raw", 6).alias("cos_sim"))
-    )
+
+    def rank_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        S = (M @ M.T) / np.outer(norms, norms)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for r in range(n):
+            cand = part[r]
+            order = np.lexsort((ids[cand], -S[r, cand]))
+            sel = cand[order]
+            out_q.extend([ids[r]] * len(sel))
+            out_n.extend(ids[sel])
+            out_s.extend(np.round(S[r, sel], 6))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    return bucketed.groupBy("bucket").applyInPandas(rank_bucket, schema)
