@@ -436,3 +436,204 @@ def abilities_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["abilities_parse"] = abilities_parse
 QUERIES["abilities_full_pipeline"] = abilities_full_pipeline
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins: the same parse + corrections in ANSI-ish SQL over the
+# same fixture rows (generated from fixtures.ability_line_rows so both
+# engines read identical input)
+# ---------------------------------------------------------------------------
+
+
+def _fixture_values_sql() -> str:
+    from dffoo_data_pipeline_spark.fixtures import ability_line_rows
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return ",\n".join(
+        f"({q(c)},{q(a)},{i},{q(v)},{n},{q(l)})"
+        for c, a, i, v, n, l in ability_line_rows()
+    )
+
+
+_PARSE_SQL_BODY = """
+led AS (
+  SELECT char_name, ability_name, ability_id, game_version, line_no, line,
+    COALESCE(lag(line,1)  OVER w, '') AS p1,
+    COALESCE(lag(line,2)  OVER w, '') AS p2,
+    COALESCE(lag(line,3)  OVER w, '') AS p3,
+    COALESCE(lead(line,2) OVER w, '') AS l2,
+    COALESCE(lead(line,6) OVER w, '') AS l6,
+    COALESCE(lead(line,11) OVER w, '') AS l11,
+    COALESCE(lead(line,13) OVER w, '') AS l13
+  FROM lines
+  WINDOW w AS (PARTITION BY char_name, ability_name, game_version ORDER BY line_no)
+),
+gated AS (
+  SELECT *,
+    CASE WHEN regexp_matches(line, '- MAX BRV Cap')
+         THEN TRY_CAST(replace(trim(l6), '%', '') AS INT) ELSE 0 END
+    + CASE WHEN regexp_matches(line, 'MAX BRV Cap Up by')
+           THEN TRY_CAST(replace(trim(l2), '%', '') AS INT) ELSE 0 END AS cap_contrib,
+    (line LIKE '%inline HP%') AND NOT regexp_matches(p2, 'Attack') AS is_hit,
+    regexp_matches(p1 || p3 || l2, 'Group') AS ctx_aoe,
+    CASE WHEN regexp_matches(ability_name, 'Crystal Generation') THEN l6 ELSE l2 END AS info0
+  FROM led
+),
+resolved AS (
+  SELECT *,
+    CASE WHEN (regexp_matches(info1, ' by') OR regexp_matches(info1, ' based on'))
+              AND regexp_matches(l6, 'of ')
+         THEN CASE WHEN regexp_matches(l13, 'to non-targets')
+                        AND regexp_matches(l11, 'inline BREAK')
+                   THEN l13 ELSE l6 END
+         ELSE info1 END AS info
+  FROM (
+    SELECT *,
+      CASE WHEN (regexp_matches(info0, 'Damage by') OR regexp_matches(info0, 'Damage to'))
+                AND regexp_matches(l6, 'of stored value from')
+           THEN l11 ELSE info0 END AS info1
+    FROM gated)
+),
+branched AS (
+  SELECT char_name, ability_name, ability_id, game_version, line_no,
+         cap_contrib, is_hit, ctx_aoe, info,
+    CASE
+      WHEN NOT is_hit THEN 'none'
+      WHEN regexp_matches(info, 'Damage to non-targets after each HP Attack, except last') THEN 'copy1'
+      WHEN regexp_matches(info, 'Damage to non-targets after each HP Attack') THEN 'copy'
+      WHEN regexp_matches(info, 'Group \\d+') THEN 'groupN'
+      WHEN regexp_matches(info, 'Group') THEN 'group1'
+      WHEN regexp_matches(info, 'to non-targets × \\d+') THEN 'nonx'
+      WHEN regexp_matches(info, 'to non-targets \\d+ times')
+           OR regexp_matches(info, 'to non-trap triggered targets \\d+ times') THEN 'nont'
+      WHEN regexp_matches(info, 'to non-targets')
+           OR regexp_matches(info, 'to non-trap triggered targets') THEN 'non1'
+      WHEN regexp_matches(info, '\\d+ times') THEN 'times'
+      ELSE 'one' END AS k
+  FROM resolved
+),
+scored AS (
+  SELECT *,
+    CASE k WHEN 'groupN' THEN TRY_CAST(regexp_extract(info, 'Group (\\d+) times', 1) AS INT)
+           WHEN 'group1' THEN 1
+           WHEN 'times'  THEN TRY_CAST(regexp_extract(info, '(\\d+) times', 1) AS INT)
+           WHEN 'one'    THEN 1 ELSE 0 END AS m_add,
+    CASE k WHEN 'nonx' THEN TRY_CAST(regexp_extract(info, '× (\\d+)', 1) AS INT)
+           WHEN 'nont' THEN TRY_CAST(regexp_extract(info, '(\\d+) times', 1) AS INT)
+           WHEN 'non1' THEN 1 ELSE 0 END AS n_add,
+    (is_hit AND (ctx_aoe OR k IN ('groupN','group1'))) AS aoe,
+    (k IN ('copy','copy1')) AS copy_raw,
+    (k = 'copy1') AS sub_one
+  FROM branched
+),
+incs AS (
+  SELECT *,
+    CASE WHEN aoe THEN m_add WHEN copy_raw THEN 0 WHEN is_hit THEN m_add ELSE 0 END AS main_inc,
+    CASE WHEN aoe THEN m_add WHEN copy_raw THEN 0 WHEN is_hit THEN n_add ELSE 0 END AS non_inc,
+    (copy_raw AND NOT aoe) AS is_copy
+  FROM scored
+),
+runs AS (
+  SELECT *,
+    SUM(main_inc) OVER (PARTITION BY char_name, ability_name, game_version
+                        ORDER BY line_no
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_main
+  FROM incs
+),
+copied AS (
+  SELECT *,
+    CASE WHEN is_copy THEN run_main - CASE WHEN sub_one THEN 1 ELSE 0 END END AS copy_val,
+    MAX(CASE WHEN is_copy THEN line_no END)
+      OVER (PARTITION BY char_name, ability_name, game_version) AS last_copy_line
+  FROM runs
+),
+parsed AS (
+  SELECT char_name, ability_name,
+    CAST(MIN(ability_id) AS INT) AS ability_id,
+    CAST(SUM(main_inc) AS INT)   AS main_target_hp_attacks,
+    CAST(COALESCE(
+      MAX(CASE WHEN is_copy AND line_no = last_copy_line THEN copy_val END)
+        + SUM(CASE WHEN line_no > last_copy_line THEN non_inc ELSE 0 END),
+      SUM(non_inc)) AS INT)      AS non_target_hp_attacks,
+    CAST(SUM(cap_contrib) AS INT) AS hp_dmg_cap_up_perc,
+    game_version
+  FROM copied
+  GROUP BY char_name, ability_name, game_version
+)
+"""
+
+ORACLES["abilities_parse"] = (
+    "WITH lines(char_name, ability_name, ability_id, game_version, line_no, line) AS (VALUES\n"
+    + _fixture_values_sql()
+    + "),\n"
+    + _PARSE_SQL_BODY
+    + "\nSELECT * FROM parsed"
+)
+
+_CORRECTIONS_SQL = """
+fix(char_name, ability_name, fixed_cap) AS (VALUES
+  ('barret','Beam',10), ('yshtola','Spiritual Ray',400),
+  ('gilgamesh','Ultimate Illusion',100),
+  ('noel','Additional attack from Hunter of Light',15), ('kadaj','Geophagy',20)),
+unc(char_name, ability_name) AS (VALUES
+  ('caitsith','Transform'), ('leonora','Flare'), ('leonora','A Little Black Magic'),
+  ('jessie','Shaped Charge'),
+  ('aerith','Additional attack from White Materia''s Brilliance')),
+spl(ability_name, followup_name, gl_main, jp_main, gl_non, jp_non) AS (VALUES
+  ('Chuck Staff','Chuck Staff (Uncapped HP Attack)',1,1,1,1),
+  ('Crystal Ray','Crystal Ray (Uncapped HP Attack)',1,1,1,1),
+  ('Soul Burst','Soul Burst (Uncapped HP Attack)',1,1,0,0),
+  ('Soul Burst+','Soul Burst+ (Uncapped HP Attack)',1,2,0,0)),
+corr AS (
+  SELECT p.char_name, p.ability_name, p.ability_id,
+         p.main_target_hp_attacks, p.non_target_hp_attacks,
+         CASE WHEN u.ability_name IS NOT NULL THEN 900
+              ELSE COALESCE(f.fixed_cap, p.hp_dmg_cap_up_perc) END AS cap,
+         (u.ability_name IS NOT NULL) AS is_unc,
+         s.followup_name, s.gl_main, s.jp_main, s.gl_non, s.jp_non,
+         p.game_version
+  FROM parsed p
+  LEFT JOIN fix f ON p.char_name = f.char_name AND p.ability_name = f.ability_name
+  LEFT JOIN unc u ON p.char_name = u.char_name AND p.ability_name = u.ability_name
+  LEFT JOIN spl s ON p.ability_name = s.ability_name
+),
+base AS (
+  SELECT char_name, ability_name, ability_id,
+    CAST(main_target_hp_attacks - CASE WHEN followup_name IS NULL THEN 0
+         WHEN game_version = 'GL' THEN gl_main ELSE jp_main END AS INT) AS main_target_hp_attacks,
+    CAST(non_target_hp_attacks - CASE WHEN followup_name IS NULL THEN 0
+         WHEN game_version = 'GL' THEN gl_non ELSE jp_non END AS INT) AS non_target_hp_attacks,
+    CAST(cap AS INT) AS hp_dmg_cap_up_perc,
+    CASE WHEN is_unc THEN 'Uncapped' ELSE '' END AS attributes,
+    game_version
+  FROM corr
+),
+twins AS (
+  SELECT char_name, followup_name AS ability_name, CAST(NULL AS INT) AS ability_id,
+    CAST(CASE WHEN game_version = 'GL' THEN gl_main ELSE jp_main END AS INT) AS main_target_hp_attacks,
+    CAST(CASE WHEN game_version = 'GL' THEN gl_non ELSE jp_non END AS INT) AS non_target_hp_attacks,
+    CAST(900 AS INT) AS hp_dmg_cap_up_perc,
+    CASE WHEN is_unc THEN 'FollowUp|Uncapped' ELSE 'FollowUp' END AS attributes,
+    game_version
+  FROM corr WHERE followup_name IS NOT NULL
+),
+seym AS (
+  SELECT DISTINCT 'seymour' AS char_name, 'Chainspell - Follow Up' AS ability_name,
+    CAST(NULL AS INT) AS ability_id, CAST(4 AS INT) AS main_target_hp_attacks,
+    CAST(0 AS INT) AS non_target_hp_attacks, CAST(20 AS INT) AS hp_dmg_cap_up_perc,
+    'Magic|FollowUp' AS attributes, game_version
+  FROM parsed WHERE char_name = 'seymour'
+)
+SELECT * FROM base UNION ALL SELECT * FROM twins UNION ALL SELECT * FROM seym
+"""
+
+ORACLES["abilities_full_pipeline"] = (
+    "WITH lines(char_name, ability_name, ability_id, game_version, line_no, line) AS (VALUES\n"
+    + _fixture_values_sql()
+    + "),\n"
+    + _PARSE_SQL_BODY
+    + ",\n"
+    + _CORRECTIONS_SQL
+)
