@@ -1,0 +1,266 @@
+"""Structured Streaming jobs over the `events` table.
+
+Each job is the streaming twin of a batch query in `plans/events.py` and
+produces the SAME result schema, so the DuckDB oracle that checks the batch
+form also checks the stream: the driver-contract callable runs the stream
+to completion with `Trigger.AvailableNow` into a memory sink and returns
+the materialized table.
+
+Scale design (these choices are what matter at 100 TB/day of events):
+
+- **Watermarks bound state.**  Every window/session agg declares
+  `withWatermark` so state for closed windows is evicted; without it a
+  long-running stream accumulates state forever.  We still read the
+  results via complete/update-mode memory sinks for the *finite* test
+  streams (append mode would withhold the final watermark-delay's worth
+  of windows on a stream that ends).
+- **File source, not collect.**  `readStream.parquet(dir)` lists files
+  incrementally (maxFilesPerTrigger batches) — the same code points at a
+  Kafka source by swapping the reader, the plan is unchanged.
+- **Shuffle keys.**  Window aggs shuffle on (window, event_type) and
+  sessions on user_id — both high-cardinality; per-key state is bounded
+  by the watermark horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dffoo_data_pipeline_spark.functions import numeric as N
+from dffoo_data_pipeline_spark.plans.events import SESSION_GAP_SECONDS, _SESSION_SQL
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Raw parquet schema: `ts` is stored as TIMESTAMP(NANOS) which the
+# vectorized reader only accepts as INT64 (`nanosAsLong`, see
+# sources/readers.py) — streaming file sources need the schema up front.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """File stream sources monitor a DIRECTORY; the testdata table is one
+    file.  Stage it behind a symlink in a temp dir (no data copied) — on a
+    real deployment this is the landing directory new files arrive in."""
+    key = sf_dir.rstrip("/")
+    if key not in _STAGE_DIRS:
+        d = tempfile.mkdtemp(prefix="sg_events_src_")
+        os.symlink(f"{key}/events.parquet", f"{d}/events.parquet")
+        _STAGE_DIRS[key] = d
+    return _STAGE_DIRS[key]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as an unbounded stream (file source standing in for Kafka).
+
+    Same µs truncation as the batch reader so stream and oracle agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .format("parquet")
+        .load(_stage_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(result: DataFrame, output_mode: str) -> DataFrame:
+    """Run a (finite) stream to exhaustion into a memory sink; return the
+    materialized result.  AvailableNow processes every pending file then
+    stops — the streaming analog of a batch run, with real incremental
+    state + checkpointing underneath."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+@_register(
+    "streaming_tumbling_hourly",
+    # identical semantics to the batch twin → same oracle
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window agg as a stream: watermark 1h, windowed
+    groupBy, incremental state.  Streaming twin of events_tumbling_hourly."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(N.dec2("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+@_register(
+    "streaming_session_window",
+    # project the batch gap-sessionization oracle down to this shape
+    "WITH base AS (" + _SESSION_SQL + ")\n"
+    "SELECT user_id, session_start, n_events, session_value FROM base",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization via F.session_window (30-min gap) —
+    the stateful merge-adjacent-windows operator the batch cumulative-sum
+    form (events_sessionization) emulates."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(N.dec2("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+_USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+_USER_TOTALS_STATE = "n_events LONG, total_cents LONG, first_us LONG, last_us LONG"
+
+
+def _user_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user running totals.
+
+    State is (count, cents, first_us, last_us) — cents as int64 so the
+    accumulation is exact regardless of arrival order (matches the
+    DECIMAL(12,2) oracle).  Emits the updated running total each batch
+    (update semantics).
+    """
+    (user_id,) = key
+    if state.exists:
+        n, cents, first_us, last_us = state.get
+    else:
+        n, cents, first_us, last_us = 0, 0, None, None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        cents += int(round(pdf["value"] * 100).astype("int64").sum())
+        us = pdf["ts"].astype("int64") // 1000
+        lo, hi = int(us.min()), int(us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, cents, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+@_register(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user lifetime totals maintained in explicit GroupState (the
+    reference's accumulate-in-a-dict loops, web_scraper.py:383-395, as an
+    unbounded-stream operator).
+
+    The stream emits a running total per user per batch; the final row per
+    user (max n_events) is the lifetime total — selected with one max_by
+    agg so the result is batch-count-independent.
+    """
+    e = read_events_stream(spark, sf_dir)
+    updates = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals_fn,
+            outputStructType=_USER_TOTALS_SCHEMA,
+            stateStructType=_USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = run_stream_to_table(updates, "update")
+    final = F.max_by(
+        F.struct("n_events", "total_value", "first_ts", "last_ts"), "n_events"
+    ).alias("s")
+    return emitted.groupBy("user_id").agg(final).select(
+        "user_id", "s.n_events", "s.total_value", "s.first_ts", "s.last_ts"
+    )
