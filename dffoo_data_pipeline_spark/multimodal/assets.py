@@ -1,0 +1,235 @@
+"""Multimodal asset pipeline over binary payload columns.
+
+Data model: one row per asset —
+  (asset_id, modality, mime, payload BINARY, meta STRUCT<...>)
+The synthetic corpus derives assets from `documents` (payload = UTF-8
+bytes of the text; deterministic fake modality/metadata from doc_id), so
+every byte-level operator is oracle-checkable in DuckDB against the same
+text.  On a real corpus the payload column comes straight from
+`spark.read.format("binaryFile")` or parquet with BINARY columns — the
+operators below don't care where the bytes came from.
+
+Scale notes:
+- Payloads stay executor-side end to end; nothing ever collects.  A 100 TB
+  image corpus is just more partitions — frame sampling and feature
+  extraction are embarrassingly parallel per row.
+- Frame sampling is pure JVM expression (sequence → transform →
+  substring on BINARY → posexplode): no Python in the hot path, and
+  column pruning drops `payload` right after the frames are cut.
+- Feature extraction crosses to Python once, Arrow-batched (mapInPandas),
+  does whole-batch numpy work, and returns fixed-width vectors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+FRAME_BYTES = 64  # synthetic "frame" size for the sampling operator
+
+_MODALITIES = ("image", "audio", "video")
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def documents_as_assets(df: DataFrame) -> DataFrame:
+    """`documents` → multimodal asset table.
+
+    payload = UTF-8 bytes of text (the opaque blob); modality/mime cycle
+    deterministically on doc_id; metadata is a typed struct (what EXIF /
+    codec headers would give): fake width/height for images, sample_rate /
+    n_samples for audio, fps/n_frames for video.
+    """
+    m = F.pmod("doc_id", F.lit(3)).cast("int")
+    payload = F.encode("text", "UTF-8")
+    n_bytes = F.length(payload)
+    return df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(*[F.lit(x) for x in _MODALITIES]), m + 1).alias(
+            "modality"
+        ),
+        F.element_at(F.array(*[F.lit(x) for x in _MIMES]), m + 1).alias("mime"),
+        payload.alias("payload"),
+        F.struct(
+            n_bytes.alias("n_bytes"),
+            (F.pmod("doc_id", F.lit(512)) + 16).cast("int").alias("width"),
+            (F.pmod("doc_id", F.lit(256)) + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.ceil(n_bytes / FRAME_BYTES).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def frame_sample(df: DataFrame, every_k: int = 4, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Sample every k-th fixed-size frame from each payload.
+
+    JVM-only: sequence(0, n-1, k) → substring(payload, i*fb+1, fb) →
+    posexplode.  The video-decode analog (keyframe extraction) would swap
+    the substring for a codec call; the partitioning/explosion shape is
+    identical.
+    """
+    n_frames = F.ceil(F.length("payload") / frame_bytes).cast("int")
+    idxs = F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    frames = F.transform(
+        idxs, lambda i: F.col("payload").substr(i * frame_bytes + 1, F.lit(frame_bytes))
+    )
+    return (
+        df.withColumn("frame", F.explode(frames))
+        .select(
+            "asset_id",
+            F.md5("frame").alias("frame_md5"),
+            F.length("frame").alias("frame_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Codec boundary: real decode STUBBED (no image/audio libs in container);
+# deterministic fake decode keeps every downstream shape real.
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Real image decode — STUB.
+
+    Requires an image codec (Pillow/libvips) not present in this
+    container.  The Spark-side contract is: bytes in → HxWx3 uint8 out;
+    `fake_decode` below honors that contract deterministically and is what
+    the pipeline wires in for tests.
+    """
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use fake_decode (deterministic stand-in) or install a codec"
+    )
+
+
+def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: tile the payload bytes into an
+    (height, width) uint8 'pixel' grid.  Same signature/shape contract as
+    decode_image so swapping in a real codec changes no Spark code."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    reps = -(-need // max(len(buf), 1))
+    return np.tile(buf, reps)[:need].reshape(height, width)
+
+
+def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-asset feature vector: normalized byte histogram + moment stats.
+
+    The feature-extraction slot of the pipeline (mean-pool of pixels /
+    mel-spectrogram summary would plug in here).  mapInPandas: one Python
+    crossing, whole-batch numpy, fixed-width output schema.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("byte_mean", T.DoubleType()),
+            T.StructField("byte_std", T.DoubleType()),
+        ]
+    )
+    width = 256 // bins
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            feats, means, stds = [], [], []
+            for payload in pb["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                h = np.bincount(b // width, minlength=bins)[:bins]
+                feats.append((h / max(len(b), 1)).astype(np.float64))
+                means.append(float(b.mean()) if len(b) else 0.0)
+                stds.append(float(b.std()) if len(b) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pb["asset_id"],
+                    "features": feats,
+                    "byte_mean": means,
+                    "byte_std": stds,
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_byte_stats",
+    f"""
+    SELECT doc_id AS asset_id,
+           ['image','audio','video'][(doc_id % 3) + 1] AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(CEIL(octet_length(encode(text)) * 1.0 / {FRAME_BYTES}) AS INT)
+             AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata + content hash per binary asset — all JVM expressions
+    over the BINARY column (md5/length work on bytes directly)."""
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return a.select(
+        "asset_id",
+        "modality",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT asset_id,
+           md5(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5,
+           octet_length(encode(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})))
+             AS frame_len
+    FROM assets,
+         unnest(range(0, CAST(CEIL(n * 1.0 / {FRAME_BYTES}) AS BIGINT), 4)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over binary payloads (keyframe-extraction
+    plumbing).  Oracle equivalence holds because the corpus is ASCII —
+    byte slicing == character slicing — which tests/test_multimodal.py
+    asserts as a precondition."""
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return frame_sample(a, every_k=4)
+
+
+@_register("multimodal_features")  # rows-only: numpy float aggregation in Python
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors via Arrow-batched mapInPandas (the
+    decode/feature-extract slot; codec itself stubbed — see decode_image).
+    Histogram values are unit-tested against pure numpy."""
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return byte_histogram_features(a, bins=16)

@@ -10,12 +10,12 @@ from __future__ import annotations
 
 
 def all_queries():
-    from dffoo_data_pipeline_spark import streaming
+    from dffoo_data_pipeline_spark import multimodal, streaming
     from dffoo_data_pipeline_spark.plans import abilities, events, flagship, llm_ops, relational
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, abilities, streaming):
+    for mod in (relational, flagship, events, llm_ops, abilities, streaming, multimodal):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

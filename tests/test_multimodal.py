@@ -1,0 +1,94 @@
+"""Multimodal plumbing tests: schemas, frame reassembly, feature math,
+decode-stub contract, and the ASCII precondition the frame-sample oracle
+relies on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.multimodal import (
+    byte_histogram_features,
+    decode_image,
+    documents_as_assets,
+    fake_decode,
+    frame_sample,
+)
+from dffoo_data_pipeline_spark.multimodal.assets import FRAME_BYTES
+from dffoo_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return documents_as_assets(load_table(spark, SF_SMOKE, "documents"))
+
+
+def test_asset_schema_and_ascii_precondition(spark, assets):
+    f = dict((x.name, x.dataType.simpleString()) for x in assets.schema.fields)
+    assert f["payload"] == "binary"
+    assert f["meta"].startswith("struct<n_bytes:")
+    # byte length == char length ⇒ corpus is ASCII ⇒ the DuckDB oracle's
+    # character slicing matches our byte slicing
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_bad = d.filter(F.length(F.encode("text", "UTF-8")) != F.length("text")).count()
+    assert n_bad == 0
+
+
+def test_frames_reassemble_payload(spark, assets):
+    # every_k=1: concatenated frames must equal the original payload
+    one = assets.limit(20)
+    frames_df = (
+        one.withColumn(
+            "frame",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.length("payload") / FRAME_BYTES).cast("int") - 1,
+                    ),
+                    lambda i: F.col("payload").substr(
+                        i * FRAME_BYTES + 1, F.lit(FRAME_BYTES)
+                    ),
+                )
+            ),
+        )
+        .groupBy("asset_id")
+        .agg(F.concat_ws("", F.collect_list(F.col("frame").cast("string"))).alias("re"))
+    )
+    orig = one.select("asset_id", F.col("payload").cast("string").alias("txt"))
+    joined = orig.join(frames_df, "asset_id")
+    assert joined.filter(F.col("re") != F.col("txt")).count() == 0
+
+
+def test_frame_sample_counts(spark, assets):
+    got = frame_sample(assets, every_k=4)
+    per_asset = got.groupBy("asset_id").count()
+    expect = assets.select(
+        "asset_id",
+        F.ceil(F.col("meta.n_frames") / 4).cast("long").alias("want"),
+    )
+    bad = per_asset.join(expect, "asset_id").filter(F.col("count") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_byte_histogram_matches_numpy(spark, assets):
+    rows = byte_histogram_features(assets.limit(10), bins=16).collect()
+    payloads = {r["asset_id"]: r["payload"] for r in assets.limit(10).collect()}
+    for r in rows:
+        b = np.frombuffer(bytes(payloads[r["asset_id"]]), dtype=np.uint8)
+        want = np.bincount(b // 16, minlength=16)[:16] / len(b)
+        assert np.allclose(r["features"], want)
+        assert abs(r["byte_mean"] - b.mean()) < 1e-9
+        assert abs(r["byte_std"] - b.std()) < 1e-9
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...", "image/png")
+    px = fake_decode(b"0123456789", width=4, height=3)
+    assert px.shape == (3, 4) and px.dtype == np.uint8
+    # deterministic: same input → same grid
+    assert (px == fake_decode(b"0123456789", width=4, height=3)).all()
