@@ -278,6 +278,34 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(e, id_col="vec_id", vec_col="embedding", k=5)
 
 
+_EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+      >= 0.35
+"""
+
+
+@_register("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35 — the synthetic
+    embeddings are near-orthogonal, max pairwise cosine ≈0.51, so a
+    realistic 0.95 would return nothing; semantics are identical at any
+    threshold).
+
+    Scale: broadcast-index matmul (see operators/similarity.py) — exact
+    pairs while the index fits executor memory; beyond that the LSH-bucketed
+    path (similarity_lsh_topk) generates candidates linearly and re-ranks
+    with the same exact kernel.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+
+
 @_register("similarity_lsh_topk")  # rows-only: random-hyperplane signs are seed/hash-specific
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH bucketing: candidates share a sign
