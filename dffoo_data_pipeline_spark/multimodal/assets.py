@@ -169,7 +169,11 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
                 }
             )
 
-    return df.select("asset_id", "payload").mapInPandas(gen, schema)
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(df.select("asset_id", "payload"), "asset_id").mapInPandas(
+        gen, schema
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,9 +64,14 @@ def _shingles_udf(n: int):
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) rows — distinct word n-grams per document.
 
-    Scale: no shuffle — shingling is per-row, Arrow-batched; the explode
-    multiplies rows ~tokens-per-doc× before the downstream hash shuffle.
+    Scale: shingling is per-row, Arrow-batched; the explode multiplies
+    rows ~tokens-per-doc× before the downstream hash shuffle.  The scan is
+    fanned out first so the UDF stage uses every core even when the input
+    is one small file (no-op on a properly-split 100 TB input).
     """
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    df = ensure_min_partitions(df, id_col)
     return df.select(
         F.col(id_col),
         F.explode(_shingles_udf(n)(F.col(text_col))).alias("shingle"),
@@ -201,7 +206,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signature bit = sign of the vote sum.  All column expressions — the
     64 votes are one grouped aggregation over the exploded token stream.
     """
-    toks = df.select(
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    toks = ensure_min_partitions(df, id_col).select(
         F.col(id_col),
         F.explode(TX.tokens(TX.normalized_text(F.col(text_col)))).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))

@@ -96,7 +96,9 @@ def cosine_topk_bruteforce(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, vec_col), id_col).mapInPandas(gen, schema)
 
 
 def cosine_neardup_pairs(
@@ -132,7 +134,9 @@ def cosine_neardup_pairs(
                 {"doc_a": q_ids[r], "doc_b": idx_ids[c], "cos_sim": Sr[r, c]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, vec_col), id_col).mapInPandas(gen, schema)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:

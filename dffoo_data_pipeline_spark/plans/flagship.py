@@ -57,7 +57,7 @@ FROM corrected WHERE cap_up_perc >= 60
 
 
 def flagship_pricing_under_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     # A3: when-ladder classification of each source line
     classified = li.select(
         "l_orderkey",

@@ -71,7 +71,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of input size.  Filter reaches the parquet scan
     (PushedFilters on l_shipdate).
     """
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True).where(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
     )
     disc_price = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))

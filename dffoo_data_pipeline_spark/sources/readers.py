@@ -19,7 +19,9 @@ from dffoo_data_pipeline_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
     Parquet scan — scale path: on a cluster this same call reads a
@@ -37,7 +39,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         # integer `div` (not `/`): ns values exceed double's 2^53 exactness
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if fan_out:
+        # single-row-group test files scan as ONE task, serializing the
+        # map-side work of everything above them.  Opt-in per query: a win
+        # when heavy compute (partial agg, wide projection, UDF) runs
+        # BEFORE the first natural shuffle; a loss when the plan's first
+        # operation is a hash exchange anyway (windows, joins) — there the
+        # extra round-robin exchange is pure overhead.  Conditional: a
+        # multi-split cluster input passes through untouched, and Catalyst
+        # pushes filters/pruning through the repartition.
+        df = ensure_min_partitions(df)
     return df
+
+
+def ensure_min_partitions(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to at least `min_parts` partitions.
+
+    Compute-heavy per-row stages (pandas UDFs, wide projections, explodes)
+    inherit the scan's partitioning; a small single-file table runs them on
+    one core.  Conditional repartition: on a real multi-split (100 TB)
+    input the scan already has >= cores partitions and this is a no-op —
+    the shuffle only happens when the input is too narrow for the cluster.
+    Hash-partitions on `cols` when given (deterministic placement),
+    round-robin otherwise.
+    """
+    min_parts = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(min_parts, *[F.col(c) for c in cols]) if cols else df.repartition(min_parts)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
