@@ -67,6 +67,24 @@ def quality_score(text) -> Column:
     return round_det((length_ok + wordshape_ok + (1 - F.least(noise, F.lit(1.0)))) / 3, 4)
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
+# RE2-compatible — no lookarounds — so the DuckDB oracle matches exactly):
+# runs of letters (with optional leading apostrophe for contractions),
+# runs of digits, or single non-space symbols.
+BPE_PATTERN = r"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text) -> Column:
+    """BPE-style pre-tokens → array<string>.  The subword merge step of a
+    real BPE vocab is a lookup on top of this split; token COUNTING for
+    data curation only needs the split."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def normalized_text(text) -> Column:
     """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

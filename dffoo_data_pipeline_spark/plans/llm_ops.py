@@ -154,6 +154,32 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           len(list_distinct(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             AS n_unique_bpe
+    FROM documents
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: GPT-2-style pre-tokenizer regex (letters /
+    digit-runs / single symbols) next to the whitespace count — the pair a
+    curation pipeline budgets context lengths with.  Pure JVM regex; the
+    pattern is RE2-compatible so DuckDB tokenizes identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        TX.token_count("text").alias("n_ws_tokens"),
+        F.size(F.array_distinct(TX.bpe_tokens("text"))).alias("n_unique_bpe"),
+    )
+
+
+@_register(
     "text_lang_signal",
     """
     SELECT lang, COUNT(*) AS n_docs,
