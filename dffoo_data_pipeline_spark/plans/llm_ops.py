@@ -208,6 +208,38 @@ def text_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_sentences_udtf",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, '. '), 1) AS INT) AS sent_no,
+           unnest(string_split(text, '. ')) AS sentence
+    FROM documents
+    """,
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → sentence rows via a Python UDTF (SURVEY.md §2j: the
+    reference's per-blob parse loop is UDTF-shaped — one blob in, N typed
+    rows out).  Lateral-joined in SQL; the split itself is trivial so the
+    point here is the table-function surface, not the tokenizer."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". "), 1):
+                yield (i, s)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_no, s.sentence
+        FROM __docs_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup: n-gram Jaccard (oracle-checked) + MinHash/SimHash (Spark-native)
 # ---------------------------------------------------------------------------

@@ -59,6 +59,25 @@ RAW_HIGH_ARMOR_CAPS = T.StructType(
     ]
 )
 
+# T4 followups_manual_entry — hand-curated CSV source (reference S8,
+# raw_sources.yml:97-171).  Raw shape: booleans arrive as 'T'/'F' strings
+# and the file is latin-1; stage_followups() converts at the staging
+# boundary (reference keeps them as text).
+FOLLOWUPS_MANUAL_ENTRY_RAW = T.StructType(
+    [
+        T.StructField("char_name", T.StringType(), False),
+        T.StructField("ability_name", T.StringType(), False),
+        T.StructField("main_target_hp_attacks", T.ShortType(), True),
+        T.StructField("non_target_hp_attacks", T.ShortType(), True),
+        T.StructField("hp_dmg_cap_up_perc", T.ShortType(), True),
+        T.StructField("timing", T.StringType(), True),  # during/after/before
+        T.StructField("triggers", T.StringType(), True),  # comma-joined list
+        T.StructField("default", T.StringType(), True),  # 'T'/'F'
+        T.StructField("during_bt", T.StringType(), True),  # 'T'/'F'
+        T.StructField("double_during_bt", T.StringType(), True),  # 'T'/'F'
+    ]
+)
+
 # T7 ability_html_lines — the parse layer's true input (SURVEY.md §1 item 7):
 # one prettified-HTML line per row, offset-addressable by line_no.
 ABILITY_HTML_LINES = T.StructType(

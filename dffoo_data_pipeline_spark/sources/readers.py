@@ -89,3 +89,24 @@ def read_manual_entry_csv(spark: SparkSession, path: str, schema) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def stage_followups(raw: DataFrame) -> DataFrame:
+    """Typed staging projection for the manual-entry followups table
+    (reference P2 pattern, stg_abilities.sql:5-14): 'T'/'F' strings become
+    real booleans, comma-joined `triggers` becomes a real array."""
+    from pyspark.sql import functions as F
+
+    tf = lambda c: (F.col(c) == "T").alias(c)  # noqa: E731
+    return raw.select(
+        "char_name",
+        "ability_name",
+        "main_target_hp_attacks",
+        "non_target_hp_attacks",
+        "hp_dmg_cap_up_perc",
+        "timing",
+        F.split("triggers", r",\s*").alias("triggers"),
+        tf("default"),
+        tf("during_bt"),
+        tf("double_during_bt"),
+    )

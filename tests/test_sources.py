@@ -1,0 +1,44 @@
+"""Source tests: the manual-entry CSV path (SURVEY.md §2a S8).
+
+The reference's real followups_manual_entry.csv is latin-1 with 'T'/'F'
+boolean flags and comma-joined list columns (raw_sources.yml:97-171,
+FIXTURES.md T4); this pins the tolerant read + typed staging boundary.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from dffoo_data_pipeline_spark.schemas import FOLLOWUPS_MANUAL_ENTRY_RAW
+from dffoo_data_pipeline_spark.sources.readers import (
+    read_manual_entry_csv,
+    stage_followups,
+)
+
+_CSV = (
+    "char_name,ability_name,main_target_hp_attacks,non_target_hp_attacks,"
+    "hp_dmg_cap_up_perc,timing,triggers,default,during_bt,double_during_bt\n"
+    "aerith,Planet Protection,1,0,10,during,\"damaging, effect\",T,F,T\n"
+    "exdeath,Almagest \xe0 Trois,2,2,0,after,all,F,T,F\n"
+)
+
+
+def test_manual_entry_latin1_read_and_staging(spark):
+    path = tempfile.mkdtemp(prefix="sg_manual_") + "/followups.csv"
+    with open(path, "w", encoding="latin-1") as f:
+        f.write(_CSV)
+
+    raw = read_manual_entry_csv(spark, path, FOLLOWUPS_MANUAL_ENTRY_RAW)
+    assert raw.count() == 2
+    # latin-1 byte survived the read
+    assert raw.filter(raw.ability_name.contains("à")).count() == 1
+
+    staged = stage_followups(raw)
+    types = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
+    assert types["default"] == "boolean"
+    assert types["triggers"] == "array<string>"
+    assert types["main_target_hp_attacks"] == "smallint"
+    rows = {r.char_name: r for r in staged.collect()}
+    assert rows["aerith"].triggers == ["damaging", "effect"]
+    assert rows["aerith"].default is True and rows["aerith"].during_bt is False
+    assert rows["exdeath"].double_during_bt is False
