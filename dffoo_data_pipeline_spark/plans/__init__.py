@@ -11,11 +11,18 @@ from __future__ import annotations
 
 def all_queries():
     from dffoo_data_pipeline_spark import multimodal, streaming
-    from dffoo_data_pipeline_spark.plans import abilities, events, flagship, llm_ops, relational
+    from dffoo_data_pipeline_spark.plans import (
+        abilities,
+        bt_ha,
+        events,
+        flagship,
+        llm_ops,
+        relational,
+    )
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, abilities, streaming, multimodal):
+    for mod in (relational, flagship, events, llm_ops, abilities, bt_ha, streaming, multimodal):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o
