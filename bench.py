@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_minhash_lsh",           # MinHash-LSH near-dup candidates
     "similarity_cosine_topk",      # brute-force ANN baseline
     "text_quality_score",          # text analysis battery
+    "text_bpe_token_stats",        # regex pre-tokenizer counting
+    "multimodal_frame_sample",     # binary frame sampling (JVM)
+    "multimodal_features",         # Arrow-batched byte features
+    "agg_salted_hot_keys",         # two-phase skew-safe aggregation
 ]
 
 

@@ -1,0 +1,62 @@
+"""Skew-safe aggregation (BASELINE north star: "salted aggregation for
+skew"; no analog in the reference, which aggregates in Python loops).
+
+AQE's skew-join splitting (enabled in session.py) handles skewed JOINS at
+runtime; skewed AGGREGATION keys still funnel into one reducer when a
+single group dominates (think: dedup hash of an empty document over 100 TB
+— billions of rows, one key).  Two-phase salting bounds any single task's
+share of a hot key to 1/num_salts of its rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    num_salts: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) → partial, then
+    groupBy(keys) → final.
+
+    `aggs` maps output column name → (partial_agg_expr, final_agg_expr),
+    e.g. {"n": (F.count(F.lit(1)), F.sum("n")),
+          "total": (F.sum("value"), F.sum("total"))}.
+    Only algebraic aggregates decompose this way (sum/count/min/max; avg =
+    sum+count recombined by the caller).
+
+    The salt is a uniform random int per row: phase 1 spreads a hot key
+    over `num_salts` reducers; phase 2 reduces the (keys × salts) partials
+    — at most `num_salts` rows per key, trivially balanced.
+
+    Note Spark's built-in hash aggregate already does map-side partial
+    combine, which absorbs MOST skew; explicit salting is the tool for the
+    residue: high-cardinality-payload aggs (collect_list/count distinct
+    shuffles every row) or sort-based fallback paths.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=7) * num_salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )
+
+
+def skew_safe_count_distinct(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT value) per key.
+
+    A naive `groupBy(key).agg(countDistinct(value))` shuffles every raw
+    row of a hot key to one reducer.  Two-phase instead: dedup on
+    (key, value) — the shuffle key INCLUDES the value, so a hot key's rows
+    spread uniformly — then count per key, where map-side partial combine
+    means the second shuffle carries one row per (partition, key).
+    """
+    pairs = df.select(*keys, value_col).dropDuplicates([*keys, value_col])
+    return pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias(f"n_distinct_{value_col}")
+    )

@@ -1,0 +1,92 @@
+"""The composed batch job — reference entry point E1 as a Spark job graph.
+
+`python web_scraper.py config.yml` (reference web_scraper.py:1116-1291)
+runs: per-character scrape+parse of three tables → per-character
+checkpoint CSVs → JP second pass for reworked/unreleased characters →
+union → run-timestamp stamping → final CSVs + one Postgres append
+transaction.  Here the same graph is four declarative stages over the
+html-lines IR:
+
+  parse (abilities ∥ bt ∥ ha)  →  GL/JP union routing (U2/U3)  →
+  run-stamp (P4)  →  checkpoint sink (S5) + run-stamped append (S7)
+
+Scale: each parse is one shuffle; the three tables are independent
+(scheduler runs them concurrently); sinks are partitioned writes — a
+re-run of any character slice overwrites only its partitions, and
+downstream latest-run reads prune to one run_id partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.plans import bt_ha
+from dffoo_data_pipeline_spark.plans.abilities import (
+    _fixture_lines_df,
+    ability_pipeline,
+)
+from dffoo_data_pipeline_spark.sources import writers
+
+
+def build_outputs(
+    spark: SparkSession, jp_chars: tuple[str, ...] = ("sherlotta",)
+) -> dict[str, DataFrame]:
+    """The three raw output tables from their line-IR inputs.
+
+    `jp_chars` models the reference's second pass (web_scraper.py:
+    1187-1244): the union-distinct of reworked + not-in-GL characters is
+    re-scraped under game_version='JP' and unioned in (U2/U3).
+    """
+    from dffoo_data_pipeline_spark.fixtures import GOLDEN_FIXTURES, ability_line_rows
+    from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+
+    jp_fixtures = {c: GOLDEN_FIXTURES[c] for c in jp_chars if c in GOLDEN_FIXTURES}
+    jp_lines = spark.createDataFrame(
+        ability_line_rows(jp_fixtures, game_version="JP"), ABILITY_HTML_LINES
+    )
+    abilities = ability_pipeline(_fixture_lines_df(spark).unionByName(jp_lines))
+
+    bt = bt_ha.parse_bt_lines(
+        spark.createDataFrame(bt_ha.bt_line_rows(), bt_ha._LINES_SCHEMA)
+    )
+    ha = bt_ha.parse_ha_lines(
+        spark.createDataFrame(bt_ha.ha_line_rows(), bt_ha._LINES_SCHEMA)
+    )
+    return {"raw_abilities": abilities, "raw_bt_effects": bt, "raw_high_armor_caps": ha}
+
+
+def run_batch(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    jp_chars: tuple[str, ...] = ("sherlotta",),
+) -> dict[str, DataFrame]:
+    """Execute the full job: build, stamp, checkpoint, append.
+
+    Returns the stamped DataFrames (for inspection); durable state is
+    `{out_dir}/checkpoints/<table>` (latest content, partition-overwrite)
+    and `{out_dir}/runs/<table>` (full run history, partitioned by run_id).
+    """
+    started = F.current_timestamp()
+    outputs = build_outputs(spark, jp_chars)
+    stamped = {}
+    for name, df in outputs.items():
+        s = df.withColumn("scrape_started_at_utc", started).withColumn(
+            "scrape_ended_at_utc", F.current_timestamp()
+        )
+        writers.write_checkpointed(
+            s, f"{out_dir}/checkpoints/{name}", partition_cols=("char_name", "game_version")
+        )
+        writers.write_run_stamped(
+            s.drop("scrape_started_at_utc", "scrape_ended_at_utc"),
+            f"{out_dir}/runs/{name}",
+            run_id,
+        )
+        stamped[name] = s
+    return stamped
+
+
+def latest(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    """Latest-run view of one output table (partition-pruned read)."""
+    return writers.read_latest_run(spark, f"{out_dir}/runs/{name}")

@@ -857,3 +857,57 @@ def array_functions_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@_register(
+    "agg_salted_hot_keys",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a genuinely skewed key —
+    l_returnflag has 3 values over the whole fact table, the worst case
+    for a one-reducer-per-key shuffle (operators/skew.py:salted_agg).
+
+    Scale: phase 1 shuffles (key × 32 salts) partials, phase 2 reduces at
+    most 32 rows per key; no single reducer ever sees more than 1/32 of a
+    hot key."""
+    from dffoo_data_pipeline_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows").cast("long")),
+            "total_qty": (
+                F.sum(F.col("l_quantity").cast("long")),
+                F.sum("total_qty").cast("long"),
+            ),
+            "max_qty": (
+                F.max(F.col("l_quantity").cast("long")),
+                F.max("max_qty").cast("long"),
+            ),
+        },
+    )
+
+
+@_register(
+    "agg_skew_safe_count_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_skew_safe_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe count-distinct: dedup on (key, value) spreads hot keys
+    uniformly (shuffle key includes the value), then a partial-combined
+    count per key (operators/skew.py)."""
+    from dffoo_data_pipeline_spark.operators.skew import skew_safe_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_safe_count_distinct(li, keys=["l_returnflag"], value_col="l_partkey")
