@@ -911,3 +911,67 @@ def agg_skew_safe_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_safe_count_distinct(li, keys=["l_returnflag"], value_col="l_partkey")
+
+
+@_register(
+    "subquery_small_qty_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    """,
+)
+def subquery_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    threshold).  Written as the subquery so Catalyst's decorrelation
+    rewrites it to an aggregate + join; no hand-decorrelation.
+
+    Scale: the rewrite shuffles lineitem once on l_partkey for the
+    per-part averages and joins back on the same key — partitioning
+    reused, no per-row subquery execution anywhere.
+    """
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+                 AS avg_yearly
+        FROM lineitem l
+        WHERE l_quantity < (
+            SELECT 0.2 * AVG(i.l_quantity) FROM lineitem i
+            WHERE i.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@_register(
+    "subquery_exists_open_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def subquery_exists_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated predicates — Catalyst plans them as
+    left-semi and left-anti hash joins on o_custkey (one shuffle each,
+    or broadcast when the filtered orders side is small)."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )

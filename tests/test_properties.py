@@ -1,0 +1,120 @@
+"""Property-style checks (SURVEY.md §5 item 4) — invariants of the parse
+branch ladder and dedup/text operators that hold for ANY generated input,
+not just the golden fixtures.  The reference has nothing like this
+(README.md:75); for us it's cheap insurance against ladder-order bugs.
+
+One Spark job per property (a single composed fixture DataFrame), with
+hypothesis driving the fixture composition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dffoo_data_pipeline_spark import fixtures as FX
+from dffoo_data_pipeline_spark.plans.abilities import parse_ability_lines
+from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# block generators with their expected (main, non) contribution
+_BLOCKS = {
+    "main1": (lambda: FX.main1(), lambda n: (1, 0)),
+    "mainN": (lambda n=3: FX.mainN(n), lambda n: (n, 0)),
+    "groupN": (lambda n=4: FX.groupN(n), lambda n: (n, n)),  # AOE: both sides
+    "group1": (lambda: FX.group1(), lambda n: (1, 1)),
+    "non_x": (lambda n=2: FX.non_x(n), lambda n: (0, n)),
+    "non1": (lambda: FX.non1(), lambda n: (0, 1)),
+    "decoy": (lambda: FX.decoy_skipped_hit(), lambda n: (0, 0)),
+}
+
+
+def _parse_one(spark, blocks: list[list[str]]):
+    rows = []
+    lines = ["<div>h</div>", FX.PAD]
+    for b in blocks:
+        lines.extend(b)
+    lines.extend([FX.PAD, FX.PAD])
+    for no, line in enumerate(lines):
+        rows.append(("prop", "TestAbility", 1, "GL", no, line))
+    df = spark.createDataFrame(rows, ABILITY_HTML_LINES)
+    out = parse_ability_lines(df).collect()
+    assert len(out) == 1
+    return out[0]
+
+
+@given(
+    seq=st.lists(
+        st.tuples(
+            st.sampled_from(sorted(_BLOCKS)), st.integers(min_value=1, max_value=9)
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    cap=st.integers(min_value=0, max_value=400),
+)
+@_settings
+def test_ladder_additivity_and_caps(spark, seq, cap):
+    """Hit blocks contribute additively regardless of order/composition;
+    cap blocks sum independently of hit parsing; decoys contribute 0."""
+    blocks, want_main, want_non = [], 0, 0
+    for kind, n in seq:
+        gen, contrib = _BLOCKS[kind]
+        blocks.append(gen(n) if kind in ("mainN", "groupN", "non_x") else gen())
+        m, nn = contrib(n)
+        want_main += m
+        want_non += nn
+    blocks.append(FX.cap_block(cap))
+    r = _parse_one(spark, blocks)
+    assert (r.main_target_hp_attacks, r.non_target_hp_attacks) == (
+        want_main,
+        want_non,
+    ), seq
+    assert r.hp_dmg_cap_up_perc == cap
+
+
+@given(
+    pre=st.lists(
+        st.sampled_from(["main1", "mainN", "groupN"]), min_size=1, max_size=3
+    ),
+    post_non=st.integers(min_value=0, max_value=4),
+    except_last=st.booleans(),
+)
+@_settings
+def test_copy_assignment_overrides_prior_non(spark, pre, post_non, except_last):
+    """The copy-ST-to-AOE marker ASSIGNS non := running main count
+    (minus one for 'except last'), discarding earlier non-target adds but
+    keeping later ones — the reference's order-dependent `=` vs `+=`
+    (web_scraper.py:484-486)."""
+    makers = {
+        "main1": (FX.main1, 1),
+        "mainN": (lambda: FX.mainN(3), 3),
+        "groupN": (lambda: FX.groupN(3), 3),
+    }
+    blocks, run_main = [], 0
+    for kind in pre:
+        gen, m = makers[kind]
+        blocks.append(gen())
+        run_main += m
+    blocks.append(FX.non1())  # overwritten by the copy marker
+    blocks.append(FX.copy_st_except_last() if except_last else FX.copy_st())
+    for _ in range(post_non):
+        blocks.append(FX.non1())  # kept: arrives after the copy
+    r = _parse_one(spark, blocks)
+    want_non = run_main - (1 if except_last else 0) + post_non
+    assert r.non_target_hp_attacks == want_non
+    assert r.main_target_hp_attacks == run_main
+
+
+@pytest.mark.parametrize("n", [2, 5, 9])
+def test_aoe_implies_main_equals_non(spark, n):
+    """Pure-AOE abilities always end with main == non (every Group hit
+    adds to both counters, web_scraper.py:449-457)."""
+    r = _parse_one(spark, [FX.groupN(n), FX.group1()])
+    assert r.main_target_hp_attacks == r.non_target_hp_attacks == n + 1
