@@ -90,7 +90,10 @@ def ngram_jaccard_pairs(
     (drop shingles appearing in >X% of docs) would bound worst-case skew
     at corpus scale; unnecessary at test scale but the hook is here.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
+    # the shingle subtree feeds THREE consumers (both self-join sides +
+    # sizes); without persist Spark re-runs the Arrow shingler per consumer
+    # — three Python passes over the corpus at scale
+    sh = _shingle_rows(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

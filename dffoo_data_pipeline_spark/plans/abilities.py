@@ -196,6 +196,11 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
         )
     )
 
+    # two-step projection: the when-ladder struct is generated ONCE and the
+    # aoe flag reads its field — inlining `branch` twice doubles the
+    # generated code and trips janino's 64 KB method limit (whole-stage
+    # codegen would silently fall back to interpreted rows);
+    # CollapseProject keeps the split because the ladder isn't cheap-to-dup
     scored = df.select(
         *KEYS,
         "ability_id",
@@ -203,7 +208,15 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
         cap_contrib.alias("cap_contrib"),
         F.when(is_hit, branch).alias("b"),
         is_hit.alias("is_hit"),
-        (is_hit & (ctx_aoe | F.when(is_hit, branch).getField("la"))).alias("aoe"),
+        ctx_aoe.alias("ctx_aoe"),
+    ).select(
+        *KEYS,
+        "ability_id",
+        "line_no",
+        "cap_contrib",
+        "b",
+        "is_hit",
+        (F.col("is_hit") & (F.col("ctx_aoe") | F.col("b.la"))).alias("aoe"),
     ).select(
         *KEYS,
         "ability_id",
