@@ -975,3 +975,87 @@ def subquery_exists_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         """
     )
+
+
+@_register(
+    "window_range_frame_trailing_hour",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_hour_value
+    FROM events
+    """,
+)
+def window_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame (§2e gap): per-user trailing-1-hour value sum —
+    a VALUE-based frame over event time (peers with equal timestamps are
+    all included, unlike rowsBetween).
+
+    Scale: one shuffle on user_id; the range frame is a sliding scan per
+    key, state bounded by the hour horizon."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(N.dec2("value")).over(w).cast("double").alias("trailing_hour_value"),
+    )
+
+
+@_register(
+    "agg_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide): order counts per priority × status.  The value
+    list is EXPLICIT — with an inferred list Spark first runs a distinct
+    scan AND the output schema becomes data-dependent, both wrong at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@_register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): two single-column
+    slices plus the grand total in ONE pass over the fact (Spark expands
+    to an Expand node — one scan, one shuffle, not three queries)."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

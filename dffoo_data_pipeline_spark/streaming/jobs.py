@@ -178,6 +178,31 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+def stream_to_run_stamped(source: DataFrame, path: str) -> None:
+    """Streaming writer feeding a run-stamped append table — the streaming
+    form of the reference's append-mode load (web_scraper.py:1286-1291):
+    each micro-batch becomes one `run_id` partition via foreachBatch, so
+    `read_latest_run` prunes to the newest batch and the history is the
+    full replayable load log.
+
+    Scale: foreachBatch reuses the batch writer (idempotent per batch id
+    on retry because the partition is overwritten by run, not appended
+    twice blindly — Spark re-runs a failed batch with the same batch_id).
+    """
+    from dffoo_data_pipeline_spark.sources.writers import write_run_stamped
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_run_stamped(batch_df, path, run_id=f"b{batch_id:06d}")
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 _USER_TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

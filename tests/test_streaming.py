@@ -26,6 +26,7 @@ def chunked_events_dir(spark):
     """events.parquet split into 4 files so availableNow runs 4 batches."""
     d = tempfile.mkdtemp(prefix="sg_chunked_events_")
     # keep raw long-nanos ts shape identical to the testdata file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     raw.repartition(4).write.mode("overwrite").parquet(d)
     return d
@@ -117,3 +118,91 @@ def test_session_window_matches_gap_sessionization(spark):
         F.col("session_value"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_foreachbatch_run_stamped_sink(spark, chunked_events_dir):
+    import tempfile as _tf
+
+    from dffoo_data_pipeline_spark.sources import writers
+
+    out = _tf.mkdtemp(prefix="sg_stream_sink_") + "/t"
+    src = (
+        spark.readStream.schema(jobs._EVENTS_RAW)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)  # 4 files -> 2 micro-batches
+        .load(chunked_events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    jobs.stream_to_run_stamped(src, out)
+
+    hist = spark.read.parquet(out)
+    runs = sorted(r.run_id for r in hist.select("run_id").distinct().collect())
+    assert len(runs) == 2, runs
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert hist.count() == total  # every event loaded exactly once
+    latest = writers.read_latest_run(spark, out)
+    assert latest.select("run_id").distinct().count() == 1
+
+
+def test_late_data_beyond_watermark_dropped(spark):
+    """Watermark semantics: an event arriving a batch later, with event
+    time far below the watermark, must not resurrect its closed window."""
+    import tempfile as _tf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _tf.mkdtemp(prefix="sg_late_")
+    base_ns = 10_000_000_000_000
+
+    def write_file(path, rows):
+        # plain single files: the stream source lists files, not dirs
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.int64()),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3], pa.string()),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5], pa.string()),
+                }
+            ),
+            path,
+        )
+
+    # batch 0: one event in the base window, one 2 h later (advances the
+    # watermark past the base window); batch 1: filler on-time event (the
+    # watermark used for FILTERING lags one batch — documented Spark
+    # behavior: it comes from the previous completed batch); batch 2: the
+    # late event, same window as event #1, far below the active watermark
+    write_file(f"{d}/f0.parquet", [(1, base_ns, 1, "c", 1.0, "{}"),
+                                   (2, base_ns + 7_200 * 10**9, 1, "c", 1.0, "{}")])
+    write_file(f"{d}/f1.parquet", [(4, base_ns + 7_300 * 10**9, 1, "c", 1.0, "{}")])
+    write_file(f"{d}/f2.parquet", [(3, base_ns + 1, 1, "c", 1.0, "{}")])
+    import os as _os
+
+    # distinct mtimes: the file source orders batches by modification time
+    for i in range(3):
+        _os.utime(f"{d}/f{i}.parquet", (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    src = (
+        spark.readStream.schema(jobs._EVENTS_RAW)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counts = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    got = jobs.run_stream_to_table(counts, "update")
+    # the late event's window (the earliest one) must never re-emit n=2 —
+    # it was closed by the watermark before the late row arrived
+    per_window_max = {r.window_start: r.n for r in
+                      got.groupBy("window_start").agg(F.max("n").alias("n")).collect()}
+    assert per_window_max[min(per_window_max)] == 1
