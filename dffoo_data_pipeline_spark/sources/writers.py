@@ -65,6 +65,24 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], num_buckets: int = 32
+) -> None:
+    """Bucketed managed table: pre-shuffles once at WRITE time so every
+    subsequent equi-join/aggregation on `bucket_cols` is co-located and
+    shuffle-free.  The 100 TB pattern for fact-fact joins read many times
+    (pay the shuffle once, not per query); `sortBy` within buckets also
+    removes the join's sort.
+
+    Requires saveAsTable (bucket metadata lives in the catalog)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
 def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict) -> None:
     """JDBC append sink (reference S7, to_sql(if_exists='append')).
 

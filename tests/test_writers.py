@@ -70,3 +70,45 @@ def test_csv_sink_round_trip(spark):
         "game_version",
         "cap",
     }
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located join via bucketing: joining two tables bucketed on the
+    same key must plan with NO Exchange (the write-time shuffle is reused)
+    and no per-query Sort (sortBy'd buckets)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        writers.write_bucketed(
+            load_table(spark, sf_dir, "orders"), "b_orders", ["o_orderkey"], 8
+        )
+        writers.write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            "b_lineitem",
+            ["l_orderkey"],
+            8,
+        )
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the unbucketed join
+        want = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
