@@ -304,6 +304,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(d, id_col="doc_id", text_col="text")
 
 
+@_register("dedup_simhash_pairs")  # rows-only: engine-specific hash functions
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: banded candidate join (pigeonhole-complete
+    for hamming ≤ 3 over 4×16-bit bands) + exact popcount verification —
+    the full candidate→verify loop, linear-shuffle candidate generation."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
