@@ -42,6 +42,8 @@ def _collect_index(df: DataFrame, id_col: str, vec_col: str):
     """Materialize the (bounded) index side as numpy: ids, matrix, norms."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
+    if len(pdf) == 0:
+        return ids, np.zeros((0, 1)), np.zeros(0)
     M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(M, axis=1)
     return ids, M, norms
@@ -169,7 +171,8 @@ def lsh_topk(
     the partitioned (IVF-style) path for corpora beyond executor memory.
     """
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        first = df.select(vec_col).head()
+        dim = len(first[0]) if first is not None else 1
     hp = _hyperplanes(dim, planes, seed)[:prefix_bits]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sig_bits = [
