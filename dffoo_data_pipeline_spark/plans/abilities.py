@@ -273,6 +273,33 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
     )
 
 
+def extract_attributes(lines_df: DataFrame) -> DataFrame:
+    """Attribute-list extraction (reference web_scraper.py:296-305, F8):
+    every `inline <Word>` icon class in an ability's lines except the
+    HP/BREAK attack icons becomes an attribute tag, first-seen order,
+    deduplicated.
+
+    Pure expressions: regexp_extract_all per line → posexplode-free
+    ordered dedup via (min line_no per tag) → sorted collect_list.
+    """
+    tags = lines_df.select(
+        *KEYS,
+        "line_no",
+        F.explode(
+            F.regexp_extract_all("line", F.lit(r"inline (\w+)"), 1)
+        ).alias("tag"),
+    ).where(~F.col("tag").isin("HP", "BREAK"))
+    firsts = tags.groupBy(*KEYS, "tag").agg(F.min("line_no").alias("first_at"))
+    return firsts.groupBy(*KEYS).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("first_at"), F.col("tag")))
+            ),
+            lambda s: s.getField("tag"),
+        ).alias("attribute_list")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corrections + row splits (J1/J2/J3/A6) and the full pipeline
 # ---------------------------------------------------------------------------
@@ -650,3 +677,63 @@ ORACLES["abilities_full_pipeline"] = (
     + ",\n"
     + _CORRECTIONS_SQL
 )
+
+
+# attribute-extraction fixture: abilities with mixed attribute icons
+ATTR_FIXTURE_ROWS = [
+    ("aerith", "Planet Protection", 1, "GL", 0, '<img class="inline Magic"> cast'),
+    ("aerith", "Planet Protection", 1, "GL", 1, '<img alt="HP Attack Icon" class="inline HP">'),
+    ("aerith", "Planet Protection", 1, "GL", 2, '<img class="inline Ranged"> then <img class="inline Magic">'),
+    ("astos", "Cremation", 2, "GL", 0, '<img class="inline Melee"> strike'),
+    ("astos", "Cremation", 2, "GL", 1, '<img class="inline BREAK">'),
+    ("astos", "Cremation", 2, "GL", 2, '<img class="inline FollowUp">'),
+    ("astos", "Cremation", 2, "GL", 3, 'plain text line'),
+]
+
+
+def abilities_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute extraction as a driver query (F8/P8: `inline (\\w+)` icon
+    classes, attack icons excluded, first-seen order), serialized for the
+    oracle hash."""
+    from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+
+    lines = spark.createDataFrame(ATTR_FIXTURE_ROWS, ABILITY_HTML_LINES)
+    return extract_attributes(lines).select(
+        "char_name",
+        "ability_name",
+        F.concat_ws("|", "attribute_list").alias("attributes"),
+        "game_version",
+    )
+
+
+def _attr_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n".join(
+        f"({q(c)},{q(a)},{i},{q(g)},{n},{q(l)})" for c, a, i, g, n, l in ATTR_FIXTURE_ROWS
+    )
+    return (
+        "WITH lines(char_name, ability_name, ability_id, game_version, line_no, line) AS (VALUES\n"
+        + vals
+        + r"""),
+tags AS (
+  SELECT char_name, ability_name, game_version, line_no,
+         unnest(regexp_extract_all(line, 'inline (\w+)', 1)) AS tag
+  FROM lines
+),
+firsts AS (
+  SELECT char_name, ability_name, game_version, tag, MIN(line_no) AS fa
+  FROM tags WHERE tag NOT IN ('HP', 'BREAK')
+  GROUP BY char_name, ability_name, game_version, tag
+)
+SELECT char_name, ability_name,
+       string_agg(tag, '|' ORDER BY fa) AS attributes,
+       game_version
+FROM firsts GROUP BY char_name, ability_name, game_version
+"""
+    )
+
+
+QUERIES["abilities_attributes"] = abilities_attributes
+ORACLES["abilities_attributes"] = _attr_oracle()

@@ -118,3 +118,35 @@ def test_seymour_synthetic_row(spark):
     assert cs["hp_dmg_cap_up_perc"] == 20
     assert cs["ability_id"] is None
     assert cs["attribute_list"] == ["Magic", "FollowUp"]
+
+
+def test_attribute_extraction_first_seen_order(spark):
+    """Reference attribute_list semantics (web_scraper.py:296-305): every
+    `inline <Word>` icon except the HP/BREAK attack icons, first-seen
+    order, deduplicated; flows into the pipeline via attrs_df."""
+    from dffoo_data_pipeline_spark.plans.abilities import (
+        ability_pipeline,
+        extract_attributes,
+    )
+    from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+
+    rows = []
+    lines = [
+        '<img class="inline Magic"> something',
+        '<img alt="HP Attack Icon" class="inline HP">',
+        "pad",
+        "HP Attack on the target",
+        '<img class="inline Ranged"> and <img class="inline Magic">',
+        '<img class="inline BREAK">',
+    ]
+    for no, line in enumerate(lines):
+        rows.append(("tester", "Spell", 9, "GL", no, line))
+    df = spark.createDataFrame(rows, ABILITY_HTML_LINES)
+
+    attrs = extract_attributes(df).collect()
+    assert len(attrs) == 1
+    assert attrs[0].attribute_list == ["Magic", "Ranged"]  # dedup, order kept
+
+    out = {r.ability_name: r for r in ability_pipeline(df, extract_attributes(df)).collect()}
+    assert out["Spell"].attribute_list == ["Magic", "Ranged"]
+    assert out["Spell"].main_target_hp_attacks == 1
