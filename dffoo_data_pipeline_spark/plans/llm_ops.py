@@ -284,6 +284,51 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.2)
 
 
+_SURVIVOR_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+dups AS (
+    SELECT DISTINCT i.doc_b AS doc_id
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= 0.6
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+@_register("dedup_near_dup_survivors", _SURVIVOR_ORACLE)
+def dedup_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup DECISION: a document is dropped when any
+    lower-id document is ≥0.6 Jaccard-similar; survivors keep the corpus.
+
+    Uses the exact shared-shingle pair path (deterministic → oracle-safe);
+    at corpus scale the same decision runs over MinHash-LSH candidates
+    (dedup_minhash_lsh) with exact verification confined to candidates —
+    identical plan shape, probabilistic recall.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(dups, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 @_register("dedup_minhash_lsh")  # rows-only: engine-specific hash functions
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 64 minhashes → 16 bands →
