@@ -329,6 +329,57 @@ def dedup_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(dups, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS isect
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b FROM inter i
+    JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= 0.6
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@_register("dedup_connected_clusters", _CLUSTERS_ORACLE)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE dedup clusters: connected components over the ≥0.6
+    Jaccard pair graph via iterative min-label propagation
+    (operators/graph.py) — A≈B≈C collapse into one cluster even when A,C
+    don't directly match.  The oracle walks the same graph with a
+    recursive CTE."""
+    from dffoo_data_pipeline_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    out = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @_register("dedup_minhash_lsh")  # rows-only: engine-specific hash functions
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 64 minhashes → 16 bands →

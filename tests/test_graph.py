@@ -1,0 +1,23 @@
+"""Connected-components transitivity (operators/graph.py)."""
+
+from __future__ import annotations
+
+from dffoo_data_pipeline_spark.operators.graph import connected_components
+
+
+def test_chain_and_isolated(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id bigint")
+    # chain 1-2-3-4 (diameter 3), pair 5-6, isolated 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src bigint, dst bigint"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_label_flows_against_edge_direction(spark):
+    # min id sits at the DST end: symmetrization must carry it back
+    nodes = spark.createDataFrame([(i,) for i in (10, 20, 1)], "id bigint")
+    edges = spark.createDataFrame([(10, 20), (20, 1)], "src bigint, dst bigint")
+    got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {10: 1, 20: 1, 1: 1}
