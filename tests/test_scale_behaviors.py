@@ -1,0 +1,48 @@
+"""Scale-behavior evidence: the session's AQE config actually splits
+skewed join partitions at runtime (the mechanism we rely on for hot-key
+joins at 100 TB, session.py skewJoin settings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    conf = spark.conf
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.coalescePartitions.enabled": conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        # one hot key carrying ~97% of rows + a uniform tail
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 30 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = left.join(right, "k")
+        # drive THIS DataFrame's QueryExecution so the adaptive final plan
+        # (with skew annotations) is the one we inspect — .write would
+        # execute a separate QueryExecution
+        j.foreach(lambda r: None)
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan" in final_plan
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
