@@ -178,6 +178,62 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the purchases the
+    same user makes within the next 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so Spark can size the state store: click state is evicted once no
+    future purchase can match it (watermark + 30 min).  Inner-join matches
+    emit as soon as both rows arrive — append mode, no end-of-window wait.
+    """
+    e = read_events_stream(spark, sf_dir)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1_000_000
+        ).cast("long").alias("secs_to_purchase"),
+    )
+    return run_stream_to_table(joined, "append")
+
+
 def stream_to_run_stamped(source: DataFrame, path: str) -> None:
     """Streaming writer feeding a run-stamped append table — the streaming
     form of the reference's append-mode load (web_scraper.py:1286-1291):
