@@ -1,0 +1,88 @@
+"""Sequence packing: fill fixed-size context windows with documents.
+
+Training pipelines batch documents into fixed token budgets (e.g. 8192
+tokens per sequence); packing efficiency directly buys training
+throughput.  Exact bin packing is NP-hard and inherently serial — the
+scalable formulation packs GREEDILY WITHIN EACH PARTITION (first-fit on
+a by-length-sorted partition), which is embarrassingly parallel and
+within a few percent of optimal for natural document-length
+distributions.
+
+Scale: one mapInPandas pass; no shuffle at all if the input partitioning
+is acceptable, or one repartition to spread documents first.  Bin ids are
+globally unique via (partition_id << 32) | local_bin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+) -> DataFrame:
+    """(id, n_tokens) → (id, n_tokens, bin_id, offset): first-fit-decreasing
+    packing per partition into bins of `budget` tokens.
+
+    Documents longer than `budget` get a dedicated bin each (truncation is
+    the caller's policy decision, not the packer's).
+    """
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        bins: list[int] = []  # remaining capacity per local bin
+        rows = []
+        for pb in batches:
+            rows.append(pb)
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        pdf = pdf.sort_values(len_col, ascending=False, kind="stable")
+        out_bin, out_off = [], []
+        for n in pdf[len_col].astype("int64"):
+            n = int(n)
+            placed = False
+            if n <= budget:
+                for i in range(len(bins)):  # first fit
+                    if bins[i] >= n:
+                        out_bin.append(i)
+                        out_off.append(budget - bins[i])
+                        bins[i] -= n
+                        placed = True
+                        break
+            if not placed:  # new bin (oversize docs get a dedicated one)
+                bins.append(max(budget - n, 0))
+                out_bin.append(len(bins) - 1)
+                out_off.append(0)
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "n_tokens": pdf[len_col].astype("int64").to_numpy(),
+                "bin_id": [(pid << 32) | b for b in out_bin],
+                "offset": out_off,
+            }
+        )
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, len_col), id_col).mapInPandas(
+        gen, schema
+    )

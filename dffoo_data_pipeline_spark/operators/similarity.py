@@ -141,6 +141,119 @@ def cosine_neardup_pairs(
     return ensure_min_partitions(df.select(id_col, vec_col), id_col).mapInPandas(gen, schema)
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 8,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Index build: k-means centroids trained on a BOUNDED sample (the only
+    driver materialization, `limit(sample_size)`), broadcast to executors.
+    Search: every vector is assigned to its `n_probe` nearest cells, the
+    corpus to its 1 nearest; exact cosine re-rank runs per cell via
+    applyInPandas.  Candidate cost ~ n_probe/n_cells of brute force;
+    recall rises with n_probe (measured in tests/test_similarity_ivf.py).
+
+    Scale: one shuffle on cell id; cells partition the corpus, so no
+    global index ever sits in one executor — the beyond-memory path, same
+    shape as FAISS IVF-Flat distributed over Spark.
+    """
+    pdf = df.select(vec_col).limit(sample_size).toPandas()
+    if len(pdf) == 0:
+        return df.sparkSession.createDataFrame([], _out_schema(df, id_col))
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(X))
+    C = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            m = X[assign == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bC = df.sparkSession.sparkContext.broadcast(C)
+
+    def assign_cells(probes: int):
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cm = bC.value
+            for pb in batches:
+                if len(pb) == 0:
+                    continue
+                Q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+                Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+                S = Qn @ Cm.T
+                order = np.argsort(-S, axis=1)[:, :probes]
+                out = pb.loc[pb.index.repeat(probes)].reset_index(drop=True)
+                out["cell"] = order.ravel()
+                out["is_probe"] = np.tile(
+                    np.arange(probes) > 0, len(pb)
+                )  # probe>0 rows are query-only
+                yield out
+
+        return gen
+
+    id_type = df.schema[id_col].dataType
+    vec_type = df.schema[vec_col].dataType
+    assigned_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(vec_col, vec_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("is_probe", T.BooleanType()),
+        ]
+    )
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    base = ensure_min_partitions(df.select(id_col, vec_col), id_col)
+    assigned = base.mapInPandas(assign_cells(n_probe), assigned_schema)
+
+    out_schema = _out_schema(df, id_col)
+
+    def rank_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # queries: every row (incl. probe copies); index: primary rows only
+        idx = pdf[~pdf["is_probe"]]
+        if len(idx) == 0 or len(pdf) < 2:
+            return pd.DataFrame({c.name: [] for c in out_schema})
+        ids_q = pdf[id_col].to_numpy()
+        ids_i = idx[id_col].to_numpy()
+        Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        M = np.stack(idx[vec_col].to_numpy()).astype(np.float64)
+        S = (Q @ M.T) / np.outer(
+            np.linalg.norm(Q, axis=1), np.linalg.norm(M, axis=1)
+        )
+        S[ids_q[:, None] == ids_i[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for r in range(S.shape[0]):
+            cand = part[r][np.isfinite(S[r, part[r]])]
+            order = np.lexsort((ids_i[cand], -S[r, cand]))
+            sel = cand[order]
+            out_q.extend([ids_q[r]] * len(sel))
+            out_n.extend(ids_i[sel])
+            out_s.extend(np.round(S[r, sel], 6))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    per_cell = assigned.groupBy("cell").applyInPandas(rank_cell, out_schema)
+    # merge probe-cell candidates: global top-k per query
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        per_cell.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed → stable buckets)."""
     rng = np.random.RandomState(seed)

@@ -469,6 +469,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("text_sequence_packing")  # rows-only: bin layout is partition-dependent
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents first-fit-decreasing packed into
+    512-token bins per partition (operators/packing.py) — the
+    training-throughput operator; invariants tested in tests/test_packing.py."""
+    from dffoo_data_pipeline_spark.functions import text as TX
+    from dffoo_data_pipeline_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512)
+
+
+@_register("similarity_ivf_topk")  # rows-only: k-means cells are seed-specific
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: spherical-kmeans cells trained on a bounded sample,
+    corpus partitioned by nearest cell, exact re-rank within probed cells
+    (n_probe=2).  The FAISS-IVF shape distributed over Spark — recall vs
+    brute force measured in tests/test_similarity_ivf.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e, id_col="vec_id", vec_col="embedding", k=5, n_cells=16, n_probe=2
+    )
+
+
 @_register("similarity_lsh_topk")  # rows-only: random-hyperplane signs are seed/hash-specific
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH bucketing: candidates share a sign

@@ -1126,3 +1126,40 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@_register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT CAST(ROUND(
+             100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                          ELSE 0 END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-revenue ratio over a broadcast dim
+    join (part broadcasts; lineitem filtered at the scan; single-row out)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            (F.lit(100.00) * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))))
+            / F.sum(rev),
+            4,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
