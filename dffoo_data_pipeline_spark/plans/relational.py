@@ -1163,3 +1163,90 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_revenue_pct")
     )
+
+
+@_register(
+    "window_distribution_analytics",
+    """
+    SELECT o_orderkey, o_custkey,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2e gap): ntile / percent_rank /
+    cume_dist over a unique total order (price + key tiebreak, so ranks
+    are deterministic across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(median(l_quantity) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+           CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE) AS p95_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB's quantile_cont).  Scale note: exact percentile shuffles the
+    values per group; at 100 TB use approx_percentile (t-digest sketch,
+    mergeable map-side) unless exactness is contractual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").cast("double").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).cast("double").alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.95)).cast("double").alias("p95_qty"),
+    )
+
+
+@_register(
+    "text_edit_distance_pairs",
+    """
+    WITH short_docs AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE length(text) <= 80
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+    FROM short_docs a JOIN short_docs b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 20
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-match pairs over short documents (fuzzy-dedup
+    building block; F1 scalar-function family).
+
+    Scale: edit distance is O(len²) per pair and the join is quadratic —
+    only ever run it on a BLOCKED candidate set (here: short docs; in
+    production: within LSH/SimHash buckets), never the raw corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.where(F.length("text") <= 80).select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
