@@ -83,6 +83,58 @@ def write_bucketed(
     )
 
 
+def upsert_by_key(
+    spark: SparkSession, updates: DataFrame, path: str, key_cols: list[str]
+) -> None:
+    """MERGE-style upsert onto a parquet table: existing rows with matching
+    keys are replaced, new keys appended (the operation the reference's
+    append-only load couldn't do, reference README.md:71).
+
+    Plain-parquet implementation: anti-join the current table against the
+    update keys, union the updates, rewrite.  At scale this is what table
+    formats (Delta/Iceberg) optimize with file-level pruning; the logical
+    plan — anti-join + union — is identical there, so swapping the sink
+    for a MERGE INTO is a one-line change.
+    """
+    import tempfile
+
+    try:
+        current = spark.read.parquet(path)
+    except Exception:
+        updates.write.mode("overwrite").parquet(path)
+        return
+    kept = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    merged = kept.unionByName(updates)
+    # write to a staging dir then swap: never read and overwrite the same
+    # files in one job (Spark would delete inputs mid-scan)
+    staging = tempfile.mkdtemp(prefix="sg_upsert_") + "/t"
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+
+
+def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files.  Streaming sinks and per-batch
+    appends fragment tables; scan cost at 100 TB is dominated by file
+    count once files drop below ~100 MB.  Returns the new file count.
+    """
+    import math
+    import os
+    import tempfile
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    staging = tempfile.mkdtemp(prefix="sg_compact_") + "/t"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    return n
+
+
 def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict) -> None:
     """JDBC append sink (reference S7, to_sql(if_exists='append')).
 

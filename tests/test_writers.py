@@ -112,3 +112,41 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_upsert_by_key(spark):
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sg_upsert_t_") + "/t"
+    base = _chars_df(
+        spark, [("aerith", "GL", 10), ("auron", "GL", 20), ("paine", "GL", 30)]
+    )
+    writers.upsert_by_key(spark, base, path, ["char_name", "game_version"])
+    # replace auron, insert seymour
+    upd = _chars_df(spark, [("auron", "GL", 99), ("seymour", "GL", 40)])
+    writers.upsert_by_key(spark, upd, path, ["char_name", "game_version"])
+
+    got = {
+        (r.char_name, r.game_version): r.cap for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("aerith", "GL"): 10,
+        ("auron", "GL"): 99,
+        ("paine", "GL"): 30,
+        ("seymour", "GL"): 40,
+    }
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sg_compact_t_") + "/t"
+    # fragment: 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    n = writers.compact(spark, path)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n == 1
+    assert spark.read.parquet(path).count() == 10_000
