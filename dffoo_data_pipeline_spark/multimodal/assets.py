@@ -230,6 +230,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(a, every_k=4)
 
 
+@_register(
+    "multimodal_modality_zscore",
+    """
+    SELECT asset_id, modality,
+           ROUND((n_bytes - avg_b) / NULLIF(std_b, 0), 4) AS size_zscore
+    FROM (
+        SELECT doc_id AS asset_id,
+               ['image','audio','video'][(doc_id % 3) + 1] AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               AVG(octet_length(encode(text)))
+                 OVER (PARTITION BY ['image','audio','video'][(doc_id % 3) + 1]) AS avg_b,
+               STDDEV_SAMP(octet_length(encode(text)))
+                 OVER (PARTITION BY ['image','audio','video'][(doc_id % 3) + 1]) AS std_b
+        FROM documents)
+    """,
+)
+def multimodal_modality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality standardization of asset sizes (grouped z-score via an
+    unordered window — the normalize-within-modality step every multimodal
+    curation pipeline runs before outlier filtering)."""
+    from pyspark.sql import Window
+
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("modality")
+    nb = F.col("meta.n_bytes")
+    z = (nb - F.avg(nb).over(w)) / F.nullif(F.stddev_samp(nb).over(w), F.lit(0))
+    return a.select(
+        "asset_id", "modality", F.round(z, 4).alias("size_zscore")
+    )
+
+
 @_register("multimodal_features")  # rows-only: numpy float aggregation in Python
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature vectors via Arrow-batched mapInPandas (the

@@ -234,6 +234,31 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(joined, "append")
 
 
+@_register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication: dropDuplicatesWithinWatermark on
+    event_id — exactly-once semantics over an at-least-once transport
+    (the Kafka reality).  State holds only ids within the watermark
+    horizon, not the full stream history; counts per type prove the
+    dedup'd stream equals DISTINCT on the batch table.
+    """
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    return run_stream_to_table(deduped, "complete")
+
+
 def stream_to_run_stamped(source: DataFrame, path: str) -> None:
     """Streaming writer feeding a run-stamped append table — the streaming
     form of the reference's append-mode load (web_scraper.py:1286-1291):
