@@ -1250,3 +1250,88 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    SELECT s.s_name, p.p_partkey, CAST(ps_cost AS DOUBLE) AS min_cost
+    FROM (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey) c
+    JOIN part p ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    WHERE c.ps_cost = (
+        SELECT MIN(CAST(i.l_extendedprice AS DECIMAL(12,2)))
+        FROM lineitem i WHERE i.l_partkey = c.l_partkey)
+      AND p.p_size <= 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-per-group correlated subquery selecting the
+    cheapest supplier per part (decorrelated by Catalyst to agg + join).
+
+    Scale: one shuffle on partkey for the per-part min; dims broadcast.
+    """
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "part", "supplier"))
+    return spark.sql(
+        """
+        SELECT s.s_name, p.p_partkey, CAST(c.ps_cost AS DOUBLE) AS min_cost
+        FROM (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey) c
+        JOIN part p ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        WHERE c.ps_cost = (
+            SELECT MIN(CAST(i.l_extendedprice AS DECIMAL(12,2)))
+            FROM lineitem i WHERE i.l_partkey = c.l_partkey)
+          AND p.p_size <= 10
+        """
+    )
+
+
+@_register(
+    "q10_returned_item_reporting",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-revenue top customers: filtered fact,
+    broadcast dims, stable top-k (unique tiebreak on custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = N.money_sum(N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount")))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
