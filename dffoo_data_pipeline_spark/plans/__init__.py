@@ -16,13 +16,14 @@ def all_queries():
         bt_ha,
         events,
         flagship,
+        job,
         llm_ops,
         relational,
     )
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, abilities, bt_ha, streaming, multimodal):
+    for mod in (relational, flagship, events, llm_ops, abilities, bt_ha, job, streaming, multimodal):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

@@ -90,3 +90,19 @@ def run_batch(
 def latest(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     """Latest-run view of one output table (partition-pruned read)."""
     return writers.read_latest_run(spark, f"{out_dir}/runs/{name}")
+
+
+def pipeline_latest_abilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed E1 batch job as a driver query (rows-only: the job
+    WRITES — checkpoints + run-stamped appends — then reads back the
+    partition-pruned latest-run view; not expressible as one SQL query).
+    Output: the latest run's abilities table, GL + JP-second-pass rows."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sg_jobq_")
+    run_batch(spark, out, run_id="r001")
+    return latest(spark, out, "raw_abilities").drop("run_id")
+
+
+QUERIES = {"pipeline_latest_abilities": pipeline_latest_abilities}
+ORACLES: dict = {}

@@ -1335,3 +1335,33 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@_register(
+    "scalar_map_functions",
+    """
+    SELECT o_custkey,
+           to_json(map_from_entries(list_sort(
+               list(DISTINCT {'key': o_orderstatus, 'value': o_orderpriority})))) AS status_map,
+           CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
+    FROM (SELECT o_custkey, o_orderstatus, MIN(o_orderpriority) AS o_orderpriority
+          FROM orders GROUP BY o_custkey, o_orderstatus)
+    GROUP BY o_custkey
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions (§2h gap): build a status→min-priority map per
+    customer, serialized via to_json with sorted keys so both engines
+    produce byte-identical text."""
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.min("o_orderpriority").alias("o_orderpriority")
+    )
+    entries = F.sort_array(
+        F.collect_set(F.struct(F.col("o_orderstatus").alias("key"),
+                               F.col("o_orderpriority").alias("value")))
+    )
+    return per_status.groupBy("o_custkey").agg(
+        F.to_json(F.map_from_entries(entries)).alias("status_map"),
+        F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+    )
