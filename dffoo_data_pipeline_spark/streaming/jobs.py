@@ -234,6 +234,121 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(joined, "append")
 
 
+# Custom stateful sessionizer state: a VERSION counter plus parallel
+# arrays describing the user's current sessions (start/end µs, count,
+# value cents).  Arrays (not one row per session) because GroupState holds
+# exactly one state tuple per key.
+_SESSIONIZER_STATE = (
+    "version LONG, starts ARRAY<LONG>, ends ARRAY<LONG>, "
+    "counts ARRAY<LONG>, cents ARRAY<LONG>"
+)
+_SESSIONIZER_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+
+def _sessionizer_fn(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Order-tolerant incremental sessionization by interval merge.
+
+    Each event enters as a [ts, ts] mini-session; any two sessions closer
+    than the gap merge (summing counters).  Merging is associative and
+    commutative, so the result is IDENTICAL for any arrival order across
+    micro-batches — the property plain last-event-append sessionizers
+    lack.  Every batch re-emits the user's full session list stamped with
+    a bumped version; readers keep the max-version emission per user.
+    """
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    if state.exists:
+        version, starts, ends, counts, cents = state.get
+        sess = sorted(zip(starts, ends, counts, cents))
+    else:
+        version, sess = 0, []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        cts = (pdf["value"] * 100).round().astype("int64").to_numpy()
+        for t, c in zip(us, cts):
+            sess.append((int(t), int(t), 1, int(c)))
+    sess.sort()
+    merged: list[list[int]] = []
+    for s, e, n, c in sess:
+        if merged and s - merged[-1][1] <= gap_us:
+            m = merged[-1]
+            m[1] = max(m[1], e)
+            m[2] += n
+            m[3] += c
+        else:
+            merged.append([s, e, n, c])
+    version += 1
+    state.update(
+        (
+            version,
+            [m[0] for m in merged],
+            [m[1] for m in merged],
+            [m[2] for m in merged],
+            [m[3] for m in merged],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(merged),
+            "version": [version] * len(merged),
+            "session_start": [pd.Timestamp(m[0], unit="us") for m in merged],
+            "n_events": [m[2] for m in merged],
+            "session_value": [m[3] / 100.0 for m in merged],
+        }
+    )
+
+
+@_register(
+    "streaming_custom_sessionizer",
+    # converges to exactly the batch gap-sessionization result
+    "WITH base AS (" + _SESSION_SQL + ")\n"
+    "SELECT user_id, session_start, n_events, session_value FROM base",
+)
+def streaming_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState — the
+    hand-rolled counterpart of F.session_window (streaming_session_window)
+    with one extra property: out-of-order arrival across micro-batches
+    yields byte-identical sessions (interval merge is order-free).
+
+    Scale: state per user = its session intervals (bounded by activity,
+    evictable below the watermark); emissions are update-mode versioned,
+    reconciled by max version — no global re-read of history.
+    """
+    e = read_events_stream(spark, sf_dir)
+    updates = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionizer_fn,
+            outputStructType=_SESSIONIZER_OUT,
+            stateStructType=_SESSIONIZER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = run_stream_to_table(updates, "update")
+    from pyspark.sql import Window
+
+    latest_v = F.max("version").over(Window.partitionBy("user_id"))
+    return (
+        emitted.withColumn("__mx", latest_v)
+        .where(F.col("version") == F.col("__mx"))
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
 @_register(
     "streaming_dedup_events",
     """

@@ -206,3 +206,38 @@ def test_late_data_beyond_watermark_dropped(spark):
     per_window_max = {r.window_start: r.n for r in
                       got.groupBy("window_start").agg(F.max("n").alias("n")).collect()}
     assert per_window_max[min(per_window_max)] == 1
+
+
+def test_custom_sessionizer_order_tolerant(spark, chunked_events_dir):
+    """The interval-merge sessionizer must produce byte-identical sessions
+    when events arrive out of time order across micro-batches (the
+    repartitioned chunks interleave every user's timeline)."""
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = (
+        _stream_raw(spark, chunked_events_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            jobs._sessionizer_fn,
+            outputStructType=jobs._SESSIONIZER_OUT,
+            stateStructType=jobs._SESSIONIZER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = jobs.run_stream_to_table(updates, "update")
+    mx = F.max("version").over(Window.partitionBy("user_id"))
+    got = (
+        emitted.withColumn("__mx", mx)
+        .where(F.col("version") == F.col("__mx"))
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+    from dffoo_data_pipeline_spark.plans.events import events_sessionization
+
+    want = events_sessionization(spark, SF_SMOKE).select(
+        "user_id", "session_start", "n_events", "session_value"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
