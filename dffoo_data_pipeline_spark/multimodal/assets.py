@@ -230,6 +230,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(a, every_k=4)
 
 
+def audio_rms_windows(df: DataFrame, window_samples: int = 256) -> DataFrame:
+    """Windowed RMS energy over fake-PCM payloads (bytes as centered uint8
+    samples) — the mel-spectrogram-summary slot for audio assets; same
+    mapInPandas batch shape a real DSP kernel would use."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("window_no", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            ids, wins, rmss = [], [], []
+            for aid, payload in zip(pb["asset_id"], pb["payload"]):
+                x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+                n_win = len(x) // window_samples
+                for w in range(n_win):
+                    seg = x[w * window_samples : (w + 1) * window_samples]
+                    ids.append(aid)
+                    wins.append(w)
+                    rmss.append(float(np.sqrt(np.mean(seg * seg))))
+            yield pd.DataFrame({"asset_id": ids, "window_no": wins, "rms": rmss})
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(df.select("asset_id", "payload"), "asset_id").mapInPandas(
+        gen, schema
+    )
+
+
+@_register("multimodal_audio_rms")  # rows-only: numpy DSP in Python
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over the audio-modality assets (256-sample windows);
+    values unit-tested against pure numpy in tests/test_multimodal.py."""
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return audio_rms_windows(a.where(F.col("modality") == "audio"))
+
+
 @_register(
     "multimodal_modality_zscore",
     """

@@ -91,6 +91,36 @@ def read_manual_entry_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def read_csv_with_rejects(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read that ROUTES malformed rows instead of dropping
+    them: returns (clean_rows, reject_rows).  At 100 TB a few malformed
+    lines per billion are a certainty; silently nulling them (plain
+    PERMISSIVE) or failing the job (FAILFAST) are both wrong — the
+    dead-letter split keeps the pipeline total AND auditable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # required: corrupt-record column is only reliable on a
+        # materialized frame (Spark docs; otherwise pushdown can
+        # drop the raw-record capture)
+    )
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, rejects
+
+
 def stage_followups(raw: DataFrame) -> DataFrame:
     """Typed staging projection for the manual-entry followups table
     (reference P2 pattern, stg_abilities.sql:5-14): 'T'/'F' strings become

@@ -92,3 +92,16 @@ def test_decode_stub_contract():
     assert px.shape == (3, 4) and px.dtype == np.uint8
     # deterministic: same input → same grid
     assert (px == fake_decode(b"0123456789", width=4, height=3)).all()
+
+
+def test_audio_rms_matches_numpy(spark, assets):
+    from dffoo_data_pipeline_spark.multimodal.assets import audio_rms_windows
+
+    sample = assets.limit(5)
+    rows = audio_rms_windows(sample, window_samples=64).collect()
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in sample.collect()}
+    assert rows, "expected at least one window"
+    for r in rows[:50]:
+        x = np.frombuffer(payloads[r.asset_id], dtype=np.uint8).astype(float) - 128.0
+        seg = x[r.window_no * 64 : (r.window_no + 1) * 64]
+        assert abs(r.rms - float(np.sqrt(np.mean(seg * seg)))) < 1e-9

@@ -45,3 +45,33 @@ def test_packing_invariants(spark):
         .collect()[0][0]
     )
     assert eff is None or eff >= 0.7 * BUDGET, eff
+
+
+def test_packing_properties_random_lengths(spark):
+    """Property-style: random length distributions keep the invariants."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(lens=st.lists(st.integers(min_value=1, max_value=700),
+                         min_size=1, max_size=200))
+    def check(lens):
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+        )
+        packed = pack_sequences(df, "doc_id", "n_tokens", budget=BUDGET)
+        rows = packed.collect()
+        assert len(rows) == len(lens)
+        fills: dict = {}
+        for r in rows:
+            fills.setdefault(r.bin_id, []).append(r)
+        for rs in fills.values():
+            if len(rs) > 1:
+                assert sum(r.n_tokens for r in rs) <= BUDGET
+                # offsets tile without overlap
+                spans = sorted((r.offset, r.offset + r.n_tokens) for r in rs)
+                for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                    assert e1 <= s2
+
+    check()

@@ -42,3 +42,23 @@ def test_manual_entry_latin1_read_and_staging(spark):
     assert rows["aerith"].triggers == ["damaging", "effect"]
     assert rows["aerith"].default is True and rows["aerith"].during_bt is False
     assert rows["exdeath"].double_during_bt is False
+
+
+def test_corrupt_records_routed_not_dropped(spark):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dffoo_data_pipeline_spark.sources.readers import read_csv_with_rejects
+
+    path = tempfile.mkdtemp(prefix="sg_rejects_") + "/rows.csv"
+    with open(path, "w") as f:
+        f.write("doc_id,n\n1,10\n2,not_a_number_and,too,many,cols\n3,30\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("n", T.LongType())]
+    )
+    clean, rejects = read_csv_with_rejects(spark, path, schema)
+    assert {(r.doc_id, r.n) for r in clean.collect()} == {(1, 10), (3, 30)}
+    rej = rejects.collect()
+    assert len(rej) == 1 and "not_a_number_and" in rej[0]._corrupt_record
