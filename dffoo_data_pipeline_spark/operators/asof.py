@@ -1,0 +1,85 @@
+"""General as-of join (task-named custom operator; Spark has no native
+ASOF JOIN — DuckDB/Pandas/kdb do).
+
+Semantics: for every left row, attach the single right row with the
+largest right-time <= left-time (direction='backward'; 'forward' is the
+mirror), matching within `by` keys, optionally within a tolerance.
+
+Implementation — the union-window formulation, NOT a range self-join:
+tag both sides, union, sort each `by` partition by (time, side) and carry
+the last-seen right payload forward with last(ignorenulls) over a
+running frame.  One shuffle on `by`, one sort, zero row explosion —
+the classic range-join formulation explodes to |L|x|R| candidate pairs
+per key before aggregation, this stays |L|+|R|.
+
+Scale: partition key is `by` (user/symbol — high cardinality); state per
+row is one carried struct.  Skewed keys (one symbol = half the stream)
+fall back to AQE-handled sort; tolerance filtering is a plain column op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row + the nearest preceding (backward)
+    or following (forward) right row's `value_cols` within `by` groups.
+
+    Right columns come back as `<col><suffix>` plus `<on><suffix>` (the
+    matched right time); unmatched left rows keep nulls.
+    """
+    assert direction in ("backward", "forward")
+    payload = F.struct(F.col(on).alias("__rt"), *[F.col(c) for c in value_cols])
+    # union with a typed payload column: right rows carry it, left rows
+    # carry null of the same struct type
+    r_min = right.select(*by, F.col(on), payload.alias("__p")).withColumn(
+        "__side", F.lit(0)
+    )
+    l_min = left.withColumn(
+        "__p", F.lit(None).cast(r_min.schema["__p"].dataType)
+    ).withColumn("__side", F.lit(1))
+    u = l_min.select(*left.columns, "__p", "__side").unionByName(
+        r_min.select(
+            *[
+                F.col(c) if c in (*by, on) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+            ],
+            "__p",
+            "__side",
+        )
+    )
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.asc(on), F.asc("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.desc(on), F.asc("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1).drop("__p", "__side")
+
+    if tolerance_us is not None:
+        dt = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("__m.__rt")))
+        out = out.withColumn("__m", F.when(dt <= tolerance_us, F.col("__m")))
+
+    out = out.withColumn(f"{on}{suffix}", F.col("__m.__rt"))
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__m.{c}"))
+    return out.drop("__m")

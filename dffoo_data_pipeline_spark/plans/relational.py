@@ -1365,3 +1365,29 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.map_from_entries(entries)).alias("status_map"),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
     )
+
+
+@_register(
+    "join_asof_generic",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           v.ts AS ts_right, CAST(v.value AS DOUBLE) AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def join_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join operator (operators/asof.py): every click joined
+    to the same user's latest preceding view — checked against DuckDB's
+    native ASOF JOIN.  Union-window formulation: |L|+|R| rows, one
+    shuffle on user_id, no pair explosion."""
+    from dffoo_data_pipeline_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        clicks, views, on="ts", by=["user_id"], value_cols=["value"],
+        direction="backward",
+    )
