@@ -264,6 +264,74 @@ def audio_rms_windows(df: DataFrame, window_samples: int = 256) -> DataFrame:
     )
 
 
+@_register("multimodal_image_pixel_stats")  # rows-only: decode+numpy in Python
+def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → pixel-stat extraction for image-modality assets: the
+    payload runs through the codec slot (fake_decode — swap in a real
+    codec, nothing else changes) and per-image stats come off the pixel
+    grid.  End-to-end exercise of the decode contract."""
+    a = documents_as_assets(load_table(spark, sf_dir, "documents")).where(
+        F.col("modality") == "image"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("px_mean", T.DoubleType()),
+            T.StructField("px_std", T.DoubleType()),
+            T.StructField("row0_mean", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            ids, means, stds, r0 = [], [], [], []
+            for aid, payload, meta in zip(pb["asset_id"], pb["payload"], pb["meta"]):
+                px = fake_decode(bytes(payload), int(meta["width"]), int(meta["height"]))
+                ids.append(aid)
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+                r0.append(float(px[0].mean()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "px_mean": means, "px_std": stds, "row0_mean": r0}
+            )
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(
+        a.select("asset_id", "payload", "meta"), "asset_id"
+    ).mapInPandas(gen, schema)
+
+
+@_register(
+    "multimodal_arrow_byte_len",
+    """
+    SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_arrow_byte_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow variant of the byte-length scan (§2j: the zero-copy
+    Arrow RecordBatch API — no pandas conversion at all; the fastest
+    Python crossing for columnar byte work)."""
+    import pyarrow as pa
+
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column("asset_id")
+            lens = pa.compute.binary_length(rb.column("payload"))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.compute.cast(lens, pa.int64())], ["asset_id", "n_bytes"]
+            )
+
+    return a.select("asset_id", "payload").mapInArrow(
+        gen, "asset_id long, n_bytes long"
+    )
+
+
 @_register("multimodal_audio_rms")  # rows-only: numpy DSP in Python
 def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed RMS over the audio-modality assets (256-sample windows);

@@ -68,22 +68,37 @@ def run_batch(
     `{out_dir}/checkpoints/<table>` (latest content, partition-overwrite)
     and `{out_dir}/runs/<table>` (full run history, partitioned by run_id).
     """
+    from pyspark.sql import Observation
+
     started = F.current_timestamp()
     outputs = build_outputs(spark, jp_chars)
     stamped = {}
+    metrics: dict[str, dict] = {}
     for name, df in outputs.items():
         s = df.withColumn("scrape_started_at_utc", started).withColumn(
             "scrape_ended_at_utc", F.current_timestamp()
         )
+        # data-quality counters ride the write job (df.observe: zero extra
+        # passes — the reference logged counts from a separate loop)
+        obs = Observation(f"dq_{name}")
+        s = s.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            # DISTINCT aggs are disallowed in observed metrics; the HLL
+            # sketch is the observable cardinality counter
+            F.approx_count_distinct("char_name").alias("n_chars"),
+        )
         writers.write_checkpointed(
             s, f"{out_dir}/checkpoints/{name}", partition_cols=("char_name", "game_version")
         )
+        metrics[name] = obs.get
         writers.write_run_stamped(
             s.drop("scrape_started_at_utc", "scrape_ended_at_utc"),
             f"{out_dir}/runs/{name}",
             run_id,
         )
         stamped[name] = s
+    stamped["__metrics__"] = metrics
     return stamped
 
 

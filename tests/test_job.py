@@ -19,7 +19,15 @@ def test_full_batch_job_twice(spark):
     out = tempfile.mkdtemp(prefix="sg_job_")
 
     first = job.run_batch(spark, out, run_id="r001")
-    assert set(first) == {"raw_abilities", "raw_bt_effects", "raw_high_armor_caps"}
+    assert set(first) == {
+        "raw_abilities",
+        "raw_bt_effects",
+        "raw_high_armor_caps",
+        "__metrics__",
+    }
+    # observed data-quality counters rode the write job (no extra pass)
+    m = first["__metrics__"]["raw_abilities"]
+    assert m["n_rows"] > 0 and m["n_chars"] >= 7
 
     ab = spark.read.parquet(f"{out}/checkpoints/raw_abilities")
     # JP second pass: sherlotta rows exist in both versions, others GL-only

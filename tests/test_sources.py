@@ -62,3 +62,21 @@ def test_corrupt_records_routed_not_dropped(spark):
     assert {(r.doc_id, r.n) for r in clean.collect()} == {(1, 10), (3, 30)}
     rej = rejects.collect()
     assert len(rej) == 1 and "not_a_number_and" in rej[0]._corrupt_record
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """Schema evolution: files written before/after a column addition read
+    as one table with mergeSchema; old rows surface NULL for the new
+    column (the live-table reality at 100 TB — writers upgrade gradually)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sg_evolve_") + "/t"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(f"{d}/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{d}/p=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(d)
+    assert set(merged.columns) == {"id", "name", "score", "p"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
