@@ -1391,3 +1391,99 @@ def join_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, on="ts", by=["user_id"], value_cols=["value"],
         direction="backward",
     )
+
+
+@_register(
+    "q18_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over a grouped-HAVING subquery (planned as a
+    semi-join against the aggregated key set), then re-aggregation."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+@_register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-AND predicate blocks across both join
+    sides: Catalyst extracts the common conjuncts (l_quantity <= 30,
+    p_size <= 15 bounds) and pushes them below the join while the residual
+    disjunction evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | (F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | (F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            N.money_sum(
+                N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "scalar_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through VariantType (Spark 4): parse_json
+    once into a binary variant, then typed variant_get extraction — the
+    shredding-friendly path for JSON columns at scale (vs per-access
+    string re-parsing with get_json_object)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id", k.alias("k_value"), (k % 7).alias("k_mod")
+    )
