@@ -65,15 +65,16 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # two timed executions per query, keep the min: one cold pass absorbs
-    # JIT/codegen compilation, the min is the steady-state engine number
-    # (the metric that scales to a long-lived cluster)
+    # three timed executions per query, keep the min: the first pass
+    # absorbs JIT/codegen compilation and the min filters out co-tenant
+    # CPU noise — the steady-state engine number is what scales to a
+    # long-lived cluster
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         df = fn(spark, sf_dir)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

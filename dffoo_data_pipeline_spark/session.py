@@ -24,11 +24,18 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
-    """Build (or fetch) the configured SparkSession."""
+    """Build (or fetch) the configured SparkSession.
+
+    Deploy target comes from SPARK_GRAFT_MASTER (default: local[$CPUS]).
+    Pointing it at a yarn/k8s/standalone master is the ONLY change needed
+    to run every query on a real cluster — plans are already shaped for
+    multi-executor execution (broadcasts, partitioning, AQE).
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
