@@ -41,6 +41,7 @@ HEADLINE = [
     "multimodal_frame_sample",     # binary frame sampling (JVM)
     "multimodal_features",         # Arrow-batched byte features
     "agg_salted_hot_keys",         # two-phase skew-safe aggregation
+    "abilities_parse_scaled",      # flagship parse at ~1.4M lines
 ]
 
 

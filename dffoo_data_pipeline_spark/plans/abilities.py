@@ -737,3 +737,33 @@ FROM firsts GROUP BY char_name, ability_name, game_version
 
 QUERIES["abilities_attributes"] = abilities_attributes
 ORACLES["abilities_attributes"] = _attr_oracle()
+
+
+def abilities_parse_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse pipeline at volume: fixture lines replicated across
+    synthetic characters (scale follows the sf directory: sf0.1 → ~1.4M
+    lines / ~11k characters).  Rows-only — proves the window-offset parse
+    is one shuffle at ANY corpus size, not just the golden fixture.
+    """
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.001
+    copies = max(1, int(sf * 10_000))
+    lines = _fixture_lines_df(spark)
+    reps = spark.range(copies).select(F.col("id").alias("__rep"))
+    scaled = (
+        lines.crossJoin(reps)
+        .select(
+            F.concat_ws("_", "char_name", "__rep").alias("char_name"),
+            "ability_name",
+            "ability_id",
+            "game_version",
+            "line_no",
+            "line",
+        )
+    )
+    return parse_ability_lines(scaled).groupBy("game_version").agg(
+        F.count(F.lit(1)).alias("n_abilities"),
+        F.sum("main_target_hp_attacks").alias("total_main_hits"),
+    )
+
+
+QUERIES["abilities_parse_scaled"] = abilities_parse_scaled
