@@ -1487,3 +1487,118 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", k.alias("k_value"), (k % 7).alias("k_mod")
     )
+
+
+@_register(
+    "q13_customer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — left-outer join with an ON-clause filter (kept in
+    the join, NOT pushed to WHERE, or customers with only urgent orders
+    would vanish), COUNT over the nullable side, then a distribution
+    re-aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@_register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the synthetic lineitem has no
+    receiptdate, so "late" = shipped after the order date) — chained
+    correlated EXISTS (another supplier contributed to the order) and
+    NOT EXISTS (no OTHER supplier was also late, correlated to BOTH outer
+    tables): planned as a left-semi plus a left-anti join on l_orderkey."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("supplier", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate)
+        GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10
+        """
+    )
+
+
+@_register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntry, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT substring(c.c_name, 1, 9) AS cntry, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(CAST(i.c_acctbal AS DECIMAL(12,2)))
+                             FROM customer i WHERE i.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    GROUP BY cntry
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: name prefix stands in for the missing
+    phone country code) — uncorrelated scalar AVG subquery (computed once,
+    broadcast as a literal) + NOT EXISTS anti-join for customers with no
+    orders."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT cntry, COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        FROM (
+            SELECT substring(c.c_name, 1, 9) AS cntry, c.c_acctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT AVG(CAST(i.c_acctbal AS DECIMAL(12,2)))
+                                 FROM customer i WHERE i.c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        GROUP BY cntry
+        """
+    )
