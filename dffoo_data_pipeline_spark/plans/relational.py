@@ -1602,3 +1602,81 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY cntry
         """
     )
+
+
+@_register(
+    "q15_top_supplier_view",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — a named revenue VIEW queried twice (join side +
+    scalar MAX): the dbt-staging-layer pattern (reference E3) as Spark
+    temp views; Catalyst de-duplicates the shared subplan or recomputes
+    the cheap aggregate, either is one fact pass per use."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "supplier"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW q15_revenue AS
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN q15_revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM q15_revenue)
+        """
+    )
+
+
+@_register(
+    "q16_not_in_suppliers",
+    """
+    SELECT p.p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+    GROUP BY p.p_type
+    """,
+)
+def q16_not_in_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN subquery: Spark plans this as a
+    NULL-AWARE anti join (one null in the subquery empties the result,
+    unlike NOT EXISTS) — semantics DuckDB shares, so the oracle checks the
+    null-awareness too."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "part", "supplier"))
+    return spark.sql(
+        """
+        SELECT p.p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 4, 7)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        GROUP BY p.p_type
+        """
+    )
