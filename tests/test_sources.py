@@ -80,3 +80,34 @@ def test_parquet_schema_evolution_merge(spark):
     assert set(merged.columns) == {"id", "name", "score", "p"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_jsonl_and_orc_round_trips(spark):
+    """Format breadth beyond parquet/CSV: JSON-lines (the log-shipping
+    format) with explicit schema — never inferred — and ORC (the other
+    columnar) both round-trip through the same DataFrame surface."""
+    import tempfile
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").limit(200).cache()
+    d = tempfile.mkdtemp(prefix="sg_formats_")
+
+    # explicit 6-digit fractional format: JSON's default is millis and
+    # silently truncates microsecond timestamps
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    e.write.mode("overwrite").option("timestampFormat", ts_fmt).json(f"{d}/j")
+    back_j = spark.read.schema(e.schema).option("timestampFormat", ts_fmt).json(f"{d}/j")
+    assert back_j.count() == 200
+    assert [f.dataType for f in back_j.schema.fields] == [
+        f.dataType for f in e.schema.fields
+    ]
+
+    e.write.mode("overwrite").orc(f"{d}/o")
+    back_o = spark.read.orc(f"{d}/o")
+    assert back_o.count() == 200
+    # value fidelity: timestamps and doubles survive both formats
+    a = sorted(map(tuple, e.collect()))
+    assert sorted(map(tuple, back_j.collect())) == a
+    assert sorted(map(tuple, back_o.collect())) == a
