@@ -46,3 +46,26 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """The HLL sketch behind agg_approx_distinct (rows-only in the oracle
+    contract) stays within its configured relative error vs the exact
+    count — the property that makes it usable for 100 TB cardinalities."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.count_distinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        rel_err = abs(r.approx - r.exact) / r.exact
+        assert rel_err < 0.05, (r.l_returnflag, r.approx, r.exact)
