@@ -348,14 +348,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti_skip_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (reference P7: skip JP high-armor when the GL row
-    already exists, web_scraper.py:990-995 — 'skip what's already computed')."""
+    already exists, web_scraper.py:990-995 — 'skip what's already
+    computed'): customers with no urgent order yet (every customer has
+    SOME order in the synthetic data, so the anti set is the filtered
+    subset — non-vacuous)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -1577,7 +1584,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         WHERE c.c_acctbal > (SELECT AVG(CAST(i.c_acctbal AS DECIMAL(12,2)))
                              FROM customer i WHERE i.c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT'))
     GROUP BY cntry
     """,
 )
@@ -1598,7 +1606,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer c
             WHERE c.c_acctbal > (SELECT AVG(CAST(i.c_acctbal AS DECIMAL(12,2)))
                                  FROM customer i WHERE i.c_acctbal > 0)
-              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT'))
         GROUP BY cntry
         """
     )
@@ -1678,5 +1687,121 @@ def q16_not_in_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
         GROUP BY p.p_type
+        """
+    )
+
+
+@_register(
+    "q4_order_priority_check",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS with a cross-table predicate (lineitem
+    shipped after ITS order's date): left-semi join on orderkey carrying
+    the o_orderdate comparison into the join condition."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q7_nation_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name)
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — nation-pair trade volume by ship year: the nation
+    dim joined TWICE under different roles (supplier vs customer side),
+    both broadcast; year extraction groups the fact once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    vol = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(N.money_sum(vol).alias("revenue"))
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * l.l_quantity) AS value
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a scalar fraction of the GLOBAL
+    total: the per-part aggregate is computed once (CTE), the grand total
+    reduces it to one broadcast scalar."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "supplier", "nation"))
+    return spark.sql(
+        """
+        WITH pv AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * l.l_quantity) AS value
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY l.l_partkey)
+        SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+        FROM pv
+        WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
         """
     )
