@@ -1805,3 +1805,48 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
         """
     )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / SUM(volume), 6) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey)
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of total volume per order year:
+    conditional-sum / total-sum ratio inside one aggregation pass (no
+    second scan for the denominator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
+    base = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0))
+    ) / F.sum("volume")
+    return base.groupBy("o_year").agg(
+        F.round(share, 6).cast("double").alias("mkt_share")
+    )
