@@ -1,0 +1,44 @@
+"""Determinism guard for rows-only queries.
+
+Oracled queries prove determinism implicitly (they hash-match DuckDB);
+the rows-only ones (sketches, ANN, Python feature extractors, packing)
+could silently drift between executions — which would flake the driver's
+repeated runs.  Two executions must return identical sorted results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dffoo_data_pipeline_spark.plans import all_queries
+from tests.conftest import SF_SMOKE
+
+# rows-only queries cheap enough to run twice (streaming and the
+# disk-writing pipeline query are covered by their own tests)
+ROWS_ONLY = [
+    "agg_approx_distinct",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "multimodal_features",
+    "multimodal_audio_rms",
+    "multimodal_image_pixel_stats",
+    "text_sequence_packing",
+    "abilities_parse_scaled",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_two_runs_identical(spark, name):
+    q, o = all_queries()
+    assert name not in o, f"{name} is oracled - drop it from this list"
+    fn = q[name]
+
+    def run():
+        return sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+
+    a, b = run(), run()
+    assert a == b, f"{name} differs between executions"
+    assert a, f"{name} returned no rows"
