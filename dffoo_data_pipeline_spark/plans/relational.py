@@ -1850,3 +1850,38 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("o_year").agg(
         F.round(share, 6).cast("double").alias("mkt_share")
     )
+
+
+@_register(
+    "q20_dominant_supplier",
+    """
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+            FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+        WHERE ps.sq > (SELECT 0.5 * SUM(i.l_quantity) FROM lineitem i
+                       WHERE i.l_partkey = ps.l_partkey))
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted to the partsupp-less schema) — nested IN
+    whose inner filter is a CORRELATED scalar aggregate (supplier carries
+    more than half a part's total quantity): two decorrelated aggregations
+    over the same fact joined on partkey, then a semi-join to supplier."""
+    from dffoo_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("supplier", "lineitem"))
+    return spark.sql(
+        """
+        SELECT DISTINCT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT ps.l_suppkey FROM (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+                FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+            WHERE ps.sq > (SELECT 0.5 * SUM(i.l_quantity) FROM lineitem i
+                           WHERE i.l_partkey = ps.l_partkey))
+        """
+    )
