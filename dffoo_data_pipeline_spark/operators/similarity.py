@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Broadcast-index ceiling: ~1 GB of float64 at 64 dims.  Beyond this the
+# exact broadcast kernel is a driver/executor OOM at cluster scale, so the
+# routed entry points (`cosine_topk_auto` / `cosine_neardup_auto`) switch
+# to the LSH-bucketed path instead of collecting.
+DEFAULT_MAX_INDEX_ROWS = 2_000_000
+
+
+class IndexTooLargeError(ValueError):
+    """Raised when the exact broadcast-index path would materialize more
+    than `max_index_rows` vectors — the caller should use a partitioned
+    index (`lsh_topk` / `ivf_topk` / `lsh_neardup_pairs`) instead."""
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -38,9 +51,22 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def _collect_index(df: DataFrame, id_col: str, vec_col: str):
-    """Materialize the (bounded) index side as numpy: ids, matrix, norms."""
-    pdf = df.select(id_col, vec_col).toPandas()
+def _collect_index(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = DEFAULT_MAX_INDEX_ROWS
+):
+    """Materialize the index side as numpy: ids, matrix, norms.
+
+    The collect is hard-bounded: at most `max_rows + 1` rows ever leave the
+    executors (`limit` is pushed into the scan), and exceeding `max_rows`
+    raises `IndexTooLargeError` instead of OOMing the driver.
+    """
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise IndexTooLargeError(
+            f"exact cosine index needs > {max_rows} vectors; "
+            "use lsh_topk/ivf_topk/lsh_neardup_pairs (partitioned index) "
+            "or raise max_index_rows explicitly"
+        )
     ids = pdf[id_col].to_numpy()
     if len(pdf) == 0:
         return ids, np.zeros((0, 1)), np.zeros(0)
@@ -61,15 +87,21 @@ def _out_schema(df: DataFrame, id_col: str) -> T.StructType:
 
 
 def cosine_topk_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every vector.
 
     Returns (query_id, neighbor_id, cos_sim) ordered deterministically
     (sim DESC, neighbor_id ASC per query), cos_sim rounded to 6 decimals.
+    Raises `IndexTooLargeError` past `max_index_rows` — see
+    `cosine_topk_auto` for the self-routing entry point.
     """
     spark = df.sparkSession
-    ids, M, norms = _collect_index(df, id_col, vec_col)
+    ids, M, norms = _collect_index(df, id_col, vec_col, max_index_rows)
     b = spark.sparkContext.broadcast((ids, M, norms))
     schema = _out_schema(df, id_col)
 
@@ -104,12 +136,18 @@ def cosine_topk_bruteforce(
 
 
 def cosine_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup detection);
-    doc_a < doc_b.  Same broadcast-index matmul pattern as top-k."""
+    doc_a < doc_b.  Same broadcast-index matmul pattern as top-k.
+    Raises `IndexTooLargeError` past `max_index_rows` — see
+    `cosine_neardup_auto`."""
     spark = df.sparkSession
-    ids, M, norms = _collect_index(df, id_col, vec_col)
+    ids, M, norms = _collect_index(df, id_col, vec_col, max_index_rows)
     b = spark.sparkContext.broadcast((ids, M, norms))
     id_type = df.schema[id_col].dataType
     schema = T.StructType(
@@ -260,6 +298,40 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((planes, dim))
 
 
+def _lsh_bucketize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    prefix_bits: int,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, v, bucket) with bucket = first `prefix_bits` sign bits of the
+    random-hyperplane projections — pure JVM column expressions, one pass."""
+    if dim is None:
+        first = df.select(vec_col).head()
+        dim = len(first[0]) if first is not None else 1
+    hp = _hyperplanes(dim, planes, seed)[:prefix_bits]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig_bits = [
+        (
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(c) for c in hp[p]]), lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in range(prefix_bits)
+    ]
+    bucket = sum(
+        (bit * F.lit(1 << i) for i, bit in enumerate(sig_bits[1:], start=1)),
+        sig_bits[0],
+    )
+    return df.select(F.col(id_col), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -283,27 +355,7 @@ def lsh_topk(
     quadratic in bucket size only, and no index is broadcast — this is
     the partitioned (IVF-style) path for corpora beyond executor memory.
     """
-    if dim is None:
-        first = df.select(vec_col).head()
-        dim = len(first[0]) if first is not None else 1
-    hp = _hyperplanes(dim, planes, seed)[:prefix_bits]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig_bits = [
-        (
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(c) for c in hp[p]]), lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int")
-        for p in range(prefix_bits)
-    ]
-    bucket = sum(
-        (bit * F.lit(1 << i) for i, bit in enumerate(sig_bits[1:], start=1)),
-        sig_bits[0],
-    )
-    bucketed = df.select(F.col(id_col), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    bucketed = _lsh_bucketize(df, id_col, vec_col, planes, prefix_bits, dim, seed)
     id_type = df.schema[id_col].dataType
     schema = T.StructType(
         [
@@ -335,3 +387,95 @@ def lsh_topk(
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
 
     return bucketed.groupBy("bucket").applyInPandas(rank_bucket, schema)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    prefix_bits: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs (cosine ≥ threshold, doc_a < doc_b) via
+    LSH bucketing: candidate pairs share a sign-signature prefix, exact
+    cosine verify inside each bucket.  Random-hyperplane LSH concentrates
+    high-cosine pairs in equal buckets, so recall rises with threshold —
+    exactly the regime near-dup detection runs in.
+
+    Scale: one shuffle on the bucket key; within-bucket work quadratic in
+    bucket size only; nothing broadcast, nothing collected — the
+    beyond-memory fallback `cosine_neardup_auto` routes to."""
+    bucketed = _lsh_bucketize(df, id_col, vec_col, planes, prefix_bits, dim, seed)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", id_type),
+            T.StructField("doc_b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def pairs_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        keep = (S >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame({"doc_a": ids[r], "doc_b": ids[c], "cos_sim": S[r, c]})
+
+    # a pair can share several prefix buckets only when prefix hashes
+    # collide across seeds; with a single signature each pair appears in
+    # at most one bucket, but dropDuplicates keeps the contract explicit
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(pairs_bucket, schema)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def cosine_topk_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
+    planes: int = 16,
+    prefix_bits: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k while the corpus fits the broadcast-index
+    ceiling; beyond it, route to the LSH-bucketed partitioned index.
+
+    The size probe is the bounded `limit(cap+1)` collect inside
+    `_collect_index` — no unbounded `toPandas()` is reachable from here."""
+    try:
+        return cosine_topk_bruteforce(df, id_col, vec_col, k, max_index_rows)
+    except IndexTooLargeError:
+        return lsh_topk(
+            df, id_col, vec_col, k=k, planes=planes, prefix_bits=prefix_bits
+        )
+
+
+def cosine_neardup_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
+    planes: int = 16,
+    prefix_bits: int = 6,
+) -> DataFrame:
+    """Exact near-dup pairs under the broadcast ceiling; LSH-bucketed
+    candidate generation + exact verify beyond it."""
+    try:
+        return cosine_neardup_pairs(df, id_col, vec_col, threshold, max_index_rows)
+    except IndexTooLargeError:
+        return lsh_neardup_pairs(
+            df, id_col, vec_col, threshold=threshold, planes=planes, prefix_bits=prefix_bits
+        )

@@ -430,15 +430,14 @@ WHERE rn <= 5
 
 @_register("similarity_cosine_topk", _COSINE_TOPK_ORACLE)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors per vector (the exact baseline).
-
-    Scale: O(n²) — correct but not the 100 TB path; see
-    `similarity_lsh_topk` for the bucketed variant.  The pair generation
-    broadcasts the smaller side and computes the dot product with
-    JVM-side array expressions (no Python).
+    """Cosine top-5 neighbors per vector — exact while the corpus fits the
+    broadcast-index ceiling (DEFAULT_MAX_INDEX_ROWS, a bounded
+    `limit(cap+1)` probe, never an unbounded collect), automatically
+    routed to the LSH-bucketed partitioned index beyond it
+    (`operators/similarity.py:cosine_topk_auto`).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_bruteforce(e, id_col="vec_id", vec_col="embedding", k=5)
+    return similarity.cosine_topk_auto(e, id_col="vec_id", vec_col="embedding", k=5)
 
 
 _EMB_NEARDUP_ORACLE = """
@@ -458,13 +457,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     realistic 0.95 would return nothing; semantics are identical at any
     threshold).
 
-    Scale: broadcast-index matmul (see operators/similarity.py) — exact
-    pairs while the index fits executor memory; beyond that the LSH-bucketed
-    path (similarity_lsh_topk) generates candidates linearly and re-ranks
-    with the same exact kernel.
+    Scale: broadcast-index matmul while the index fits the explicit
+    ceiling; beyond it `cosine_neardup_auto` routes to
+    `lsh_neardup_pairs` (bucketed candidates + exact verify, nothing
+    collected or broadcast).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(
+    return similarity.cosine_neardup_auto(
         e, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
 
