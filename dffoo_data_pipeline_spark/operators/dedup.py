@@ -79,43 +79,68 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_frequency: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
-    |A∩B| via shingle self-equi-join + count; |A∪B| = |A|+|B|-|A∩B| from
-    per-doc sizes.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Posting-list plan: one pass shingles each doc (Arrow-batched UDF) and
+    takes |A| = array_size inline, one shuffle groups doc ids per shingle,
+    pairs are generated combinatorially inside each posting list, and one
+    more shuffle counts |A∩B| per pair; |A∪B| = |A|+|B|-|A∩B|.  Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    Scale: shuffle on shingle (high cardinality).  A stop-shingle filter
-    (drop shingles appearing in >X% of docs) would bound worst-case skew
-    at corpus scale; unnecessary at test scale but the hook is here.
+    The shingle subtree has exactly ONE consumer — no self-join, so no
+    persist (the former self-join needed a cached shingle relation that
+    leaked across invocations) and half the shuffle volume.
+
+    Stop-shingle guard: posting lists longer than `max_doc_frequency` are
+    degenerate boilerplate (a shingle shared by 1% of a 100 TB corpus
+    makes any pairing quadratic in that bucket) and are dropped BEFORE
+    pair generation, which also bounds per-task memory for the collected
+    list (≤ max_doc_frequency structs) and pair fan-out (≤ C(max_df, 2)).
+    Sizes are taken before the explode, so dropped stop shingles still
+    count toward |A| and |B| — the jaccard of surviving pairs only loses
+    the stop shingle from the intersection, the standard stop-filter
+    semantics.  Testdata max DF is 7 (sf0.01) / 25 (sf0.1), so the
+    default guard of 1000 leaves oracle results bit-identical.
     """
-    # the shingle subtree feeds THREE consumers (both self-join sides +
-    # sizes); without persist Spark re-runs the Arrow shingler per consumer
-    # — three Python passes over the corpus at scale
-    sh = _shingle_rows(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col(f"a.shingle") == F.col(f"b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("isect"))
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    base = ensure_min_partitions(df, id_col).select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("__sh")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    posts = base.select(
+        F.struct(F.col(id_col).alias("id"), F.size("__sh").alias("sz")).alias("d"),
+        F.explode("__sh").alias("shingle"),
+    )
+    lists = posts.groupBy("shingle").agg(F.array_sort(F.collect_list("d")).alias("ds"))
+    if max_doc_frequency is not None:
+        lists = lists.where(F.size("ds") <= max_doc_frequency)
+    # all (i < j) combinations within the sorted posting list — doc_a < doc_b for free
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = lists.where(F.size("ds") >= 2).select(F.explode(combos).alias("p"))
+    inter = pairs.groupBy(
+        F.col("p.a.id").alias("doc_a"),
+        F.col("p.b.id").alias("doc_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    ).agg(F.count(F.lit(1)).alias("isect"))
     jac = F.col("isect") / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return inter.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 

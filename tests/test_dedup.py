@@ -1,0 +1,110 @@
+"""Dedup operator unit tests: posting-list Jaccard vs a pure-Python
+oracle, the stop-shingle skew guard, MinHash-LSH pair quality, and the
+no-cached-RDD invariant (VERDICT r1 fixes #3/#6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dffoo_data_pipeline_spark.operators import dedup
+
+
+def _py_jaccard(texts: dict, n=3, threshold=0.2, stop_df=None):
+    """Reference implementation with the operator's exact semantics:
+    sizes include stop shingles; intersections exclude them."""
+    sh = {}
+    for d, t in texts.items():
+        w = t.lower().strip().split()
+        sh[d] = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    df_count: dict = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    live = {g for g, c in df_count.items() if stop_df is None or c <= stop_df}
+    out = {}
+    docs = sorted(sh)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            isect = len(sh[a] & sh[b] & live)
+            if isect == 0:
+                continue
+            jac = isect / (len(sh[a]) + len(sh[b]) - isect)
+            if jac >= threshold:
+                out[(a, b)] = round(jac, 4)
+    return out
+
+
+def _docs_df(spark, texts: dict):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
+    )
+
+
+TEXTS = {
+    1: "alpha beta gamma delta epsilon zeta",
+    2: "alpha beta gamma delta epsilon eta",  # near-dup of 1
+    3: "one two three four five six seven",
+    4: "one two three four five six eight",  # near-dup of 3
+    5: "totally unrelated words appear here instead",
+}
+
+
+def _collect_pairs(df):
+    return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+
+
+def test_jaccard_matches_python_oracle(spark):
+    got = _collect_pairs(
+        dedup.ngram_jaccard_pairs(_docs_df(spark, TEXTS), "doc_id", "text", threshold=0.2)
+    )
+    assert got == pytest.approx(_py_jaccard(TEXTS, threshold=0.2))
+    assert all(a < b for a, b in got)
+
+
+def test_stop_shingle_guard_drops_degenerate_pairs(spark):
+    # every doc shares the same boilerplate prefix; only 1-2 and 3-4 are
+    # genuinely similar beyond it
+    boiler = "click here to read more now"
+    texts = {k: f"{boiler} {v}" for k, v in TEXTS.items()}
+    df = _docs_df(spark, texts)
+
+    unguarded = _collect_pairs(
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.05, max_doc_frequency=None)
+    )
+    # boilerplate shingles connect EVERY pair without the guard
+    assert len(unguarded) == 10
+    guarded = _collect_pairs(
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.05, max_doc_frequency=4)
+    )
+    assert guarded == pytest.approx(_py_jaccard(texts, threshold=0.05, stop_df=4))
+    # genuine near-dups survive; boilerplate-only pairs are gone
+    assert {(1, 2), (3, 4)} <= set(guarded)
+    assert (1, 5) not in guarded
+
+
+def test_guard_at_testdata_scale_is_invisible(spark):
+    # default guard (1000) >> testdata max DF (7 at sf0.01) — identical output
+    df = _docs_df(spark, TEXTS)
+    a = _collect_pairs(dedup.ngram_jaccard_pairs(df, "doc_id", "text"))
+    b = _collect_pairs(dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_doc_frequency=None))
+    assert a == b
+
+
+def test_no_cached_rdds_left_behind(spark):
+    dedup.ngram_jaccard_pairs(_docs_df(spark, TEXTS), "doc_id", "text").count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_minhash_lsh_pair_quality(spark):
+    # high-jaccard pairs must surface as candidates; unrelated docs must not
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again today",
+        2: "the quick brown fox jumps over the lazy dog again and again tonight",
+        3: "completely different content with no overlap whatsoever in any window",
+    }
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(_docs_df(spark, texts), "doc_id", "text").collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
