@@ -317,7 +317,12 @@ def apply_corrections(parsed: DataFrame, attrs_df: DataFrame | None = None) -> D
     spark = parsed.sparkSession
     df = parsed
     if attrs_df is not None:
-        df = df.join(F.broadcast(attrs_df), KEYS, "left")
+        # abilities with zero attribute icons are absent from attrs_df;
+        # the reference gives every ability a real (possibly empty) list
+        df = df.join(F.broadcast(attrs_df), KEYS, "left").withColumn(
+            "attribute_list",
+            F.coalesce(F.col("attribute_list"), F.array().cast("array<string>")),
+        )
     else:
         df = df.withColumn("attribute_list", F.array().cast("array<string>"))
 
@@ -737,6 +742,82 @@ FROM firsts GROUP BY char_name, ability_name, game_version
 
 QUERIES["abilities_attributes"] = abilities_attributes
 ORACLES["abilities_attributes"] = _attr_oracle()
+
+
+def pystr_list(col) -> F.Column:
+    """Serialize array<string> exactly like Python's ``str(list)`` — the
+    reference's raw_abilities.csv attribute_list format (F9; reference
+    datasets/raw_abilities.csv:2 shows ``['Melee']``, empty lists ``[]``;
+    SURVEY.md:416-418).  ``['A', 'B']``: single quotes, comma-space."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.when(F.coalesce(F.size(col), F.lit(0)) == 0, F.lit("[]")).otherwise(
+        F.concat(F.lit("['"), F.concat_ws("', '", col), F.lit("']"))
+    )
+
+
+def abilities_attribute_list_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 parity view: attribute lists in the reference CSV's Python-str
+    form — multi-element ``['Magic', 'Ranged']``, empty ``[]`` for
+    abilities with no icons (left join + coalesce, same as the pipeline).
+    Round-tripping against actual reference CSV rows is covered in
+    tests/test_abilities_golden.py::test_pystr_serialization_matches_reference_csv.
+    """
+    from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+
+    rows = ATTR_FIXTURE_ROWS + [
+        ("yuna", "Esuna", 3, "GL", 0, "Removes all debuffs"),  # zero icons → []
+    ]
+    lines = spark.createDataFrame(rows, ABILITY_HTML_LINES)
+    base = lines.select("char_name", "ability_name", "game_version").distinct()
+    out = base.join(extract_attributes(lines), KEYS, "left")
+    return out.select(
+        "char_name",
+        "ability_name",
+        pystr_list(
+            F.coalesce(F.col("attribute_list"), F.array().cast("array<string>"))
+        ).alias("attribute_list"),
+        "game_version",
+    )
+
+
+def _attr_parity_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ATTR_FIXTURE_ROWS + [("yuna", "Esuna", 3, "GL", 0, "Removes all debuffs")]
+    vals = ",\n".join(
+        f"({q(c)},{q(a)},{i},{q(g)},{n},{q(l)})" for c, a, i, g, n, l in rows
+    )
+    return (
+        "WITH lines(char_name, ability_name, ability_id, game_version, line_no, line) AS (VALUES\n"
+        + vals
+        + r"""),
+tags AS (
+  SELECT char_name, ability_name, game_version, line_no,
+         unnest(regexp_extract_all(line, 'inline (\w+)', 1)) AS tag
+  FROM lines
+),
+firsts AS (
+  SELECT char_name, ability_name, game_version, tag, MIN(line_no) AS fa
+  FROM tags WHERE tag NOT IN ('HP', 'BREAK')
+  GROUP BY char_name, ability_name, game_version, tag
+),
+agged AS (
+  SELECT char_name, ability_name, game_version,
+         '[' || string_agg('''' || tag || '''', ', ' ORDER BY fa) || ']' AS attribute_list
+  FROM firsts GROUP BY char_name, ability_name, game_version
+)
+SELECT b.char_name, b.ability_name,
+       COALESCE(a.attribute_list, '[]') AS attribute_list,
+       b.game_version
+FROM (SELECT DISTINCT char_name, ability_name, game_version FROM lines) b
+LEFT JOIN agged a USING (char_name, ability_name, game_version)
+"""
+    )
+
+
+QUERIES["abilities_attribute_list_parity"] = abilities_attribute_list_parity
+ORACLES["abilities_attribute_list_parity"] = _attr_parity_oracle()
 
 
 def abilities_parse_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:

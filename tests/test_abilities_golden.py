@@ -120,6 +120,28 @@ def test_seymour_synthetic_row(spark):
     assert cs["attribute_list"] == ["Magic", "FollowUp"]
 
 
+def test_pystr_serialization_matches_reference_csv(spark):
+    """F9 parity: serializing the parsed attribute lists with pystr_list
+    must reproduce the reference's raw_abilities.csv strings exactly
+    (single-quote Python-str form, `[]` for empty) — checked by
+    round-tripping every distinct attribute_list value in the actual
+    reference CSV."""
+    import ast
+
+    from dffoo_data_pipeline_spark.plans.abilities import pystr_list
+
+    with open("/root/reference/datasets/raw_abilities.csv") as f:
+        csv_strings = sorted({r["attribute_list"] for r in csv.DictReader(f)})
+    assert "['Melee']" in csv_strings and "[]" in csv_strings
+    assert any(", " in s for s in csv_strings)  # multi-element form present
+
+    parsed = [(s, ast.literal_eval(s)) for s in csv_strings]
+    df = spark.createDataFrame(parsed, "expected string, attrs array<string>")
+    out = df.select("expected", pystr_list("attrs").alias("got")).collect()
+    bad = [(r.expected, r.got) for r in out if r.got != r.expected]
+    assert not bad, bad
+
+
 def test_attribute_extraction_first_seen_order(spark):
     """Reference attribute_list semantics (web_scraper.py:296-305): every
     `inline <Word>` icon except the HP/BREAK attack icons, first-seen
