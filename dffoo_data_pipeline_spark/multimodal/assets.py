@@ -88,7 +88,10 @@ def frame_sample(df: DataFrame, every_k: int = 4, frame_bytes: int = FRAME_BYTES
     identical.
     """
     n_frames = F.ceil(F.length("payload") / frame_bytes).cast("int")
-    idxs = F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    # empty payload → sequence(0, -1, k) throws at runtime; yield no frames
+    idxs = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    ).otherwise(F.array().cast("array<int>"))
     frames = F.transform(
         idxs, lambda i: F.col("payload").substr(i * frame_bytes + 1, F.lit(frame_bytes))
     )

@@ -20,8 +20,15 @@ small-star variant halves the rounds but keeps this exact join shape.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceWarning(UserWarning):
+    """Min-label propagation exited at max_iterations with labels still
+    changing — the returned cluster ids are partially propagated."""
 
 
 def connected_components(
@@ -46,6 +53,7 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_labels = und.join(
             labels, und.src == labels.id, "inner"
@@ -65,4 +73,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # silent partial labels would be wrong-without-warning for a
+        # long-chain graph; surface it so callers can raise max_iterations
+        warnings.warn(
+            f"connected_components stopped at max_iterations={max_iterations} "
+            f"with {changed} labels still changing; cluster ids are not final",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("cluster_id"))

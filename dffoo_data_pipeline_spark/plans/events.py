@@ -96,7 +96,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_SQL = f"""
 WITH ordered AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, value, event_id,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
                         > {SESSION_GAP_SECONDS} * 1000000
@@ -105,7 +105,7 @@ WITH ordered AS (
 ),
 sessions AS (
     SELECT user_id, ts, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM ordered
 )
@@ -136,7 +136,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("new_session"),
         "event_id",
     )
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tiebreak: two events at the same microsecond (ns timestamps
+    # are truncated) must accumulate in the same order the lag() above saw
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = ordered.withColumn("session_no", F.sum("new_session").over(wsum))

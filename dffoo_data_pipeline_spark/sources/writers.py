@@ -18,7 +18,30 @@ Reference behaviors re-expressed for a cluster:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_RUN_ID_RE = re.compile(r"[A-Za-z]*\d+")
+
+
+def _swap_in(staging: str, path: str) -> None:
+    """Promote a staged rewrite: rename target aside, rename staging in,
+    drop the old copy.  Directory renames are atomic on a local/HDFS-style
+    filesystem, so a crash leaves either the old table, or the old table
+    under `.__old__` plus the complete staging copy — never a lost table
+    and never a half-written target (the previous /tmp-staging scheme
+    could crash mid-overwrite with the only complete copy in /tmp).
+    Object stores without atomic rename should swap this seam for a table
+    format (Delta/Iceberg) commit."""
+    import os
+    import shutil
+
+    backup = f"{path.rstrip('/')}.__old__"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
 
 
 def write_checkpointed(df: DataFrame, path: str, partition_cols=("char_name", "game_version")) -> None:
@@ -41,7 +64,16 @@ def write_run_stamped(df: DataFrame, path: str, run_id: str) -> None:
     Every row gets a `run_id` partition column; readers filter to the
     latest run and Spark prunes all other partitions at the file listing —
     O(one run) reads regardless of history length.
+
+    run_id must be an optional letter prefix + digits (``r001``,
+    ``b000042``): `read_latest_run` orders by (length, value), which is
+    numeric order for ids of this shape even without zero padding.
     """
+    if not _RUN_ID_RE.fullmatch(run_id):
+        raise ValueError(
+            f"run_id {run_id!r} must match [A-Za-z]*digits so latest-run "
+            "selection is order-safe (e.g. 'r001', 'b000042')"
+        )
     (
         df.withColumn("run_id", F.lit(run_id))
         .write.mode("append")
@@ -50,10 +82,22 @@ def write_run_stamped(df: DataFrame, path: str, run_id: str) -> None:
     )
 
 
+def format_run_id(seq: int, prefix: str = "r", width: int = 6) -> str:
+    """Zero-padded run id (``r000042``) — the canonical producer for
+    `write_run_stamped`."""
+    return f"{prefix}{seq:0{width}d}"
+
+
 def read_latest_run(spark: SparkSession, path: str) -> DataFrame:
-    """Latest-run view over a run-stamped append table (partition-pruned)."""
+    """Latest-run view over a run-stamped append table (partition-pruned).
+
+    (length, value) max = numeric order for prefix+digits ids, so
+    ``r10`` > ``r2`` even though plain lexicographic MAX would say
+    otherwise; zero-padded ids (`format_run_id`) order identically."""
     runs = spark.read.parquet(path).select("run_id").distinct()
-    latest = runs.agg(F.max("run_id").alias("run_id")).collect()[0]["run_id"]
+    latest = runs.agg(
+        F.max(F.struct(F.length("run_id").alias("l"), F.col("run_id").alias("r")))
+    ).collect()[0][0]["r"]
     # equality filter on the partition column ⇒ partition pruning at scan
     return spark.read.parquet(path).where(F.col("run_id") == latest)
 
@@ -96,8 +140,6 @@ def upsert_by_key(
     plan — anti-join + union — is identical there, so swapping the sink
     for a MERGE INTO is a one-line change.
     """
-    import tempfile
-
     try:
         current = spark.read.parquet(path)
     except Exception:
@@ -105,11 +147,12 @@ def upsert_by_key(
         return
     kept = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
     merged = kept.unionByName(updates)
-    # write to a staging dir then swap: never read and overwrite the same
-    # files in one job (Spark would delete inputs mid-scan)
-    staging = tempfile.mkdtemp(prefix="sg_upsert_") + "/t"
+    # stage ADJACENT to the table (same filesystem → rename is atomic),
+    # then promote by rename: never read and overwrite the same files in
+    # one job, and no moment where the only complete copy lives in /tmp
+    staging = f"{path.rstrip('/')}.__staging__"
     merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    _swap_in(staging, path)
 
 
 def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
@@ -120,7 +163,6 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
     """
     import math
     import os
-    import tempfile
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -129,9 +171,9 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
         if f.endswith(".parquet")
     )
     n = max(1, math.ceil(total / target_file_bytes))
-    staging = tempfile.mkdtemp(prefix="sg_compact_") + "/t"
+    staging = f"{path.rstrip('/')}.__staging__"
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    _swap_in(staging, path)
     return n
 
 

@@ -21,3 +21,24 @@ def test_label_flows_against_edge_direction(spark):
     edges = spark.createDataFrame([(10, 20), (20, 1)], "src bigint, dst bigint")
     got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
     assert got == {10: 1, 20: 1, 1: 1}
+
+
+def test_warns_when_not_converged(spark):
+    import pytest
+
+    from dffoo_data_pipeline_spark.operators.graph import ConvergenceWarning
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    with pytest.warns(ConvergenceWarning):
+        partial = connected_components(nodes, chain, max_iterations=1)
+        partial.collect()
+    # converged run on the same graph must NOT warn
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ConvergenceWarning)
+        done = connected_components(nodes, chain)
+        assert {r.cluster_id for r in done.collect()} == {1}

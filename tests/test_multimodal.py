@@ -105,3 +105,14 @@ def test_audio_rms_matches_numpy(spark, assets):
         x = np.frombuffer(payloads[r.asset_id], dtype=np.uint8).astype(float) - 128.0
         seg = x[r.window_no * 64 : (r.window_no + 1) * 64]
         assert abs(r.rms - float(np.sqrt(np.mean(seg * seg)))) < 1e-9
+
+
+def test_frame_sample_tolerates_empty_payload(spark):
+    """ADVICE r1: sequence(0, -1, k) threw on empty payloads; an empty
+    document must contribute zero frames, not fail the query."""
+    docs = spark.createDataFrame(
+        [(1, "some real content here"), (2, "")], "doc_id long, text string"
+    )
+    out = frame_sample(documents_as_assets(docs))
+    ids = [r.asset_id for r in out.collect()]
+    assert 1 in ids and 2 not in ids

@@ -150,3 +150,37 @@ def test_compaction_reduces_file_count(spark):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert after == n == 1
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_run_id_validation_and_numeric_order(spark):
+    import os
+
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="sg_runid_") + "/t"
+    df = _chars_df(spark, [("aerith", "GL", 1)])
+    with pytest.raises(ValueError, match="order-safe"):
+        writers.write_run_stamped(df, path, "run-1!")
+    # non-padded numeric ids: r10 must beat r2 ((length, value) order)
+    writers.write_run_stamped(_chars_df(spark, [("a", "GL", 2)]), path, "r2")
+    writers.write_run_stamped(_chars_df(spark, [("a", "GL", 10)]), path, "r10")
+    got = writers.read_latest_run(spark, path).collect()
+    assert [r.cap for r in got] == [10]
+    assert writers.format_run_id(42) == "r000042"
+    assert not os.path.exists(path.rstrip("/") + ".__staging__")
+
+
+def test_upsert_and_compact_leave_no_staging(spark):
+    import os
+
+    path = tempfile.mkdtemp(prefix="sg_upsert_clean_") + "/t"
+    writers.upsert_by_key(spark, _chars_df(spark, [("a", "GL", 1)]), path, ["char_name"])
+    writers.upsert_by_key(spark, _chars_df(spark, [("a", "GL", 5), ("b", "GL", 2)]), path, ["char_name"])
+    got = {(r.char_name): r.cap for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 5, "b": 2}
+    writers.compact(spark, path)
+    got2 = {(r.char_name): r.cap for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+    parent = os.path.dirname(path.rstrip("/"))
+    leftovers = [d for d in os.listdir(parent) if "__staging__" in d or "__old__" in d]
+    assert leftovers == []
