@@ -111,3 +111,45 @@ def test_jsonl_and_orc_round_trips(spark):
     a = sorted(map(tuple, e.collect()))
     assert sorted(map(tuple, back_j.collect())) == a
     assert sorted(map(tuple, back_o.collect())) == a
+
+
+def test_game_version_char2_constraint(spark):
+    """CHARACTER(2) semantics from reference stg_abilities.sql:5-14: every
+    game_version the pipeline emits is exactly 2 characters (GL/JP), across
+    the parse fixtures, the full pipeline, and the reference's real CSV."""
+    import csv
+
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.fixtures import ability_line_rows
+    from dffoo_data_pipeline_spark.plans.abilities import ability_pipeline
+    from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+
+    lines = spark.createDataFrame(ability_line_rows(), ABILITY_HTML_LINES)
+    out = ability_pipeline(lines)
+    bad = out.where(
+        F.col("game_version").isNull() | (F.length("game_version") != 2)
+    ).count()
+    assert bad == 0
+    with open("/root/reference/datasets/raw_abilities.csv") as f:
+        assert {r["game_version"] for r in csv.DictReader(f)} == {"GL", "JP"}
+
+
+def test_jdbc_append_call_shape_fails_without_driver(spark):
+    """S7: the JDBC sink's failure mode without a driver jar is pinned —
+    the call shape executes down to the JVM DriverManager (py4j error
+    naming the missing driver), not an AttributeError in our code."""
+    import pytest
+
+    from dffoo_data_pipeline_spark.sources import writers
+
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    with pytest.raises(Exception) as ei:
+        writers.write_jdbc_append(
+            df,
+            "jdbc:postgresql://localhost:5432/nope",
+            "t",
+            {"user": "u", "password": "p"},
+        )
+    msg = str(ei.value)
+    assert "driver" in msg.lower() or "No suitable" in msg, msg
