@@ -31,6 +31,7 @@ _PRIORITY = [
     "q4_order_priority_check",
     "q7_nation_volume_shipping",
     "q8_market_share",
+    "q9_product_type_profit",
     "q11_important_stock",
     "q15_top_supplier_view",
     "q16_not_in_suppliers",

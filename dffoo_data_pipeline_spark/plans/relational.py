@@ -110,12 +110,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape — selective dims broadcast, fact shuffles once.
+    """TPC-H Q3 shape — filtered fact joins, size-based join strategy.
 
-    Scale: customer(filtered) is small relative to lineitem → broadcast
-    hash join avoids shuffling the fact for the first join; AQE picks the
-    strategy from runtime stats.  Top-k is a global sort of the small
-    aggregated result, ordered with a unique tiebreak so LIMIT is stable.
+    Scale: customer and orders GROW with the corpus even after their
+    filters, so no broadcast hint — AQE's runtime size check picks
+    broadcast when the filtered side actually fits (it does at test SF)
+    and falls back to shuffle when it doesn't (100 TB).  Top-k is a
+    global sort of the small aggregated result, ordered with a unique
+    tiebreak so LIMIT is stable.
     """
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
@@ -125,7 +127,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(N.money_sum(N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))).alias("revenue"))
@@ -154,10 +156,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape — star join: all dims broadcast, one fact pass.
+    """TPC-H Q5 shape — star join: bounded dims broadcast, one fact pass.
 
-    Scale: supplier/nation/region are classic broadcast dims; the only
-    shuffle is lineitem⋈orders on orderkey and the final 5-row group.
+    Scale: nation/region are bounded (25/5 rows at ANY corpus size) →
+    explicit broadcast.  customer/supplier grow with the corpus → no
+    hint; AQE broadcasts them from runtime sizes at test SF and shuffles
+    at 100 TB.  The only guaranteed shuffles are lineitem⋈orders on
+    orderkey and the final 5-row group.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
@@ -170,8 +175,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -1117,8 +1122,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape — join + conditional-count pivot on priority class.
 
-    Scale: lineitem filtered at the scan, orders broadcast after its own
-    pruning; the conditional counts are partial-agg friendly."""
+    Scale: lineitem filtered at the scan; orders grows with the corpus so
+    the join strategy is left to AQE's runtime size check (broadcast at
+    test SF, shuffle on orderkey at 100 TB); the conditional counts are
+    partial-agg friendly."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1126,7 +1133,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
@@ -1152,15 +1159,16 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape — conditional-revenue ratio over a broadcast dim
-    join (part broadcasts; lineitem filtered at the scan; single-row out)."""
+    """TPC-H Q14 shape — conditional-revenue ratio over a part join
+    (lineitem filtered at the scan; single-row out).  part grows with the
+    corpus → AQE picks broadcast vs shuffle from runtime size."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     return joined.agg(
         F.round(
             (F.lit(100.00) * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))))
@@ -1323,7 +1331,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape — returned-revenue top customers: filtered fact,
-    broadcast dims, stable top-k (unique tiebreak on custkey)."""
+    stable top-k (unique tiebreak on custkey).  Only bounded nation gets a
+    broadcast hint; orders/customer scale with the corpus, so their join
+    strategy is AQE's size-based call."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").where(
@@ -1333,8 +1343,8 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     rev = N.money_sum(N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount")))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev.alias("revenue"))
@@ -1455,7 +1465,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape — OR-of-AND predicate blocks across both join
     sides: Catalyst extracts the common conjuncts (l_quantity <= 30,
     p_size <= 15 bounds) and pushes them below the join while the residual
-    disjunction evaluates post-join."""
+    disjunction evaluates post-join.  part scales with the corpus → join
+    strategy left to AQE's size check."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (
@@ -1464,7 +1475,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             N.money_sum(
@@ -1747,8 +1758,14 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — nation-pair trade volume by ship year: the nation
-    dim joined TWICE under different roles (supplier vs customer side),
-    both broadcast; year extraction groups the fact once."""
+    dim joined TWICE under different roles (supplier vs customer side).
+
+    Scale: only the bounded nation dim (25 rows at ANY corpus size) gets
+    a broadcast hint; supplier/orders/customer GROW with the corpus, and
+    broadcasting a growing side is a driver/executor OOM at 100 TB — AQE
+    may still pick a broadcast for them at small SF from its own size
+    estimate, which is the right call exactly because it is size-based,
+    not hint-based."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1758,9 +1775,9 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
     vol = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
@@ -1828,15 +1845,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape — one nation's share of total volume per order year:
     conditional-sum / total-sum ratio inside one aggregation pass (no
-    second scan for the denominator)."""
+    second scan for the denominator).  orders/supplier grow with the
+    corpus → AQE size-based join strategy; bounded nation broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     vol = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
     base = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -1849,6 +1867,69 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.sum("volume")
     return base.groupBy("o_year").agg(
         F.round(share, 6).cast("double").alias("mkt_share")
+    )
+
+
+@_register(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year,
+           CAST(FLOOR(SUM(amount) * 100 + 0.5) / 100 AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                 - CAST(0.8 AS DECIMAL(2,1))
+                   * CAST(p.p_retailprice AS DECIMAL(12,2))
+                   * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and order
+    year.  The synthetic schema has no partsupp, so supply cost is proxied
+    as 0.8 × p_retailprice (same join/aggregate shape, one fewer table —
+    the adaptation Q2/Q11/Q20 use for the missing partsupp too).
+
+    Scale: the p_name filter prunes part BEFORE its join (pushed to the
+    scan); the profit expression stays DECIMAL end-to-end (exact in both
+    engines); lineitem shuffles on partkey/suppkey/orderkey only as AQE
+    decides — bounded nation is the one hinted broadcast.  Group-by
+    cardinality is nations × years (tiny), so partial aggregation kills
+    nearly all shuffle volume.  The final round is the floor-based
+    round_det form: scale-4 profit sums DO land on half-points, where
+    engine ROUND conventions diverge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    # l_quantity is stored DOUBLE; without the decimal cast the whole
+    # amount expression collapses to floating point in DuckDB and the two
+    # engines' summation orders diverge at half-points
+    amount = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount")) - F.lit(
+        "0.8"
+    ).cast("decimal(2,1)") * N.dec2("p_retailprice") * N.dec2("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(N.round_det(F.sum("amount"), 2).cast("double").alias("sum_profit"))
     )
 
 
