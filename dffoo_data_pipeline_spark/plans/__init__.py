@@ -64,15 +64,20 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_arrow_byte_len",
     "multimodal_modality_zscore",
+    "curation_sample_stratified",
+    "curation_weighted_mix",
+    "curation_pii_redaction",
+    "curation_funnel",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # -- anything below here is outside a 50-entry driver window;
+    #    rotate into the window in later rounds --
     "dedup_simhash_pairs",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "text_sequence_packing",
     "multimodal_image_pixel_stats",
     "multimodal_audio_rms",
-    # -- anything below here is outside a 50-entry driver window --
     "multimodal_features",
     "abilities_parse_scaled",
     "pipeline_latest_abilities",
@@ -84,6 +89,7 @@ def all_queries():
     from dffoo_data_pipeline_spark.plans import (
         abilities,
         bt_ha,
+        curation,
         events,
         flagship,
         job,
@@ -93,7 +99,7 @@ def all_queries():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, abilities, bt_ha, job, streaming, multimodal):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

@@ -1,0 +1,68 @@
+"""Curation operator unit tests: two-phase stratified sampling equals the
+direct window, mixture weights land near their cutoffs, planted PII is
+redacted, and the funnel stages are monotonic."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.plans.curation import (
+    redact_pii,
+    stratified_topk,
+    weighted_source_mix,
+)
+from dffoo_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_two_phase_stratified_equals_direct_window(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    two_phase = stratified_topk(d, "lang", k=7).select("doc_id", "lang", "sample_rank")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    direct = (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 7)
+        .select("doc_id", "lang", "sample_rank")
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_weighted_mix_rates_track_cutoffs(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    kept = weighted_source_mix(d, "source", [("src0", "8000")])
+    n_src0 = kept.where(F.col("source") == "src0").count()
+    total_src0 = d.where(F.col("source") == "src0").count()
+    # md5 prefix is ~uniform: ~50% survive cutoff 0x8000 (loose bound on
+    # a small stratum); unlisted sources keep everything
+    assert 0.2 <= n_src0 / total_src0 <= 0.8
+    other = kept.where(F.col("source") == "src5").count()
+    assert other == d.where(F.col("source") == "src5").count()
+
+
+def test_pii_redaction_planted(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or call 12345678 now"),
+        (2, "no pii here, just 123 and a.b"),
+        (3, ""),
+    ]
+    out = {
+        r.doc_id: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, "doc_id long, text string"), "text"
+        ).collect()
+    }
+    assert out[1].redacted_text == "contact me at <EMAIL> or call <NUM> now"
+    assert out[1].n_redactions == 2
+    assert out[2].redacted_text == rows[1][1] and out[2].n_redactions == 0
+    assert out[3].n_redactions == 0
+
+
+def test_funnel_counts_monotonic(spark):
+    from dffoo_data_pipeline_spark.plans.curation import curation_funnel
+
+    rows = sorted(curation_funnel(spark, SF_SMOKE).collect(), key=lambda r: r.stage)
+    assert [r.name for r in rows] == ["total", "lang_filter", "length_filter", "exact_dedup"]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
