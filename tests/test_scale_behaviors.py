@@ -69,3 +69,20 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     for r in got:
         rel_err = abs(r.approx - r.exact) / r.exact
         assert rel_err < 0.05, (r.l_returnflag, r.approx, r.exact)
+
+
+def test_aqe_broadcasts_unhinted_dims_at_test_scale(spark):
+    """Round-2 join policy: explicit broadcast() only marks bounded dims
+    (nation/region); customer/supplier/orders/part are unhinted.  This
+    pins the claim that AQE's size-based planning still broadcasts them
+    at test SF — i.e. dropping the hints cost nothing locally while
+    removing the guaranteed-OOM hint at 100 TB."""
+    from dffoo_data_pipeline_spark.plans.relational import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["q5_local_supplier_volume"](spark, SF_SMOKE)
+    df.foreach(lambda r: None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan" in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
