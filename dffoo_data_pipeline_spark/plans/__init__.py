@@ -60,6 +60,7 @@ _PRIORITY = [
     "streaming_custom_sessionizer",
     "streaming_dedup_events",
     "streaming_stateful_user_totals",
+    "streaming_enrich_static",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
     "multimodal_arrow_byte_len",

@@ -485,3 +485,41 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return emitted.groupBy("user_id").agg(final).select(
         "user_id", "s.n_events", "s.total_value", "s.first_ts", "s.last_ts"
     )
+
+
+@_register(
+    "streaming_enrich_static",
+    """
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (§2i): the event stream joined to the
+    static customer dimension per micro-batch, then a windowless running
+    aggregate — the canonical clickstream-enrichment shape (Kafka stream ⋈
+    dim table).
+
+    Scale: the static side is re-planned EVERY micro-batch, so a slowly
+    changing dim picks up updates without restarting the query; no hint on
+    the dim (customer grows with the corpus — AQE broadcasts it per batch
+    while it fits, shuffles when it doesn't).  State is the aggregate
+    only (segments × event types), not the join — stream-static joins are
+    stateless by construction.
+    """
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(N.dec2("value")).cast("double").alias("total_value"),
+        )
+    )
+    return run_stream_to_table(agg, "complete")

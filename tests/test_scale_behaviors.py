@@ -86,3 +86,43 @@ def test_aqe_broadcasts_unhinted_dims_at_test_scale(spark):
     assert "isFinalPlan" in plan
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
+    """Runtime row-level filtering: when a shuffle join has a selective
+    creation side, Spark injects a bloom filter (might_contain) on the
+    application side — at 100 TB this prunes the big scan's shuffle input
+    before it is written.  Thresholds are lowered to trigger at test
+    scale; the mechanism (enabled by default in the session) is what we
+    rely on for selective dim joins that AQE cannot broadcast."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        big_p, dim_p = str(tmp_path / "big"), str(tmp_path / "dim")
+        spark.range(200_000).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pay")
+        ).write.parquet(big_p)
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("tag")
+        ).write.parquet(dim_p)
+        j = spark.read.parquet(big_p).join(
+            spark.read.parquet(dim_p).where(F.col("tag") == 3), "k"
+        )
+        j.foreach(lambda r: None)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
