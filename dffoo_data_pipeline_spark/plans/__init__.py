@@ -35,6 +35,7 @@ _PRIORITY = [
     "q11_important_stock",
     "q15_top_supplier_view",
     "q16_not_in_suppliers",
+    "q17_small_quantity_revenue",
     "q20_dominant_supplier",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
@@ -46,6 +47,7 @@ _PRIORITY = [
     "text_bpe_token_stats",
     "text_lang_signal",
     "text_sentences_udtf",
+    "text_repetition_signals",
     "dedup_ngram_jaccard_pairs",
     "dedup_near_dup_survivors",
     "dedup_connected_clusters",
@@ -69,10 +71,14 @@ _PRIORITY = [
     "curation_weighted_mix",
     "curation_pii_redaction",
     "curation_funnel",
+    # -- anything below here is outside a 50-entry driver window;
+    #    rotate into the window in later rounds (rows-only checks moved
+    #    below in round 2 to make room for new oracled queries; the two
+    #    oracled round-2 additions below are first in line for round 3) --
+    "text_contamination_overlap",
+    "curation_split_assign",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # -- anything below here is outside a 50-entry driver window;
-    #    rotate into the window in later rounds --
     "dedup_simhash_pairs",
     "similarity_ivf_topk",
     "similarity_lsh_topk",

@@ -190,6 +190,38 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "curation_split_assign",
+    """
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT doc_id, lang, split FROM assigned
+    """,
+)
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-hex prefix of the
+    stable doc id: first hex digit 0-b → train (75%), c-d → val (12.5%),
+    e-f → test (12.5%).  The split a training pipeline must make BEFORE
+    any shuffling so membership never changes as the corpus grows or is
+    repartitioned — hash-of-id, not row_number or rand().
+
+    Scale: a pure projection (no shuffle, no state, no RNG); the same doc
+    lands in the same split on any cluster size.  Changing the ratio is a
+    cutoff edit; changing the seed is salting the hashed string.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(_doc_hash(), 1, 1)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").alias("split"),
+    )
+
+
+@_register(
     "curation_funnel",
     """
     WITH q AS (

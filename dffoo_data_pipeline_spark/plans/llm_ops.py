@@ -209,6 +209,136 @@ def text_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition_signals",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+    base AS (
+        SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, t
+        FROM toks),
+    bi AS (
+        SELECT doc_id, n_tokens, n_distinct,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM base),
+    counts AS (
+        SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS c
+        FROM bi GROUP BY 1, 2, 3, 4),
+    per_doc AS (
+        SELECT doc_id, n_tokens, n_distinct, MAX(c) AS top_c, SUM(c) AS n_bigrams
+        FROM counts GROUP BY 1, 2, 3)
+    SELECT doc_id, n_tokens,
+           FLOOR((1 - n_distinct * 1.0 / n_tokens) * 10000 + 0.5) / 10000 AS dup_token_frac,
+           FLOOR((top_c * 1.0 / n_bigrams) * 10000 + 0.5) / 10000         AS top_bigram_frac
+    FROM per_doc
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the share of word bigrams taken by the single most
+    frequent bigram — the standard filters for boilerplate / generated
+    spam in a pretraining-curation pass (the corpus has no newlines, so
+    the word-level variants stand in for duplicate-line fraction).
+
+    Scale: the dup-token fraction is a pure array expression inside the
+    scan's codegen (no shuffle).  The top-bigram share explodes bigrams
+    and aggregates on (doc_id, bigram) — high-cardinality uniform shuffle
+    key, map-side partial combine, then a second tiny per-doc agg that
+    reuses the doc_id clustering.  Nothing is quadratic in document
+    length or corpus size.
+    """
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalized_text(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        TX.word_shingles("text", 2).alias("bigrams"),
+    )
+    counts = base.select(
+        "doc_id", "n_tokens", "n_distinct", F.explode("bigrams").alias("bigram")
+    ).groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        round_det(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias("dup_token_frac"),
+        round_det(F.col("top_c") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+    )
+
+
+@_register(
+    "text_contamination_overlap",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                 AS shingle
+        FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 100 = 0),
+    corpus AS (SELECT doc_id, shingle FROM tri WHERE doc_id % 100 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_contaminated
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           FLOOR((COALESCE(h.n_contaminated, 0) * 1.0 / s.n_shingles) * 10000 + 0.5) / 10000
+             AS contamination_frac
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction of
+    its distinct word 3-grams that also appear in a held-out benchmark set
+    (docs with doc_id % 100 == 0 stand in for the eval suite).  The
+    decontamination gate every pretraining pipeline runs before training.
+
+    Scale: the benchmark side is BOUNDED (eval suites are millions of
+    shingles, not 100 TB) → distinct-ed and broadcast; the corpus side
+    explodes distinct shingles once and aggregates per doc_id.  No
+    shuffle of corpus text by shingle, no self-join — the big side
+    streams through a broadcast-hash semi-lookup inside one stage.
+    """
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    d = load_table(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle")
+    )
+    bench = tri.where(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    corpus = tri.where(F.col("doc_id") % 100 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_contaminated"),
+            round_det(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long")) / F.col("n_shingles"), 4
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@_register(
     "text_sentences_udtf",
     """
     SELECT doc_id,

@@ -1934,6 +1934,56 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 10
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: lineitems below half
+    their part's average quantity (p_container is absent from the synthetic
+    schema, so the part filter is brand + size; threshold is 0.5·avg to stay
+    non-vacuous at test SF — same correlated-scalar-per-part shape).
+
+    Scale: decorrelated by hand into the plan Catalyst would want anyway —
+    the brand/size filter prunes part at the scan to a FIXED-cardinality dim
+    (broadcast), lineitem is pre-filtered by that broadcast join BEFORE the
+    per-part average, so the avg aggregates only the surviving parts' rows
+    (one shuffle on l_partkey, tiny group count) instead of all 100 TB.  The
+    threshold re-join is broadcast (one row per selected part).  Exactness:
+    l_quantity is integral so its double AVG is order-independent; revenue
+    is summed in DECIMAL and divided by 7.0 once, double-exact in both
+    engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li_sel = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li_sel.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_sel.join(
+            F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((N.money_sum(N.dec2("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@_register(
     "q20_dominant_supplier",
     """
     SELECT DISTINCT s.s_suppkey, s.s_name
