@@ -27,18 +27,26 @@ def load_table(
     Parquet scan — scale path: on a cluster this same call reads a
     partitioned table directory; filters/projections compose into the scan.
 
-    TIMESTAMP(NANOS) columns (events.ts) are stored as INT64 nanos, which
-    Spark's vectorized reader rejects; we read them as longs
-    (`nanosAsLong`) and truncate to microsecond timestamps — the same
-    truncation DuckDB applies, so oracle comparisons agree.
+    `events.ts` has shipped as either TIMESTAMP(NANOS)-stored-as-INT64
+    (needs `nanosAsLong` + truncation to µs, matching DuckDB's own
+    truncation) or as a plain TIMESTAMP(MICROS) column (no conversion
+    needed) depending on the testdata generation.  Adapt to whichever
+    physical type the file carries instead of assuming one.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
-        # integer `div` (not `/`): ns values exceed double's 2^53 exactness
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            # integer `div` (not `/`): ns values exceed double's 2^53 exactness
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # session tz is UTC, so this cast is value-preserving; keeps
+            # every downstream plan (unix_micros, watermarks, windows) on
+            # the plain TIMESTAMP type they were written for
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if fan_out:
         # single-row-group test files scan as ONE task, serializing the
         # map-side work of everything above them.  Opt-in per query: a win

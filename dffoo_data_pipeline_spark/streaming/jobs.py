@@ -52,19 +52,21 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-# Raw parquet schema: `ts` is stored as TIMESTAMP(NANOS) which the
-# vectorized reader only accepts as INT64 (`nanosAsLong`, see
-# sources/readers.py) — streaming file sources need the schema up front.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Streaming file sources need the schema up front.  `events.ts` has
+# shipped either as TIMESTAMP(NANOS)-stored-as-INT64 (vectorized reader
+# only accepts it via `nanosAsLong`; see sources/readers.py) or as plain
+# TIMESTAMP(MICROS) — build the schema to match the staged file.
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 _STAGE_DIRS: dict[str, str] = {}
@@ -85,15 +87,26 @@ def _stage_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream (file source standing in for Kafka).
 
-    Same µs truncation as the batch reader so stream and oracle agree.
+    Same type adaptation as the batch reader so stream and oracle agree:
+    INT64-nanos files are truncated to µs; TIMESTAMP(MICROS) files pass
+    through.  A one-off batch metadata read (footer only, no data scan)
+    decides which physical type the staged file carries.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema["ts"].dataType
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .load(_stage_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # value-preserving under the UTC session tz (see sources/readers.py)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_stream_to_table(result: DataFrame, output_mode: str) -> DataFrame:

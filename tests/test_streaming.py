@@ -23,22 +23,26 @@ from tests.conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def chunked_events_dir(spark):
-    """events.parquet split into 4 files so availableNow runs 4 batches."""
+    """events.parquet split into 4 files so availableNow runs 4 batches.
+
+    Written through `load_table`, so the chunks carry µs timestamps
+    regardless of the testdata file's physical ts type.
+    """
     d = tempfile.mkdtemp(prefix="sg_chunked_events_")
-    # keep raw long-nanos ts shape identical to the testdata file
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    raw.repartition(4).write.mode("overwrite").parquet(d)
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
     return d
 
 
 def _stream_raw(spark, src_dir):
+    from pyspark.sql import types as T
+
     return (
-        spark.readStream.schema(jobs._EVENTS_RAW)
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
@@ -126,12 +130,13 @@ def test_foreachbatch_run_stamped_sink(spark, chunked_events_dir):
     from dffoo_data_pipeline_spark.sources import writers
 
     out = _tf.mkdtemp(prefix="sg_stream_sink_") + "/t"
+    from pyspark.sql import types as T
+
     src = (
-        spark.readStream.schema(jobs._EVENTS_RAW)
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
         .format("parquet")
         .option("maxFilesPerTrigger", 2)  # 4 files -> 2 micro-batches
         .load(chunked_events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     jobs.stream_to_run_stamped(src, out)
 
@@ -187,8 +192,11 @@ def test_late_data_beyond_watermark_dropped(spark):
     for i in range(3):
         _os.utime(f"{d}/f{i}.parquet", (1_000_000 + i * 10, 1_000_000 + i * 10))
 
+    # int64-nanos files: exercises the nanosAsLong compat path explicitly
+    from pyspark.sql import types as T
+
     src = (
-        spark.readStream.schema(jobs._EVENTS_RAW)
+        spark.readStream.schema(jobs._events_raw_schema(T.LongType()))
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(d)
