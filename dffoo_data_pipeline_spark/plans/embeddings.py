@@ -1,0 +1,226 @@
+"""Embedding-math operators over the `embeddings` table (§2k extension).
+
+The vector column is `array<float>`; everything here is JVM-side column
+expressions (`zip_with` + `aggregate` folds) — no UDF, no collect — so
+Catalyst keeps the whole plan in codegen and the DuckDB oracle
+(`list_transform`/`list_cosine_similarity`, DuckDB ≥ 1.0) can check the
+values exactly.
+
+Cross-engine float discipline (see functions/numeric.py): every element
+is cast float→double BEFORE arithmetic (exact), per-row folds run
+left-to-right in both engines, derived scalars are rounded with the
+mode-independent `round_det`, and anything that gets re-aggregated
+across rows goes through DECIMAL so partition order can't change the
+answer.
+
+Scale notes per operator in the docstrings; the common theme: per-row
+array math is embarrassingly parallel (no shuffle at all), and the one
+grouped query shuffles on `label` — a bounded-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions import numeric as N
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sumsq(v) -> F.Column:
+    """Σ x² as a double left-fold (cast each float element first — the
+    float→double widening is exact, so both engines fold identical
+    doubles)."""
+    return F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def _dot(a, b) -> F.Column:
+    """Dot product as a double left-fold over zip_with."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_NORM_STATS_ORACLE = """
+WITH norms AS (
+    SELECT label,
+           CAST(FLOOR(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS norm
+    FROM embeddings)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       FLOOR(CAST(SUM(norm) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+         AS avg_norm,
+       CAST(MIN(norm) AS DOUBLE) AS min_norm,
+       CAST(MAX(norm) AS DOUBLE) AS max_norm
+FROM norms
+GROUP BY label
+"""
+
+
+@_register("embedding_norm_stats", _NORM_STATS_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile (count / mean / min / max) — the sanity
+    check every embedding pipeline runs before indexing (un-normalized or
+    zero vectors poison cosine math downstream).
+
+    Scale: the norm is a per-row fold (no shuffle); the aggregation
+    shuffles on `label` (bounded cardinality) with map-side partial
+    aggregation.  The per-row norm is rounded then carried as
+    DECIMAL(18,6) so the grouped mean is exact regardless of partition
+    order — the float-sum nondeterminism rule from functions/numeric.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "label",
+        N.round_det(F.sqrt(_sumsq(F.col("embedding"))), 6)
+        .cast("decimal(18,6)")
+        .alias("norm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        N.round_det(F.sum("norm").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_norm"
+        ),
+        F.min("norm").cast("double").alias("min_norm"),
+        F.max("norm").cast("double").alias("max_norm"),
+    )
+
+
+_N_SEEDS = 8
+
+_NEAREST_SEED_ORACLE = f"""
+WITH seeds AS (
+    SELECT vec_id AS seed_id, embedding FROM embeddings WHERE vec_id < {_N_SEEDS}),
+scored AS (
+    SELECT v.vec_id, s.seed_id,
+           FLOOR(list_cosine_similarity(v.embedding::DOUBLE[], s.embedding::DOUBLE[])
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM embeddings v, seeds s)
+SELECT vec_id, seed_id, cos_sim FROM (
+    SELECT vec_id, seed_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, seed_id) AS rn
+    FROM scored)
+WHERE rn = 1
+"""
+
+
+@_register("embedding_nearest_seed", _NEAREST_SEED_ORACLE)
+def embedding_nearest_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: route every vector to its closest of
+    {_N_SEEDS} seed vectors by cosine — the partition-assignment step of
+    an IVF index (operators/similarity.py:ivf_topk), isolated as an
+    oracled query with deterministic seeds (vec_id < 8) instead of
+    sampled k-means centroids.
+
+    Scale: the seed set is k rows — broadcast joined, so the corpus is
+    scored in one map-side pass (no shuffle of the big side); the
+    argmin-by-vec window repartitions on vec_id only to pick each row's
+    best seed, and a `max_by` re-formulation would eliminate even that.
+    Rounded cosine + seed_id tiebreak keeps the winner engine-independent.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.where(F.col("vec_id") < _N_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    cos = _dot(F.col("embedding"), F.col("seed_vec")) / (
+        F.sqrt(_sumsq(F.col("embedding"))) * F.sqrt(_sumsq(F.col("seed_vec")))
+    )
+    scored = e.join(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", N.round_det(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "seed_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH params AS (
+    SELECT vec_id,
+           CAST(list_min(embedding) AS DOUBLE) AS lo,
+           CAST(list_max(embedding) AS DOUBLE) AS hi
+    FROM embeddings),
+quant AS (
+    SELECT p.vec_id, p.lo, p.hi,
+           CASE WHEN p.hi = p.lo THEN 0.0 ELSE (p.hi - p.lo) / 255 END AS scale,
+           CASE WHEN p.hi = p.lo
+                THEN list_transform(e.embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+                ELSE list_transform(e.embedding::DOUBLE[],
+                                    x -> CAST(FLOOR((x - p.lo) / ((p.hi - p.lo) / 255)
+                                                    + 0.5) AS BIGINT))
+           END AS q
+    FROM params p JOIN embeddings e USING (vec_id))
+SELECT vec_id,
+       FLOOR(lo * 1000000 + 0.5) / 1000000 AS lo,
+       FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale,
+       list_sum(q) AS q_sum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max
+FROM quant
+"""
+
+
+@_register("embedding_quantize_int8", _QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8-range quantization (the storage-shrink step
+    before shipping an index): emits the affine params plus integer
+    checksums (sum/min/max of the quantized codes) so the oracle verifies
+    the actual quantized values, not just the params.
+
+    Scale: pure per-row array expressions — no shuffle, no UDF; 4×
+    smaller index memory at serving time.  Determinism: the quantized
+    codes are exact integers — `floor((x-lo)/scale + 0.5)` over
+    identically-derived doubles is bit-identical in any IEEE engine, so
+    the checksums compare with NO rounding tolerance.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    base = e.select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
+    scale = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / 255
+    )
+    q = F.when(
+        F.col("hi") == F.col("lo"),
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                (x.cast("double") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255)
+                + 0.5
+            ),
+        )
+    )
+    quant = base.withColumn("scale", scale).withColumn("q", q)
+    return quant.select(
+        "vec_id",
+        N.round_det(F.col("lo"), 6).alias("lo"),
+        N.round_det(F.col("scale"), 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
