@@ -16,65 +16,18 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Queries without a driver CORRECTNESS row yet, most valuable first:
-# reference-parity core (flagship/abilities/BT/HA), the remaining TPC-H
-# shapes, the oracled LLM-ops surface, events/streaming, multimodal, then
-# the rows-only checks that still deserve a driver execution record.
+# Round-3 window: the 16 queries with no driver CORRECTNESS row yet
+# (the r2 tail + the newly-registered plans/embeddings.py), then the two
+# queries whose r2 rows hash-failed on oracle typing (values verified
+# identical; oracles fixed this round — re-verify), then any NEW round-3
+# queries.  Everything with an existing green row from r01∪r02 is
+# appended after _PRIORITY by all_queries() in module order and backfills
+# the rest of the ~50-entry driver window.
 _PRIORITY = [
-    "flagship_pricing_under_cap",
-    "abilities_parse",
-    "abilities_full_pipeline",
-    "abilities_attributes",
-    "abilities_attribute_list_parity",
-    "bt_effects_parse",
-    "ha_caps_parse",
-    "q4_order_priority_check",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q15_top_supplier_view",
-    "q16_not_in_suppliers",
-    "q17_small_quantity_revenue",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "doc_fingerprint",
-    "text_token_stats",
-    "text_quality_score",
-    "text_bpe_token_stats",
-    "text_lang_signal",
-    "text_sentences_udtf",
-    "text_repetition_signals",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_near_dup_survivors",
-    "dedup_connected_clusters",
-    "similarity_cosine_topk",
-    "dedup_embedding_cosine",
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "events_sessionization",
-    "streaming_tumbling_hourly",
-    "streaming_session_window",
-    "streaming_interval_join",
-    "streaming_custom_sessionizer",
-    "streaming_dedup_events",
-    "streaming_stateful_user_totals",
-    "streaming_enrich_static",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "multimodal_arrow_byte_len",
-    "multimodal_modality_zscore",
-    "curation_sample_stratified",
-    "curation_weighted_mix",
-    "curation_pii_redaction",
-    "curation_funnel",
-    # -- anything below here is outside a 50-entry driver window;
-    #    rotate into the window in later rounds (rows-only checks moved
-    #    below in round 2 to make room for new oracled queries; the two
-    #    oracled round-2 additions below are first in line for round 3) --
+    # never driver-executed (13 registered tail + 3 formerly-dead embeddings)
+    "embedding_norm_stats",
+    "embedding_nearest_seed",
+    "embedding_quantize_int8",
     "text_contamination_overlap",
     "curation_split_assign",
     "dedup_minhash_lsh",
@@ -88,6 +41,10 @@ _PRIORITY = [
     "multimodal_features",
     "abilities_parse_scaled",
     "pipeline_latest_abilities",
+    # r2 hash-fail on oracle typing, oracle fixed this round — re-verify
+    "flagship_pricing_under_cap",
+    "events_sessionization",
+    # -- new round-3 queries get appended here so they land in the window --
 ]
 
 
@@ -97,6 +54,7 @@ def all_queries():
         abilities,
         bt_ha,
         curation,
+        embeddings,
         events,
         flagship,
         job,
@@ -106,7 +64,7 @@ def all_queries():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

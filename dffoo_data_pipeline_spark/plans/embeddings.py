@@ -107,13 +107,21 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SEEDS = 8
 
 _NEAREST_SEED_ORACLE = f"""
-WITH seeds AS (
-    SELECT vec_id AS seed_id, embedding FROM embeddings WHERE vec_id < {_N_SEEDS}),
+WITH live AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS sumsq
+    FROM embeddings),
+nonzero AS (SELECT * FROM live WHERE sumsq > 0),
+seeds AS (
+    SELECT vec_id AS seed_id, emb AS seed_emb, sumsq AS seed_sumsq
+    FROM nonzero WHERE vec_id < {_N_SEEDS}),
 scored AS (
     SELECT v.vec_id, s.seed_id,
-           FLOOR(list_cosine_similarity(v.embedding::DOUBLE[], s.embedding::DOUBLE[])
+           FLOOR(list_sum(list_transform(list_zip(v.emb, s.seed_emb),
+                                         x -> x[1] * x[2]))
+                 / (sqrt(v.sumsq) * sqrt(s.seed_sumsq))
                  * 1000000 + 0.5) / 1000000 AS cos_sim
-    FROM embeddings v, seeds s)
+    FROM nonzero v, seeds s)
 SELECT vec_id, seed_id, cos_sim FROM (
     SELECT vec_id, seed_id, cos_sim,
            ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -126,10 +134,14 @@ WHERE rn = 1
 @_register("embedding_nearest_seed", _NEAREST_SEED_ORACLE)
 def embedding_nearest_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment: route every vector to its closest of
-    {_N_SEEDS} seed vectors by cosine — the partition-assignment step of
-    an IVF index (operators/similarity.py:ivf_topk), isolated as an
+    8 (`_N_SEEDS`) seed vectors by cosine — the partition-assignment step
+    of an IVF index (operators/similarity.py:ivf_topk), isolated as an
     oracled query with deterministic seeds (vec_id < 8) instead of
     sampled k-means centroids.
+
+    Zero-norm vectors are filtered on BOTH sides before the division
+    (Spark non-ANSI x/0 yields NULL where DuckDB IEEE yields NaN — the
+    engines would diverge on which seed "wins" for a zero vector).
 
     Scale: the seed set is k rows — broadcast joined, so the corpus is
     scored in one map-side pass (no shuffle of the big side); the
@@ -138,13 +150,14 @@ def embedding_nearest_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounded cosine + seed_id tiebreak keeps the winner engine-independent.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    seeds = e.where(F.col("vec_id") < _N_SEEDS).select(
+    nonzero = e.where(_sumsq(F.col("embedding")) > 0)
+    seeds = nonzero.where(F.col("vec_id") < _N_SEEDS).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
     )
     cos = _dot(F.col("embedding"), F.col("seed_vec")) / (
         F.sqrt(_sumsq(F.col("embedding"))) * F.sqrt(_sumsq(F.col("seed_vec")))
     )
-    scored = e.join(F.broadcast(seeds)).select(
+    scored = nonzero.join(F.broadcast(seeds)).select(
         "vec_id", "seed_id", N.round_det(cos, 6).alias("cos_sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "seed_id")
@@ -174,7 +187,7 @@ quant AS (
 SELECT vec_id,
        FLOOR(lo * 1000000 + 0.5) / 1000000 AS lo,
        FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale,
-       list_sum(q) AS q_sum,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
        list_min(q) AS q_min,
        list_max(q) AS q_max
 FROM quant

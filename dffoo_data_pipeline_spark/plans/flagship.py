@@ -37,9 +37,9 @@ WITH classified AS (
 ),
 agged AS (
     SELECT l_orderkey AS entity_id,
-           SUM(main_hit) AS main_hits,
-           SUM(non_hit)  AS non_hits,
-           SUM(cap_up)   AS cap_up_perc
+           CAST(SUM(main_hit) AS BIGINT) AS main_hits,
+           CAST(SUM(non_hit)  AS BIGINT) AS non_hits,
+           CAST(SUM(cap_up)   AS BIGINT) AS cap_up_perc
     FROM classified GROUP BY l_orderkey
 ),
 fix(entity_id, fixed_cap) AS (VALUES (1, 100), (7, 200), (42, 350)),
@@ -51,7 +51,8 @@ corrected AS (
 SELECT entity_id, 'base' AS row_kind, main_hits, non_hits, cap_up_perc
 FROM corrected
 UNION ALL
-SELECT entity_id, 'uncapped' AS row_kind, main_hits, non_hits, 900 AS cap_up_perc
+SELECT entity_id, 'uncapped' AS row_kind, main_hits, non_hits,
+       CAST(900 AS BIGINT) AS cap_up_perc
 FROM corrected WHERE cap_up_perc >= 60
 """
 

@@ -32,6 +32,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif df[c].dtype.kind in "iu":
+            # keep integer columns integer — the driver's value hash is
+            # type-sensitive, so an int column must stay distinguishable
+            # from a float column (see dtype-kind gate in compare())
+            df[c] = df[c].astype("int64")
         else:
             try:
                 df[c] = df[c].astype("float64")
@@ -41,7 +46,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-9) -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
+    """Return a list of mismatch descriptions (empty = match).
+
+    Driver-strict: if one engine yields an integer-kind column and the
+    other a float-kind column (the classic symptom: an uncast DuckDB
+    ``SUM()`` returning HUGEINT, fetched as float64, vs Spark's BIGINT),
+    that is an error even when the values are numerically identical —
+    the driver's exact value hash rejects it.  This is precisely the bug
+    class the old everything-to-float64 normalization masked (two red
+    driver rows shipped through a green local suite in round 2).
+    """
     errs: list[str] = []
     sp = spark_df.toPandas()
     if sorted(sp.columns) != sorted(duck_df.columns):
@@ -49,6 +63,17 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-9)
         return errs
     if len(sp) != len(duck_df):
         errs.append(f"{name}: row count spark={len(sp)} duck={len(duck_df)}")
+        return errs
+    for c in sorted(sp.columns):
+        ka, kb = sp[c].dtype.kind, duck_df[c].dtype.kind
+        if (ka in "iu") != (kb in "iu") and {ka, kb} <= set("iuf"):
+            errs.append(
+                f"{name}: col {c}: int-vs-float dtype divergence "
+                f"(spark={sp[c].dtype} duck={duck_df[c].dtype}) — driver hash "
+                f"would fail; cast the oracle (e.g. CAST(SUM(..) AS BIGINT)) "
+                f"or the Spark column so the engines agree"
+            )
+    if errs:
         return errs
     a, b = _normalize(sp), _normalize(duck_df)
     for c in a.columns:
