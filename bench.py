@@ -66,20 +66,26 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # three timed executions per query, keep the min: the first pass
-    # absorbs JIT/codegen compilation and the min filters out co-tenant
-    # CPU noise — the steady-state engine number is what scales to a
-    # long-lived cluster
+    # five timed executions per query; report BOTH min and median.  The
+    # first pass absorbs JIT/codegen compilation; the min is the
+    # steady-state engine number (what scales to a long-lived cluster),
+    # and min-vs-median spread is the noise diagnostic — this box has
+    # 2-4x co-tenant variance, which round 2's 3-rep min couldn't
+    # separate from real regressions.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         df = fn(spark, sf_dir)
-        best = float("inf")
-        for _ in range(3):
+        runs: list[float] = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +95,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
+                "reps": reps,
                 "sf": sf,
             }
         )

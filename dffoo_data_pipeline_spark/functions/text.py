@@ -30,9 +30,14 @@ def char_count(text) -> Column:
     return F.length(text)
 
 
-def avg_token_len(text) -> Column:
-    """Mean token length, rounded for cross-engine determinism."""
-    toks = tokens(text)
+def avg_token_len(text, toks=None) -> Column:
+    """Mean token length, rounded for cross-engine determinism.
+
+    Pass a pre-computed token array as ``toks`` to avoid re-tokenizing
+    (higher-order fns are interpreted, so Catalyst's codegen-level
+    common-subexpression elimination does not dedupe the split here).
+    """
+    toks = tokens(text) if toks is None else toks
     total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
     return round_det(total / F.size(toks), 4)
 
@@ -55,13 +60,26 @@ def digit_ratio(text) -> Column:
     return round_det(n_digit / F.length(text), 4)
 
 
-def quality_score(text) -> Column:
+def quality_score(text, toks=None) -> Column:
     """Composite heuristic quality score in [0, 1] (Gopher/C4-style gates
     re-expressed as arithmetic): rewards mid-length docs, real word shapes,
-    low punctuation/digit noise.  Deterministic, SQL-mirrorable."""
-    n_tok = token_count(text)
+    low punctuation/digit noise.  Deterministic, SQL-mirrorable.
+
+    ``toks``: optional pre-computed token array.  Tokenize ONCE in a prior
+    select and pass the column — the split otherwise appears 3× in this
+    expression tree, and because the avg-length fold is an interpreted
+    higher-order function the engine will not CSE it away (see
+    plans/llm_ops.py:text_quality_score for the two-stage pattern).
+    """
+    toks = tokens(text) if toks is None else toks
+    return quality_score_from_parts(F.size(toks), avg_token_len(text, toks=toks), text)
+
+
+def quality_score_from_parts(n_tok, avg_len, text) -> Column:
+    """Score from pre-computed token count + avg token length (both may be
+    staged columns, letting the caller evaluate each expensive interpreted
+    fold exactly once) and the raw text for the char-level noise ratios."""
     length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    avg_len = avg_token_len(text)
     wordshape_ok = F.when((avg_len >= 2) & (avg_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
     noise = punct_ratio(text) + digit_ratio(text)
     return round_det((length_ok + wordshape_ok + (1 - F.least(noise, F.lit(1.0)))) / 3, 4)

@@ -148,9 +148,29 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring (length / word-shape / noise gates)."""
+    """Heuristic quality scoring (length / word-shape / noise gates).
+
+    Staged selects: the token array is materialized once (the split
+    otherwise ran 3× per row) and the avg-token-length fold once (it is
+    an interpreted higher-order function, referenced twice by the
+    word-shape gate — codegen CSE can't dedupe interpreted exprs).
+    CollapseProject keeps both staging projections because each alias is
+    referenced more than once and the expressions aren't cheap.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+    staged = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    parts = staged.select(
+        "doc_id",
+        "text",
+        F.size("__toks").alias("__n_tok"),
+        TX.avg_token_len("text", toks=F.col("__toks")).alias("__avg_len"),
+    )
+    return parts.select(
+        "doc_id",
+        TX.quality_score_from_parts(
+            F.col("__n_tok"), F.col("__avg_len"), "text"
+        ).alias("quality"),
+    )
 
 
 @_register(
@@ -301,40 +321,24 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: per corpus document, the fraction of
-    its distinct word 3-grams that also appear in a held-out benchmark set
-    (docs with doc_id % 100 == 0 stand in for the eval suite).  The
-    decontamination gate every pretraining pipeline runs before training.
+    its distinct word 3-grams that also appear in a held-out benchmark set.
+    The decontamination gate every pretraining pipeline runs before
+    training — implemented by :func:`operators.contamination.
+    contamination_overlap`, which takes the benchmark as an EXPLICIT
+    bounded DataFrame (broadcast-safe by contract, guarded probe).
 
-    Scale: the benchmark side is BOUNDED (eval suites are millions of
-    shingles, not 100 TB) → distinct-ed and broadcast; the corpus side
-    explodes distinct shingles once and aggregates per doc_id.  No
-    shuffle of corpus text by shingle, no self-join — the big side
-    streams through a broadcast-hash semi-lookup inside one stage.
+    Here, at oracle test scale only, docs with doc_id % 100 == 0 stand in
+    for the eval suite; a real deployment passes the actual eval-suite
+    table, which is bounded regardless of corpus size.
     """
-    from dffoo_data_pipeline_spark.functions.numeric import round_det
+    from dffoo_data_pipeline_spark.operators.contamination import contamination_overlap
 
     d = load_table(spark, sf_dir, "documents")
-    tri = d.select(
-        "doc_id", F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("shingle")
-    )
-    bench = tri.where(F.col("doc_id") % 100 == 0).select("shingle").distinct()
-    corpus = tri.where(F.col("doc_id") % 100 != 0)
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_contaminated"),
-            round_det(
-                F.coalesce(F.col("n_hit"), F.lit(0).cast("long")) / F.col("n_shingles"), 4
-            ).alias("contamination_frac"),
-        )
+    return contamination_overlap(
+        corpus=d.where(F.col("doc_id") % 100 != 0),
+        benchmark=d.where(F.col("doc_id") % 100 == 0),
+        n=3,
+        max_shingles=None,  # test-scale proxy; bound is enforced for real callers
     )
 
 
