@@ -44,7 +44,11 @@ _PRIORITY = [
     # r2 hash-fail on oracle typing, oracle fixed this round — re-verify
     "flagship_pricing_under_cap",
     "events_sessionization",
-    # -- new round-3 queries get appended here so they land in the window --
+    # -- new round-3 queries (plans/corpus.py and friends) --
+    "text_chunk_windows",
+    "corpus_token_budget",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
 ]
 
 
@@ -53,6 +57,7 @@ def all_queries():
     from dffoo_data_pipeline_spark.plans import (
         abilities,
         bt_ha,
+        corpus,
         curation,
         embeddings,
         events,
@@ -64,7 +69,7 @@ def all_queries():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

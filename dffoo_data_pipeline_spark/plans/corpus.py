@@ -1,0 +1,302 @@
+"""Corpus-preparation operators: context-window chunking, token
+budgeting, TF-IDF term importance, and a unigram-LM quality signal.
+
+These are the operations a pretraining-data pipeline runs between raw
+documents and a tokenized training set (reference analog: the per-blob
+parse/emit loop, web_scraper.py:344-567, is the same doc→rows shape as
+chunking; everything else here is the LLM-scale extension SURVEY.md §2k
+calls for).  All four are pure DataFrame plans — the only Python is plan
+construction; every expression is JVM-evaluated.
+
+Cross-engine float discipline (functions/numeric.py): natural log is the
+one libm call here (ln is not IEEE-correctly-rounded, unlike sqrt), so
+every ln() result is immediately rounded with `round_det` at 6 places —
+a last-ulp divergence between the engines' libm cannot survive that
+unless it lands exactly on a 5e-7 boundary; sums of such values go
+through DECIMAL so partition order can't change them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions import text as TX
+from dffoo_data_pipeline_spark.functions.numeric import round_det
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (doc → overlapping token-window rows)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 10
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents),
+starts AS (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {CHUNK_OVERLAP}, 1) + 1, {_STRIDE}))
+             AS start
+    FROM toks)
+SELECT doc_id,
+       CAST((start - 1) / {_STRIDE} + 1 AS BIGINT) AS chunk_no,
+       CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+@_register("text_chunk_windows", _CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into 50-token context windows with 10-token
+    overlap (stride 40) — the chunking step that turns documents into
+    training sequences / RAG passages.  Window starts are
+    1, 41, 81, … ≤ max(n_tokens − overlap, 1), so every token is covered
+    and only the final chunk may be short.
+
+    Scale: explode of a per-row computed array — embarrassingly parallel,
+    NO shuffle at all; output rows ≈ n_tokens/stride per doc.  The token
+    array is materialized once per row (staged projection) and both the
+    starts sequence and the slices read it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", TX.tokens("text").alias("t"))
+    n = F.size("t")
+    starts = staged.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - CHUNK_OVERLAP, F.lit(1)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE + 1).cast("bigint").alias("chunk_no"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token budget (the "how many tokens do we have, where" report)
+# ---------------------------------------------------------------------------
+
+_BUDGET_ORACLE = r"""
+WITH per_doc AS (
+    SELECT lang, source, len(string_split_regex(trim(text), '\s+')) AS n_tok
+    FROM documents),
+grouped AS (
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY lang, source)
+SELECT lang, source, n_docs, n_tokens,
+       FLOOR(CAST(n_tokens AS DOUBLE)
+             / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS token_frac
+FROM grouped
+"""
+
+
+@_register("corpus_token_budget", _BUDGET_ORACLE)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) stratum: document count, token count, and the
+    stratum's fraction of all corpus tokens — the report that drives
+    sampling-weight decisions (and the denominator for any token-budget
+    mix like curation_weighted_mix).
+
+    Scale: one shuffle on (lang, source) with map-side partials; the
+    global total is a window over the GROUPED rows (stratum cardinality =
+    langs × sources, thousands at most — the single-partition window runs
+    on a tiny aggregated frame, never on the corpus).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grouped = (
+        d.select("lang", "source", TX.token_count("text").alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return grouped.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        round_det(F.col("n_tokens").cast("double") / total.cast("double"), 6).alias(
+            "token_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS term
+    FROM documents),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term),
+df AS (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY term),
+d_total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           FLOOR(CAST(tf.tf AS DOUBLE)
+                 * (ln((CAST(d.n_docs AS DOUBLE) + 1) / (CAST(df.df AS DOUBLE) + 1)) + 1)
+                 * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN d_total d)
+SELECT doc_id, term, tf, df, tfidf FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rn
+    FROM scored)
+WHERE rn <= {_TFIDF_TOPK}
+"""
+
+
+@_register("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF
+    (tf · (ln((D+1)/(df+1)) + 1)) — keyword extraction / topic signal for
+    curation dashboards and near-dup triage.
+
+    Scale: tf shuffles on (doc_id, term); df shuffles on term; the
+    tf⋈df join shuffles on term — df is vocabulary-sized, which at
+    100 TB is far too big to broadcast, so a shuffle join on the term key
+    is the RIGHT plan (skewed head terms are bounded per-partition by
+    the preceding per-doc distinct).  D arrives via a one-row broadcast
+    cross join, not a driver collect.  Ranked winner is deterministic:
+    tfidf rounded at 1e-6, ties broken by term.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    d_total = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(d_total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            round_det(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1)
+                        / (F.col("df").cast("double") + 1)
+                    )
+                    + 1
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TFIDF_TOPK)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-probability (CCNet-style LM quality proxy)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS tok
+    FROM documents),
+freq AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+n_total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq),
+logp AS (
+    SELECT tok,
+           CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000 + 0.5)
+                / 1000000 AS DECIMAL(18,6)) AS lp
+    FROM freq CROSS JOIN n_total n)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       FLOOR(CAST(SUM(l.lp) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+         AS avg_logprob
+FROM tok t JOIN logp l USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+@_register("text_unigram_logprob", _UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap stand-in for the LM-perplexity quality filter
+    (CCNet / Gopher style): gibberish and boilerplate score far from the
+    corpus mean.  An external frozen vocabulary would be a drop-in
+    replacement for `freq`.
+
+    Scale: one shuffle to build the unigram table (map-side combine
+    shrinks it to vocab size), one shuffle join of token instances to
+    frequencies on `tok` (vocab too large to broadcast at 100 TB), one
+    per-doc aggregation.  Determinism: each ln() is rounded at 1e-6
+    (`round_det`'s floor form is mode-independent for negatives too) then
+    carried as DECIMAL(18,6), so the per-doc sum is exact under any
+    partition order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = freq.agg(F.sum("cnt").cast("bigint").alias("n"))
+    logp = freq.crossJoin(F.broadcast(n_total)).select(
+        "tok",
+        round_det(F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        tok.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round_det(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
