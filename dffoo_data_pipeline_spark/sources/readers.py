@@ -148,3 +148,40 @@ def stage_followups(raw: DataFrame) -> DataFrame:
         tf("during_bt"),
         tf("double_during_bt"),
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> tuple[DataFrame, DataFrame]:
+    """JSON-Lines corpus source — the de-facto interchange format for LLM
+    training data (one document object per line).  Schema-enforced
+    PERMISSIVE read that ROUTES malformed lines to a dead-letter frame
+    instead of silently nulling them: returns (clean_rows, reject_rows).
+
+    Scale: line-delimited JSON splits on newlines, so a 100 TB corpus
+    parallelizes per-block like text; explicit schema skips Spark's
+    whole-dataset inference pass (an extra full scan) and pins types
+    against drifting producers.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # same contract as read_csv_with_rejects: corrupt-record
+        # capture is only reliable on a materialized frame
+    )
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, rejects
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source: same DataSource-V2 scan benefits as parquet
+    (predicate pushdown, column pruning, vectorized read) for corpora that
+    arrive ORC-encoded from Hive-era warehouses."""
+    return spark.read.orc(path)

@@ -184,3 +184,29 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict) -> 
     is the production path: partition-parallel INSERTs, append mode.
     """
     df.write.mode("append").jdbc(url, table, properties=properties)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSON-Lines sink (one document object per line) — what downstream
+    tokenizer/training jobs ingest.  Optional codec (e.g. 'gzip', 'zstd');
+    splittable-at-rest matters at scale, so prefer none or zstd-in-blocks
+    over whole-file gzip for files that will be re-read by Spark."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink, mirror of readers.read_orc."""
+    df.write.mode("overwrite").orc(path)
+
+
+def write_partitioned_corpus(
+    df: DataFrame, path: str, partition_cols=("lang",)
+) -> None:
+    """Hive-layout corpus write (path/lang=en/part-*.parquet): the standard
+    at-rest layout for a multilingual corpus, so per-language reads prune
+    whole directories at planning time (PartitionFilters in the scan, zero
+    files opened for excluded languages) instead of filtering rows."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

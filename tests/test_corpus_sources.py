@@ -1,0 +1,75 @@
+"""Tests for the corpus-format sources/sinks: JSONL (with dead-letter
+routing), ORC, and the lang-partitioned corpus layout (pruned scans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dffoo_data_pipeline_spark.sources import writers
+from dffoo_data_pipeline_spark.sources.readers import load_table, read_jsonl, read_orc
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    p = str(tmp_path / "docs_jsonl")
+    writers.write_jsonl(docs, p)
+    clean, rejects = read_jsonl(spark, p, DOC_SCHEMA)
+    assert rejects.count() == 0
+    got = {(r.doc_id, r.lang) for r in clean.collect()}
+    want = {(r.doc_id, r.lang) for r in docs.collect()}
+    assert got == want
+
+
+def test_jsonl_dead_letter_routing(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good doc", "lang": "en"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 2, "text": "another good one", "lang": "de"}\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "type-broken", "lang": "fr"}\n'
+    )
+    clean, rejects = read_jsonl(spark, str(p), DOC_SCHEMA)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    rej = [r._corrupt_record for r in rejects.collect()]
+    assert len(rej) == 2
+    assert any("not json" in r for r in rej)
+    assert any("NOT_A_NUMBER" in r for r in rej)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "docs_orc")
+    writers.write_orc(docs, p)
+    back = read_orc(spark, p)
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    # pushdown survives the format: a doc_id filter reaches the ORC scan
+    plan = back.where(F.col("doc_id") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:80]
+
+
+def test_partitioned_corpus_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "corpus_by_lang")
+    writers.write_partitioned_corpus(docs, p, partition_cols=("lang",))
+    back = spark.read.parquet(p)
+    one_lang = back.where(F.col("lang") == "en")
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must be a partition filter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "lang" in pf
+    n_langs = docs.select("lang").distinct().count()
+    assert n_langs > 1
+    # row parity with the unpartitioned source
+    assert one_lang.count() == docs.where(F.col("lang") == "en").count()
