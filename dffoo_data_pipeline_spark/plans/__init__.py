@@ -49,6 +49,7 @@ _PRIORITY = [
     "corpus_token_budget",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
+    "corpus_repeated_unit_removal",
 ]
 
 

@@ -236,6 +236,62 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4-style repeated-unit (boilerplate) removal
+# ---------------------------------------------------------------------------
+
+_UNIT_N = 3
+_MAX_OCC = 2
+
+_REPEAT_REMOVAL_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents),
+units AS (
+    SELECT doc_id, i - 1 AS unit_no,
+           array_to_string(list_slice(t, (i - 1) * {_UNIT_N} + 1, i * {_UNIT_N}), ' ') AS unit
+    FROM toks,
+         unnest(range(1, greatest(CAST(ceil(len(t) / {_UNIT_N}.0) AS BIGINT), 1) + 1)) AS u(i)),
+cnt AS (SELECT unit, CAST(COUNT(*) AS BIGINT) AS c FROM units GROUP BY unit),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units FROM units GROUP BY doc_id),
+kept AS (SELECT u.doc_id, u.unit_no, u.unit
+         FROM units u JOIN cnt USING (unit) WHERE cnt.c <= {_MAX_OCC}),
+reasm AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(unit, ' ' ORDER BY unit_no) AS clean_text
+    FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_units,
+       t.n_units - COALESCE(r.n_kept, 0) AS n_units_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+@_register("corpus_repeated_unit_removal", _REPEAT_REMOVAL_ORACLE)
+def corpus_repeated_unit_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate scrub: drop every text unit occurring more
+    than twice across the corpus, keep each document's surviving units in
+    order (operators/boilerplate.py).  C4's unit is the newline-split
+    line; this fixture has single-line documents, so the registered query
+    uses non-overlapping 3-token windows — identical plan shape.
+
+    Scale notes live on the operator: count shuffle with map-side
+    combine, skew-safe join (not window-over-unit), positional reassembly.
+    """
+    from dffoo_data_pipeline_spark.operators.boilerplate import (
+        remove_repeated_units,
+        token_window_units,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_repeated_units(
+        d,
+        unit_fn=lambda c: token_window_units(c, _UNIT_N),
+        max_occurrences=_MAX_OCC,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM log-probability (CCNet-style LM quality proxy)
 # ---------------------------------------------------------------------------
 
