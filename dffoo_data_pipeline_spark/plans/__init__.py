@@ -50,6 +50,7 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "corpus_repeated_unit_removal",
+    "profile_lineitem",
 ]
 
 
@@ -65,12 +66,13 @@ def all_queries():
         flagship,
         job,
         llm_ops,
+        profile,
         relational,
     )
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 
