@@ -304,3 +304,33 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, max_hammin
     return cands.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_against_seen(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ingest dedup: split a NEW batch into (novel, duplicate)
+    against the fingerprint set of everything already ingested — the
+    operation a daily corpus pipeline runs, where re-deduping the full
+    100 TB corpus per batch is off the table.
+
+    `seen_fingerprints` needs one column `fp_col` (md5 of normalized
+    text, as produced by functions.text.fingerprint_md5 — append each
+    batch's novel fingerprints to it after the run).  The seen set is
+    corpus-cumulative (huge): this is a shuffle anti/semi join on the
+    fingerprint, NOT a broadcast — Spark's runtime bloom-filter injection
+    (pinned in tests/test_scale_behaviors.py) prunes most novel rows
+    before the shuffle when the seen side is filterable.
+    """
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    stamped = new_docs.withColumn(fp_col, fingerprint_md5(text_col))
+    seen = seen_fingerprints.select(fp_col)
+    novel = stamped.join(seen, fp_col, "left_anti")
+    dupes = stamped.join(seen, fp_col, "left_semi")
+    return novel, dupes

@@ -60,3 +60,35 @@ def skew_safe_count_distinct(df: DataFrame, keys: list[str], value_col: str) -> 
     return pairs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias(f"n_distinct_{value_col}")
     )
+
+
+def heavy_hitter_report(
+    df: DataFrame, keys: list[str], top_k: int = 20
+) -> DataFrame:
+    """Top-k heaviest keys with their share of all rows — the diagnostic
+    you run BEFORE choosing a join/agg strategy (broadcast? salt? AQE skew
+    threshold?).  A key above ~1/shuffle-partitions of the table is a
+    skew risk; above a few percent it's a guaranteed straggler.
+
+    Returns (keys…, n_rows, row_frac, rank) for the top_k keys by count
+    (key-value tiebreak → deterministic).  Scale: one groupBy shuffle with
+    map-side combine (the count table is |distinct keys| rows); the top-k
+    is orderBy+limit — Spark's TakeOrderedAndProject keeps per-partition
+    heaps of k, so even a billion-distinct-key count table never funnels
+    into one sorter.  The global row count arrives as a one-row broadcast,
+    and the rank window runs over k rows only.
+    """
+    from pyspark.sql import Window
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("bigint").alias("__total"))
+    topk = counts.orderBy(F.desc("n_rows"), *keys).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), *keys)  # ≤ top_k rows by now
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("row_frac", round_det(F.col("n_rows") / F.col("__total"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .drop("__total")
+    )

@@ -51,6 +51,8 @@ _PRIORITY = [
     "text_unigram_logprob",
     "corpus_repeated_unit_removal",
     "profile_lineitem",
+    "skew_heavy_hitter_report",
+    "dedup_incremental_novel",
 ]
 
 

@@ -79,6 +79,39 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_incremental_novel",
+    r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 10 < 3),
+    seen AS (SELECT fp FROM fp WHERE doc_id % 10 >= 3)
+    SELECT n.doc_id, n.fp
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = n.fp)
+    """,
+)
+def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py:dedup_against_seen):
+    today's batch (docs with doc_id % 10 < 3 as the proxy) anti-joined on
+    content fingerprint against the already-ingested corpus — the daily
+    operation where re-deduping 100 TB per batch is off the table.
+
+    Scale: shuffle anti-join on md5 (seen side is corpus-cumulative, never
+    broadcast); runtime bloom-filter injection prunes the novel side
+    before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    novel, _dupes = dedup.dedup_against_seen(
+        new_docs=d.where(F.col("doc_id") % 10 < 3),
+        seen_fingerprints=d.where(F.col("doc_id") % 10 >= 3).select(
+            TX.fingerprint_md5("text").alias("fp")
+        ),
+    )
+    return novel.select("doc_id", "fp")
+
+
+@_register(
     "doc_fingerprint",
     """
     SELECT doc_id,

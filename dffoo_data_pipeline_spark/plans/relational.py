@@ -909,6 +909,36 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "skew_heavy_hitter_report",
+    """
+    WITH c AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+        SELECT l_suppkey, n_rows,
+               FLOOR(CAST(n_rows AS DOUBLE)
+                     / CAST((SELECT CAST(SUM(n_rows) AS BIGINT) FROM c) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS row_frac,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_suppkey) AS rank
+        FROM c)
+    SELECT l_suppkey, n_rows, row_frac, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def skew_heavy_hitter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic (operators/skew.py:heavy_hitter_report):
+    the top-20 join/agg keys by row share — what you check before picking
+    broadcast vs salt vs AQE skew thresholds on a new fact table.
+
+    Scale: one map-side-combined groupBy (count table is |distinct keys|),
+    then rank + total computed over that aggregated frame only."""
+    from dffoo_data_pipeline_spark.operators.skew import heavy_hitter_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitter_report(li, keys=["l_suppkey"], top_k=20)
+
+
+@_register(
     "agg_skew_safe_count_distinct",
     """
     SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey

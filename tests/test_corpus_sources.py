@@ -3,11 +3,20 @@ routing), ORC, and the lang-partitioned corpus layout (pruned scans)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dffoo_data_pipeline_spark.sources import writers
 from dffoo_data_pipeline_spark.sources.readers import load_table, read_jsonl, read_orc
+
+@pytest.fixture(autouse=True)
+def _drop_jsonl_cache(spark):
+    """read_jsonl caches its frame (the corrupt-record capture contract);
+    release it so suite-wide no-cached-RDDs assertions stay meaningful."""
+    yield
+    spark.catalog.clearCache()
+
 
 DOC_SCHEMA = T.StructType(
     [
