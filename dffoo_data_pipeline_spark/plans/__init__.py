@@ -53,6 +53,8 @@ _PRIORITY = [
     "profile_lineitem",
     "skew_heavy_hitter_report",
     "dedup_incremental_novel",
+    "streaming_dedup_against_ledger",
+    "profile_quantiles_lineitem",
 ]
 
 

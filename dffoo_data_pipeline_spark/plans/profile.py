@@ -63,3 +63,57 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["profile_lineitem"] = profile_lineitem
 ORACLES["profile_lineitem"] = _PROFILE_LINEITEM_ORACLE
+
+
+_QUANTILE_PS = [0.25, 0.5, 0.75, 0.95, 0.99]
+_QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_PROFILE_QUANTILES_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST({p} AS DOUBLE) AS p, "
+    f"FLOOR(quantile_cont({c}, {p}) * 1000000 + 0.5) / 1000000 AS q "
+    f"FROM lineitem"
+    for c in _QUANTILE_COLS
+    for p in _QUANTILE_PS
+)
+
+
+def profile_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per numeric column, one row per
+    (column, p).  Spark's `percentile` and DuckDB's `quantile_cont` share
+    the linear-interpolation definition (probed bit-identical; the 1e-6
+    round guards residual ulp).
+
+    Scale: EXACT percentile buffers each group's values — fine per
+    column at test scale, wrong at 100 TB; the scale path is
+    `approx_percentile` (Greenwald-Khanna sketch, mergeable map-side),
+    a drop-in with identical output shape (rows-only checkable).  All
+    columns compute in one aggregate = one scan.
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    ps = ", ".join(str(p) for p in _QUANTILE_PS)
+    one = li.agg(
+        *[
+            F.expr(f"percentile({c}, array({ps}))").alias(f"{c}__q")
+            for c in _QUANTILE_COLS
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(p).alias("p"),
+                round_det(F.col(f"{c}__q")[i], 6).alias("q"),
+            )
+            for c in _QUANTILE_COLS
+            for i, p in enumerate(_QUANTILE_PS)
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
+QUERIES["profile_quantiles_lineitem"] = profile_quantiles_lineitem
+ORACLES["profile_quantiles_lineitem"] = _PROFILE_QUANTILES_ORACLE

@@ -536,3 +536,44 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, "complete")
+
+
+@_register(
+    "streaming_dedup_against_ledger",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.ts
+    FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events s
+        WHERE s.event_id % 7 = 0 AND s.event_id = e.event_id)
+    """,
+)
+def streaming_dedup_against_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ANTI join (§2i + incremental-dedup twin): pass
+    through only events whose id is NOT in a static already-ingested
+    ledger — the streaming form of operators/dedup.py:dedup_against_seen
+    (here the ledger proxy is event_id % 7 == 0 of the batch table).
+
+    Spark supports stream-static left_anti directly (stream on the left);
+    the join is STATELESS — the static side is re-planned each
+    micro-batch, so a growing ledger is picked up without restart, and no
+    watermark is needed because nothing is buffered.  Append mode: rows
+    flow through as soon as their micro-batch commits.
+
+    Scale: per-batch anti join against a corpus-cumulative ledger is a
+    shuffle join (never broadcast by hint); dropDuplicates handles
+    WITHIN-stream dupes (streaming_dedup_events) while this handles
+    dupes against HISTORY — a real pipeline runs both.
+    """
+    e = read_events_stream(spark, sf_dir)
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    ledger = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select("event_id")
+    )
+    novel = e.join(ledger, "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return run_stream_to_table(novel, "append")
