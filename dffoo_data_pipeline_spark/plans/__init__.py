@@ -55,6 +55,7 @@ _PRIORITY = [
     "dedup_incremental_novel",
     "streaming_dedup_against_ledger",
     "profile_quantiles_lineitem",
+    "corpus_source_report",
 ]
 
 

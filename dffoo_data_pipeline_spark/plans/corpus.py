@@ -236,6 +236,81 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source quality dashboard
+# ---------------------------------------------------------------------------
+
+_SOURCE_REPORT_ORACLE = r"""
+WITH per_doc AS (
+    SELECT source,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           CAST(FLOOR(((CASE WHEN len(string_split_regex(trim(text), '\s+'))
+                                  BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                        + CASE WHEN (FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                                                    x -> length(x))) * 1.0
+                                            / len(string_split_regex(trim(text), '\s+'))) * 10000 + 0.5) / 10000)
+                                    BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+                        + (1 - LEAST(FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                                            / length(text)) * 10000 + 0.5) / 10000
+                                     + FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                                              / length(text)) * 10000 + 0.5) / 10000, 1.0)))
+                       / 3) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS quality
+    FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       FLOOR(CAST(SUM(quality) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+         AS avg_quality,
+       FLOOR((1 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+         / 1000000 AS dup_rate
+FROM per_doc
+GROUP BY source
+"""
+
+
+@_register("corpus_source_report", _SOURCE_REPORT_ORACLE)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc count, token count, mean quality
+    score, and exact-duplicate rate — the single report a curation team
+    reads before setting per-source sampling weights (composes
+    fingerprint_md5 + token_count + quality_score in one pass).
+
+    Scale: one shuffle on `source` (bounded cardinality); the dup rate is
+    a COUNT(DISTINCT fp) per source — two-phase-safe because the
+    fingerprint prefix spreads any hot source across reducers (the same
+    argument as operators/skew.py:skew_safe_count_distinct); quality is
+    rounded per doc then summed as DECIMAL so the mean is
+    partition-order-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("source", "text", TX.tokens("text").alias("__toks"))
+    parts = staged.select(
+        "source",
+        "text",
+        F.size("__toks").alias("__n_tok"),
+        TX.avg_token_len("text", toks=F.col("__toks")).alias("__avg_len"),
+    )
+    per_doc = parts.select(
+        "source",
+        TX.fingerprint_md5("text").alias("fp"),
+        F.col("__n_tok").alias("n_tok"),
+        TX.quality_score_from_parts(F.col("__n_tok"), F.col("__avg_len"), "text")
+        .cast("decimal(18,4)")
+        .alias("quality"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        round_det(F.sum("quality").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_quality"
+        ),
+        round_det(
+            1 - F.count_distinct(F.col("fp")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4-style repeated-unit (boilerplate) removal
 # ---------------------------------------------------------------------------
 
