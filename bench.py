@@ -44,6 +44,16 @@ HEADLINE = [
     "abilities_parse_scaled",      # flagship parse at ~1.4M lines
 ]
 
+# round-1/2 comparable set ends above; round-3 additions below (the
+# legacy subtotal is reported separately so cross-round comparison of
+# the original 17 stays apples-to-apples)
+_N_LEGACY = len(HEADLINE)
+HEADLINE += [
+    "text_tfidf_top_terms",          # tf/df shuffles + vocab join + top-k
+    "corpus_repeated_unit_removal",  # count + anti-ish join + ordered reassembly
+    "text_unigram_logprob",          # vocab build + instance join + DECIMAL agg
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +98,7 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    legacy17 = round(sum(timings[n] for n in HEADLINE[:_N_LEGACY]), 3)
     print(
         json.dumps(
             {
@@ -97,6 +108,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "median_total": round(sum(medians.values()), 3),
+                "legacy17_total": legacy17,
                 "reps": reps,
                 "sf": sf,
             }

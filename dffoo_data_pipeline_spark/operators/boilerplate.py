@@ -62,12 +62,27 @@ def remove_repeated_units(
 
     Returns (id_col, n_units, n_units_dropped, clean_text); documents
     whose every unit was boilerplate survive with clean_text = ''.
+
+    Lineage shape: the exploded unit frame has exactly two consumers
+    (the unit-count aggregate and the count join); per-doc totals and the
+    all-units-dropped docs come from a separate NO-explode projection of
+    the input (one O(n) array build per document).  At 100 TB you either
+    accept the 2× explode recompute (scan-bound, embarrassingly
+    parallel) or stage the exploded frame to storage yourself; this
+    operator deliberately does not cache — a corpus-sized `.persist()`
+    hidden inside an operator is how clusters fall over.
     """
+    # The exploded frame carries ONLY (id, unit_no, unit): any per-doc
+    # scalar (like the unit total) must NOT ride through the generator —
+    # an expression column next to posexplode gets inlined into the
+    # post-Generate projection and is re-evaluated per exploded row,
+    # which for size(unit_fn(...)) re-builds the whole unit array per
+    # unit (O(n²) per document; measured 13× slower at sf0.1).  Totals
+    # come from a separate no-explode projection instead.
     units = docs.select(
         id_col, F.posexplode(unit_fn(text_col)).alias("unit_no", "unit")
     )
     counts = units.groupBy("unit").agg(F.count(F.lit(1)).alias("unit_count"))
-    totals = units.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
     kept = units.join(
         counts.where(F.col("unit_count") <= max_occurrences).select("unit"), "unit"
     )
@@ -81,7 +96,10 @@ def remove_repeated_units(
             ),
         ).alias("clean_text"),
     )
-    return totals.join(reassembled, id_col, "left").select(
+    all_docs = docs.select(
+        id_col, F.size(unit_fn(text_col)).cast("long").alias("n_units")
+    )
+    return all_docs.join(reassembled, id_col, "left").select(
         id_col,
         "n_units",
         (F.col("n_units") - F.coalesce("n_kept", F.lit(0))).alias("n_units_dropped"),

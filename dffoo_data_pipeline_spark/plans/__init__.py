@@ -56,6 +56,8 @@ _PRIORITY = [
     "streaming_dedup_against_ledger",
     "profile_quantiles_lineitem",
     "corpus_source_report",
+    "dedup_best_survivor",
+    "curation_token_budget_fill",
 ]
 
 

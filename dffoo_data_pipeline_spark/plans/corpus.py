@@ -79,7 +79,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is materialized once per row (staged projection) and both the
     starts sequence and the slices read it.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     staged = d.select("doc_id", TX.tokens("text").alias("t"))
     n = F.size("t")
     starts = staged.select(
@@ -131,7 +131,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs × sources, thousands at most — the single-partition window runs
     on a tiny aggregated frame, never on the corpus).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     grouped = (
         d.select("lang", "source", TX.token_count("text").alias("n_tok"))
         .groupBy("lang", "source")
@@ -199,7 +199,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, not a driver collect.  Ranked winner is deterministic:
     tfidf rounded at 1e-6, ties broken by term.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )
@@ -282,7 +282,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded per doc then summed as DECIMAL so the mean is
     partition-order-exact.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     staged = d.select("source", "text", TX.tokens("text").alias("__toks"))
     parts = staged.select(
         "source",
@@ -358,11 +358,172 @@ def corpus_repeated_unit_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_window_units,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the single-file test input would otherwise run the whole
+    # explode+count on one task (heavy compute before the first shuffle)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     return remove_repeated_units(
         d,
         unit_fn=lambda c: token_window_units(c, _UNIT_N),
         max_occurrences=_MAX_OCC,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-quality dedup survivor per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_BEST_SURVIVOR_ORACLE = r"""
+WITH clusters AS (
+    WITH RECURSIVE
+    toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS isect
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= 0.6),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+quality AS (
+    SELECT doc_id,
+           FLOOR(((CASE WHEN len(string_split_regex(trim(text), '\s+'))
+                             BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN (FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                                               x -> length(x))) * 1.0
+                                       / len(string_split_regex(trim(text), '\s+'))) * 10000 + 0.5) / 10000)
+                               BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+                   + (1 - LEAST(FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                                       / length(text)) * 10000 + 0.5) / 10000
+                                + FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                                         / length(text)) * 10000 + 0.5) / 10000, 1.0)))
+                  / 3) * 10000 + 0.5) / 10000 AS quality
+    FROM documents)
+SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_quality,
+       cluster_size
+FROM (
+    SELECT c.cluster_id, c.doc_id, q.quality,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) AS rn
+    FROM clusters c JOIN quality q USING (doc_id))
+WHERE rn = 1
+"""
+
+
+@_register("dedup_best_survivor", _BEST_SURVIVOR_ORACLE)
+def dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each transitive
+    near-dup cluster (≥0.6 Jaccard connected components), keep the
+    HIGHEST-quality document rather than the first-seen one — what a real
+    curation pipeline ships (keep-first discards the clean copy whenever
+    the boilerplate-laden copy sorts earlier).
+
+    Scale: clusters come from the linear-candidate path + iterative
+    min-label propagation (operators/graph.py); quality is a per-row
+    expression; the pick is one window over (cluster_id) — cluster
+    cardinality is bounded by the dedup threshold, no global sort.
+    Deterministic: quality rounded at 1e-4, doc_id tiebreak.
+    """
+    from dffoo_data_pipeline_spark.operators import dedup as D
+    from dffoo_data_pipeline_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    clusters = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+    staged = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    quality = staged.select(
+        "doc_id",
+        TX.quality_score_from_parts(
+            F.size("__toks"),
+            TX.avg_token_len("text", toks=F.col("__toks")),
+            "text",
+        ).alias("quality"),
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.desc("quality"), "doc_id")
+    return (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality").alias("survivor_quality"),
+            "cluster_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-constrained sampling per source
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 500
+
+_BUDGET_FILL_ORACLE = rf"""
+WITH t AS (
+    SELECT source, doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents),
+c AS (
+    SELECT source, doc_id, n_tok,
+           CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+    FROM t)
+SELECT source, doc_id, n_tok, cum_tokens
+FROM c WHERE cum_tokens - n_tok < {_BUDGET_TOKENS}
+"""
+
+
+@_register("curation_token_budget_fill", _BUDGET_FILL_ORACLE)
+def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained sampling: fill each source's quota of
+    500 (`_BUDGET_TOKENS`) training tokens by deterministic hash order —
+    the op that turns
+    'mix 30% source A, 70% source B' weights into an actual bounded
+    document pick, stable as the corpus grows (hash order, not
+    row_number over arrival order).  A doc that straddles the budget
+    boundary is included (cum BEFORE it is under budget), so every quota
+    is met, never silently under-filled.
+
+    Scale: one shuffle on source + an in-partition ordered cumulative
+    sum — same shape as sessionization; no global sort, no collect.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = d.select(
+        "source",
+        "doc_id",
+        TX.token_count("text").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
+    return c.where(F.col("cum_tokens") - F.col("n_tok") < _BUDGET_TOKENS).select(
+        "source", "doc_id", "n_tok", "cum_tokens"
     )
 
 
@@ -409,7 +570,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried as DECIMAL(18,6), so the per-doc sum is exact under any
     partition order.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok")
     )
