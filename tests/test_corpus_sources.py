@@ -82,3 +82,34 @@ def test_partitioned_corpus_prunes_at_plan_time(spark, sf_dir, tmp_path):
     assert n_langs > 1
     # row parity with the unpartitioned source
     assert one_lang.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_jsonl_gzip_roundtrip(spark, sf_dir, tmp_path):
+    """Compressed JSONL (the common at-rest corpus form); note whole-file
+    gzip is unsplittable — write_jsonl's docstring routes scale users to
+    zstd/none."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    p = str(tmp_path / "docs_jsonl_gz")
+    writers.write_jsonl(docs, p, compression="gzip")
+    import glob
+
+    assert glob.glob(p + "/*.gz"), "expected gzip part files"
+    clean, rejects = read_jsonl(spark, p, DOC_SCHEMA)
+    assert rejects.count() == 0
+    assert clean.count() == docs.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Producers add columns over time; mergeSchema reads old+new batches
+    as one table with NULLs where the old batch lacks the column."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id bigint, text string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id bigint, text string, lang string"
+    ).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert set(merged.columns) >= {"doc_id", "text", "lang"}
+    assert rows[1].lang is None and rows[2].lang == "en"
