@@ -58,6 +58,8 @@ _PRIORITY = [
     "corpus_source_report",
     "dedup_best_survivor",
     "curation_token_budget_fill",
+    "text_lang_predict",
+    "profile_quantiles_docs_by_lang",
 ]
 
 

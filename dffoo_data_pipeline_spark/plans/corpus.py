@@ -236,6 +236,83 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-document language-ID (stopword-signal argmax classifier)
+# ---------------------------------------------------------------------------
+
+_LANG_SETS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _lang_ratio_sql(toks_expr: str, words: tuple) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"FLOOR(len(list_filter({toks_expr}, x -> x IN ({in_list}))) * 1.0"
+        f" / len({toks_expr}) * 10000 + 0.5) / 10000"
+    )
+
+
+_LANG_PREDICT_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents),
+scored AS (
+    SELECT doc_id,
+""" + ",\n".join(
+    f"           {_lang_ratio_sql('tk', ws)} AS s_{lang}" for lang, ws in _LANG_SETS.items()
+) + """
+    FROM t)
+SELECT doc_id, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+"""
+
+
+@_register("text_lang_predict", _LANG_PREDICT_ORACLE)
+def text_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-ID: stopword-hit ratio per candidate
+    language, classify by argmax — the n-gram-heuristic langid step,
+    taken from per-label aggregate signal (text_lang_signal) to an actual
+    per-doc classifier.  Real deployments widen `_LANG_SETS` to character
+    n-gram profiles; the plan (K per-row signals → fixed-precedence
+    argmax ladder) is unchanged.
+
+    Scale: pure per-row expressions, no shuffle, whole-stage codegen;
+    ratios rounded at 1e-4 and ties resolved by a fixed precedence
+    (en > de > es > fr), so the winner is engine-independent.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("tk"))
+    n = F.size("tk")
+    scores = {
+        lang: round_det(
+            F.size(F.filter(F.col("tk"), lambda x: x.isin(*ws))) / n, 4
+        ).alias(f"s_{lang}")
+        for lang, ws in _LANG_SETS.items()
+    }
+    scored = staged.select("doc_id", *scores.values())
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_SETS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "s_en", "s_de", "s_es", "s_fr", predicted.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source quality dashboard
 # ---------------------------------------------------------------------------
 

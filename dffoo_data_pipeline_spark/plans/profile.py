@@ -117,3 +117,47 @@ def profile_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["profile_quantiles_lineitem"] = profile_quantiles_lineitem
 ORACLES["profile_quantiles_lineitem"] = _PROFILE_QUANTILES_ORACLE
+
+
+_GROUP_PS = [0.25, 0.5, 0.75]
+
+_GROUP_QUANTILES_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT lang, CAST({p} AS DOUBLE) AS p, "
+    f"FLOOR(quantile_cont(n_chars, {p}) * 1000000 + 0.5) / 1000000 AS q "
+    f"FROM documents GROUP BY lang"
+    for p in _GROUP_PS
+)
+
+
+def profile_quantiles_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles: document-length distribution per language
+    (the per-stratum length profile behind curation length gates).
+
+    Scale: one shuffle on `lang`; exact percentile buffers per GROUP (a
+    language's docs), which caps memory at the largest stratum — already
+    marginal at 100 TB, so the scale path is the same query with
+    `approx_percentile` (mergeable sketch, bounded state per group).
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ps = ", ".join(str(p) for p in _GROUP_PS)
+    one = d.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, array({ps}))").alias("qs")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                round_det(F.col("qs")[i], 6).alias("q"),
+            )
+            for i, p in enumerate(_GROUP_PS)
+        ]
+    )
+    return one.select("lang", F.inline(rows))
+
+
+QUERIES["profile_quantiles_docs_by_lang"] = profile_quantiles_docs_by_lang
+ORACLES["profile_quantiles_docs_by_lang"] = _GROUP_QUANTILES_ORACLE
