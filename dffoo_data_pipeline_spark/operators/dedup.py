@@ -334,3 +334,33 @@ def dedup_against_seen(
     novel = stamped.join(seen, fp_col, "left_anti")
     dupes = stamped.join(seen, fp_col, "left_semi")
     return novel, dupes
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots by stable id + content fingerprint:
+    every id is classified `added` (new only), `removed` (old only),
+    `changed` (both, different fingerprint), or `unchanged` — the audit a
+    versioned-dump pipeline (Common-Crawl-style monthly snapshots) runs
+    before deciding what to re-process.
+
+    Scale: one full outer shuffle join on the id (both sides fingerprint
+    map-side first); downstream re-processing consumes `added`+`changed`
+    only, which is the whole point — never re-tokenize the unchanged 99%.
+    """
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    o = old.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp_old"))
+    n = new.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp_new"))
+    status = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") != F.col("__fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(n, id_col, "full_outer").select(id_col, status.alias("status"))

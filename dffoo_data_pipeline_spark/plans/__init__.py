@@ -60,6 +60,8 @@ _PRIORITY = [
     "curation_token_budget_fill",
     "text_lang_predict",
     "profile_quantiles_docs_by_lang",
+    "corpus_snapshot_diff",
+    "corpus_top_ngrams",
 ]
 
 

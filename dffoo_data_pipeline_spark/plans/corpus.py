@@ -236,6 +236,94 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus snapshot diff (versioned-dump audit)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = r"""
+WITH old AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 5 <> 0),
+new AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 3 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+@_register("corpus_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus audit (operators/dedup.py:
+    snapshot_diff): classify every doc id as added / removed / changed /
+    unchanged between two dumps so re-processing touches only
+    added+changed.  Proxy snapshots here are modular slices of the same
+    table (so `changed` can't fire — the operator's changed branch is
+    unit-tested with genuinely differing texts in tests/test_dedup.py).
+
+    Scale: one full-outer shuffle join on doc_id, fingerprints computed
+    map-side.
+    """
+    from dffoo_data_pipeline_spark.operators.dedup import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return snapshot_diff(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 3 != 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top n-grams (vocabulary / stopword induction)
+# ---------------------------------------------------------------------------
+
+_TOP_NGRAMS_K = 50
+
+_TOP_NGRAMS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents),
+grams AS (
+    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                 i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks WHERE len(t) >= 2),
+cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY gram)
+SELECT gram, n, CAST(rn AS INT) AS rank FROM (
+    SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rn FROM cnt)
+WHERE rn <= {_TOP_NGRAMS_K}
+"""
+
+
+@_register("corpus_top_ngrams", _TOP_NGRAMS_ORACLE)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams — vocabulary/stopword-list induction
+    and the collocation signal quality filters build on.
+
+    Scale: explode bigrams → one map-side-combined count shuffle → top-k
+    via orderBy+limit (TakeOrderedAndProject per-partition heaps, no
+    global sort); the rank window runs over k rows only — same shape as
+    operators/skew.py:heavy_hitter_report.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select(TX.tokens(TX.normalized_text("text")).alias("t"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    grams = staged.where(F.size("t") >= 2).select(F.explode(bigrams).alias("gram"))
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    topk = cnt.orderBy(F.desc("n"), "gram").limit(_TOP_NGRAMS_K)
+    w = Window.orderBy(F.desc("n"), "gram")
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
 # Per-document language-ID (stopword-signal argmax classifier)
 # ---------------------------------------------------------------------------
 
