@@ -149,13 +149,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + shape stats, array-expression only (no UDF)."""
+    """Token counting + shape stats, array-expression only (no UDF).
+    Tokenizes once via a staged projection (same rationale as
+    text_quality_score: the split would otherwise run 3× per row and
+    interpreted folds defeat codegen CSE)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    return staged.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        F.size("__toks").alias("n_tokens"),
         TX.char_count("text").alias("n_chars_measured"),
-        TX.avg_token_len("text").alias("avg_token_len"),
+        TX.avg_token_len("text", toks=F.col("__toks")).alias("avg_token_len"),
     )
 
 
