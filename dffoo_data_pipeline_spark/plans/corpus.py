@@ -204,7 +204,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df falls out of tf (exactly one row per (doc, term)): a plain count
+    # per term over the aggregated frame — no second explode over raw
+    # token instances, no COUNT(DISTINCT) Expand
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     d_total = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df_t, "term")
