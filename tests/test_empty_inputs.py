@@ -51,3 +51,38 @@ def test_multimodal_empty(spark):
     a = documents_as_assets(empty)
     assert frame_sample(a).count() == 0
     assert byte_histogram_features(a).count() == 0
+
+
+def test_corpus_operators_empty(spark, empty_docs):
+    from dffoo_data_pipeline_spark.operators.boilerplate import remove_repeated_units
+    from dffoo_data_pipeline_spark.operators.contamination import contamination_overlap
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        dedup_against_seen,
+        snapshot_diff,
+    )
+
+    out = remove_repeated_units(empty_docs)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_units", "n_units_dropped", "clean_text"]
+
+    some = spark.createDataFrame([(1, "real content here")], "doc_id bigint, text string")
+    # empty corpus vs non-empty benchmark, and vice versa
+    assert contamination_overlap(empty_docs, some, max_shingles=None).count() == 0
+    assert contamination_overlap(some, empty_docs, max_shingles=None).collect()[0].n_contaminated == 0
+
+    novel, dupes = dedup_against_seen(some, empty_docs.select(F.md5("text").alias("fp")))
+    assert novel.count() == 1 and dupes.count() == 0
+
+    diff = {r.status for r in snapshot_diff(empty_docs, some).collect()}
+    assert diff == {"added"}
+    assert {r.status for r in snapshot_diff(some, empty_docs).collect()} == {"removed"}
+
+
+def test_profile_empty_table(spark):
+    from dffoo_data_pipeline_spark.operators.profile import profile_table
+
+    empty = spark.createDataFrame([], "k bigint, s string")
+    rows = {r.col_name: r for r in profile_table(empty).collect()}
+    assert set(rows) == {"k", "s"}
+    assert rows["k"].n_rows == 0 and rows["k"].n_distinct == 0
+    assert rows["k"].min_num is None and rows["s"].min_str is None
