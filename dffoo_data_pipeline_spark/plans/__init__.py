@@ -62,6 +62,8 @@ _PRIORITY = [
     "profile_quantiles_docs_by_lang",
     "corpus_snapshot_diff",
     "corpus_top_ngrams",
+    "events_ordered_funnel",
+    "events_cohort_retention",
 ]
 
 

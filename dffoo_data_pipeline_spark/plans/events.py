@@ -94,6 +94,124 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+    GROUP BY user_id),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+@_register("events_ordered_funnel", _FUNNEL_SQL)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel: users who viewed, then clicked strictly
+    AFTER their first view, then purchased strictly after that first
+    qualifying click — sequential pattern matching, not mere membership
+    (which curation_funnel's stage counts already cover for documents).
+
+    Scale: three per-user min aggregations joined on user_id — every
+    shuffle shares the user_id key, so the exchanges line up (co-
+    partitioned joins, no re-shuffle between steps); state per user is
+    one timestamp per step, never the event list.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _count(df, step, name):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        _count(s1, 1, "view")
+        .unionByName(_count(s2, 2, "view>click"))
+        .unionByName(_count(s3, 3, "view>click>purchase"))
+    )
+
+
+_RETENTION_SQL = """
+WITH first_day AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+    FROM events GROUP BY user_id),
+activity AS (
+    SELECT DISTINCT f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           e.user_id
+    FROM events e JOIN first_day f ON e.user_id = f.user_id)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+WHERE day_offset BETWEEN 0 AND 7
+GROUP BY cohort_day, day_offset
+"""
+
+
+@_register("events_cohort_retention", _RETENTION_SQL)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted as
+    retained for each of the next 7 days they return — the standard
+    product-analytics retention triangle.
+
+    Scale: first-day agg and the activity join both shuffle on user_id
+    (co-partitioned); the final (cohort, offset) agg is over the DISTINCT
+    per-user-day frame, which is bounded by users × 8 offsets.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    activity = (
+        e.join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 _SESSION_SQL = f"""
 WITH ordered AS (
     SELECT user_id, ts, value, event_id,
