@@ -64,6 +64,7 @@ _PRIORITY = [
     "corpus_top_ngrams",
     "events_ordered_funnel",
     "events_cohort_retention",
+    "events_type_transitions",
 ]
 
 

@@ -162,6 +162,45 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@_register("events_type_transitions", _TRANSITIONS_SQL)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (who does what next): adjacent-pair
+    counts over each user's time-ordered stream — the Markov-chain /
+    next-action input behind path analysis and anomaly baselines.
+
+    Scale: one shuffle on user_id for the lead() window (per-user
+    streams sort within partitions), then a map-side-combined count on
+    the (from, to) pair — at most |event types|² groups.  event_id
+    tiebreak keeps equal-timestamp ordering engine-identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 _RETENTION_SQL = """
 WITH first_day AS (
     SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
