@@ -65,6 +65,8 @@ _PRIORITY = [
     "events_ordered_funnel",
     "events_cohort_retention",
     "events_type_transitions",
+    "curation_length_outliers",
+    "events_max_gap",
 ]
 
 

@@ -239,6 +239,45 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Length-outlier gate (per-language p99 filter)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = r"""
+WITH cuts AS (
+    SELECT lang,
+           FLOOR(quantile_cont(n_chars, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+    FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, c.p99
+FROM documents d JOIN cuts c USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) > c.p99
+"""
+
+
+@_register("curation_length_outliers", _OUTLIER_ORACLE)
+def curation_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier gate: flag documents longer than their
+    language's p99 — the distribution-relative length filter (a fixed
+    global cutoff is wrong across languages with different scripts and
+    tokenization densities).
+
+    Scale: the quantile agg shuffles on lang (exact here for the oracle;
+    approx_percentile at 100 TB), the cut table is |langs| rows →
+    broadcast joined back, so the corpus streams through one map-side
+    stage.  Cuts rounded at 1e-6 so the boundary decision is
+    engine-identical.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    cuts = d.groupBy("lang").agg(
+        round_det(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99")
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .where(F.col("n_chars").cast("double") > F.col("p99"))
+        .select("doc_id", "lang", "n_chars", "p99")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus snapshot diff (versioned-dump audit)
 # ---------------------------------------------------------------------------
 

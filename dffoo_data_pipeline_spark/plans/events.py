@@ -162,6 +162,45 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_GAP_SQL = """
+WITH gaps AS (
+    SELECT user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events)
+SELECT user_id,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@_register("events_max_gap", _MAX_GAP_SQL)
+def events_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest inactivity gap per user — the liveness/downtime signal
+    behind churn flags and dead-sensor detection (the max-gap dual of
+    gap-based sessionization).
+
+    Scale: one shuffle on user_id for the lag window, then a map-side-
+    combined max/count — state per user is two scalars.  event_id
+    tiebreak keeps equal-timestamp ordering engine-identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = e.select("user_id", gap.alias("gap_us"))
+    return (
+        gaps.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("gap_us").alias("max_gap_us"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+    )
+
+
 _TRANSITIONS_SQL = """
 WITH seq AS (
     SELECT user_id, event_type,
