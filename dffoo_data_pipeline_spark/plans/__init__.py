@@ -67,6 +67,8 @@ _PRIORITY = [
     "events_type_transitions",
     "curation_length_outliers",
     "events_max_gap",
+    "customers_rfm",
+    "events_hourly_error_rate",
 ]
 
 

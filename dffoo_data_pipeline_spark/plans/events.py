@@ -345,3 +345,39 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(N.dec2("value")).cast("double").alias("session_value"),
     )
+
+
+_ERROR_RATE_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS error_rate,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+         > 0.25 AS alert
+FROM events
+GROUP BY date_trunc('hour', ts)
+"""
+
+
+@_register("events_hourly_error_rate", _ERROR_RATE_SQL)
+def events_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error fraction with an alert flag at >25% — the SLO-style
+    health rollup; the streaming twin is the same agg under a watermark.
+
+    Scale: one shuffle on the hour bucket (high-cardinality over time),
+    conditional sums are map-side partials; the alert predicate compares
+    the UNROUNDED ratio (the rounded column is for reporting) identically
+    on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    n_all = F.count(F.lit(1))
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    return e.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        n_all.alias("n_events"),
+        n_err.alias("n_errors"),
+        round_det(n_err / n_all, 6).alias("error_rate"),
+        (n_err / n_all > 0.25).alias("alert"),
+    )

@@ -2046,3 +2046,43 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE i.l_partkey = ps.l_partkey))
         """
     )
+
+
+@_register(
+    "customers_rfm",
+    """
+    WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS max_day FROM orders)
+    SELECT o.o_custkey AS custkey,
+           CAST(date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                          (SELECT max_day FROM mx)) AS INT) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS monetary
+    FROM orders o
+    GROUP BY o.o_custkey
+    """,
+)
+def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM per customer: days since last order (relative to the corpus's
+    latest order day, so the result is re-runnable), order count, exact
+    money total — the segmentation base table every commerce warehouse
+    maintains.
+
+    Scale: one shuffle on custkey with map-side partials; the global max
+    day is a one-row broadcast cross join, not a driver collect; money
+    summed in DECIMAL (exact, partition-order-independent)."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_day"))
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    return per.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        F.datediff("max_day", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
