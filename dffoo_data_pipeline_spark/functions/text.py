@@ -124,3 +124,28 @@ def word_shingles(text, n: int = 3) -> Column:
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
+
+
+def quality_score_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of `quality_score` as a SQL fragment (same gates,
+    same 1e-4 rounding).  Keeping the one authoritative string here stops
+    the oracle fragment from drifting between plan modules — any change
+    to the Spark expression and this SQL must land together."""
+    toks = rf"string_split_regex(trim({text_expr}), '\s+')"
+    avg_len = (
+        rf"(FLOOR((list_sum(list_transform({toks}, x -> length(x))) * 1.0"
+        rf" / len({toks})) * 10000 + 0.5) / 10000)"
+    )
+    punct = (
+        rf"FLOOR((length(regexp_replace({text_expr}, '[^.!?,;:]', '', 'g')) * 1.0"
+        rf" / length({text_expr})) * 10000 + 0.5) / 10000"
+    )
+    digit = (
+        rf"FLOOR((length(regexp_replace({text_expr}, '[^0-9]', '', 'g')) * 1.0"
+        rf" / length({text_expr})) * 10000 + 0.5) / 10000"
+    )
+    return (
+        rf"FLOOR(((CASE WHEN len({toks}) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END"
+        rf" + CASE WHEN {avg_len} BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END"
+        rf" + (1 - LEAST({punct} + {digit}, 1.0))) / 3) * 10000 + 0.5) / 10000"
+    )

@@ -364,3 +364,72 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return o.join(n, id_col, "full_outer").select(id_col, status.alias("status"))
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_frequency: int | None = 1000,
+) -> DataFrame:
+    """Directed near-dup containment: emit (contained, container,
+    containment) where containment = |A∩B| / |A| ≥ threshold — the
+    asymmetric complement of Jaccard.  A short document fully embedded in
+    a longer one scores containment ≈ 1 while its Jaccard stays low
+    (|A∪B| is dominated by the long side), so symmetric dedup never sees
+    it; this is the quote/excerpt/wrapper-page detector.
+
+    Same posting-list plan as `ngram_jaccard_pairs` (one shingle pass, one
+    shuffle per stage, stop-shingle guard bounds bucket fan-out); the only
+    change is the final ratio: each undirected intersection row fans out
+    to ≤2 directed rows, filtered by isect/|A| ≥ threshold.
+    """
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    base = ensure_min_partitions(df, id_col).select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("__sh")
+    )
+    posts = base.select(
+        F.struct(F.col(id_col).alias("id"), F.size("__sh").alias("sz")).alias("d"),
+        F.explode("__sh").alias("shingle"),
+    )
+    lists = posts.groupBy("shingle").agg(F.array_sort(F.collect_list("d")).alias("ds"))
+    if max_doc_frequency is not None:
+        lists = lists.where(F.size("ds") <= max_doc_frequency)
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = lists.where(F.size("ds") >= 2).select(F.explode(combos).alias("p"))
+    inter = pairs.groupBy(
+        F.col("p.a.id").alias("doc_a"),
+        F.col("p.b.id").alias("doc_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    ).agg(F.count(F.lit(1)).alias("isect"))
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    (F.col("isect") / F.col("sz_a")).alias("c"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    (F.col("isect") / F.col("sz_b")).alias("c"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.contained", "d.container", "d.c")
+    return directed.where(F.col("c") >= threshold).select(
+        "contained", "container", F.round("c", 4).alias("containment")
+    )

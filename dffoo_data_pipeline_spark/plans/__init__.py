@@ -69,6 +69,13 @@ _PRIORITY = [
     "events_max_gap",
     "customers_rfm",
     "events_hourly_error_rate",
+    "events_anomaly_mad",
+    "scd2_user_tier",
+    "curation_temporal_split",
+    "curation_e2e_corpus",
+    "dedup_shingle_containment",
+    "similarity_int8_topk",
+    "corpus_ppl_buckets",
 ]
 
 

@@ -799,3 +799,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM-quality buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = rf"""
+WITH perdoc AS ({_UNIGRAM_ORACLE}),
+langs AS (SELECT doc_id, lang FROM documents),
+scored AS (
+    SELECT p.doc_id, l.lang, p.n_tokens, p.avg_logprob
+    FROM perdoc p JOIN langs l USING (doc_id)),
+cuts AS (
+    SELECT lang,
+           FLOOR(quantile_cont(avg_logprob, 1.0/3) * 1000000 + 0.5) / 1000000 AS c1,
+           FLOOR(quantile_cont(avg_logprob, 2.0/3) * 1000000 + 0.5) / 1000000 AS c2
+    FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+       CASE WHEN s.avg_logprob >= c.c2 THEN 'head'
+            WHEN s.avg_logprob >= c.c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c USING (lang)
+"""
+
+
+@_register("corpus_ppl_buckets", _PPL_BUCKETS_ORACLE)
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: split each language's documents
+    into head / middle / tail terciles of mean unigram log-probability
+    (the cheap perplexity proxy from text_unigram_logprob) — the exact
+    shape of CCNet's per-language perplexity partition, which downstream
+    recipes sample at different rates (head-heavy for quality, tail kept
+    for diversity).
+
+    Scale: the per-doc score reuses text_unigram_logprob's plan (two
+    corpus shuffles); the cut table is |langs| × 2 values computed from
+    the SCORED frame (exact `percentile` here, `approx_percentile` at
+    unbounded scale) and broadcast back, so bucketing is map-side.
+    Determinism: per-doc scores are already rounded at 1e-6; cuts are
+    rounded at 1e-6; both engines compare with the same `>=`, and tercile
+    boundaries interpolate over identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    perdoc = text_unigram_logprob(spark, sf_dir)
+    scored = perdoc.join(d.select("doc_id", "lang"), "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        round_det(F.expr("percentile(avg_logprob, 1.0d/3)"), 6).alias("c1"),
+        round_det(F.expr("percentile(avg_logprob, 2.0d/3)"), 6).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("c2"), "head")
+        .when(F.col("avg_logprob") >= F.col("c1"), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "n_tokens", "avg_logprob", bucket.alias("bucket")
+    )

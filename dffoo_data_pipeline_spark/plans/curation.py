@@ -271,3 +271,205 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(4).alias("stage"), F.lit("exact_dedup").alias("name"), F.col("c4").alias("n_docs")),
     )
     return counted.select(F.explode(stages).alias("s")).select("s.stage", "s.name", "s.n_docs")
+
+
+_TEMPORAL_SPLIT_SQL = """
+WITH cuts AS (
+    SELECT quantile_cont(epoch_us(ts), 0.8) AS c80,
+           quantile_cont(epoch_us(ts), 0.9) AS c90
+    FROM events),
+tagged AS (
+    SELECT e.user_id,
+           CASE WHEN epoch_us(e.ts) <= c.c80 THEN 'train'
+                WHEN epoch_us(e.ts) <= c.c90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events e CROSS JOIN cuts c),
+per_user AS (
+    SELECT user_id,
+           SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS n_val,
+           SUM(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS n_test
+    FROM tagged GROUP BY user_id)
+SELECT 'train' AS split,
+       CAST(SUM(n_train) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (n_train > 0) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (n_train > 0) AS BIGINT) AS n_users_seen_in_train
+FROM per_user
+UNION ALL
+SELECT 'val',
+       CAST(SUM(n_val) AS BIGINT),
+       CAST(COUNT(*) FILTER (n_val > 0) AS BIGINT),
+       CAST(COUNT(*) FILTER (n_val > 0 AND n_train > 0) AS BIGINT)
+FROM per_user
+UNION ALL
+SELECT 'test',
+       CAST(SUM(n_test) AS BIGINT),
+       CAST(COUNT(*) FILTER (n_test > 0) AS BIGINT),
+       CAST(COUNT(*) FILTER (n_test > 0 AND n_train > 0) AS BIGINT)
+FROM per_user
+"""
+
+
+@_register("curation_temporal_split", _TEMPORAL_SPLIT_SQL)
+def curation_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/val/test split (80/10/10 by exact time quantile)
+    with a leakage report: events up to the 0.8 time quantile are train,
+    up to 0.9 val, rest test — the split you must use when the model will
+    be evaluated on the FUTURE — plus, per split, how many of its users
+    also appear in train (entity overlap is the leakage a purely temporal
+    split does not remove; a stricter pipeline would drop those users).
+
+    Scale: the cut table is one broadcast row (exact `percentile` here;
+    `approx_percentile` at unbounded scale); tagging is map-side; the
+    per-user flag table shuffles once on user_id and every split-level
+    number reduces from it with map-side partials.  Consistent `<=`
+    comparisons keep boundary events in the same split in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cuts = e.agg(
+        F.expr("percentile(unix_micros(ts), array(0.8, 0.9))").alias("cs")
+    ).select(F.col("cs")[0].alias("c80"), F.col("cs")[1].alias("c90"))
+    tagged = e.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        F.when(us <= F.col("c80"), "train")
+        .when(us <= F.col("c90"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("split") == s, 1).otherwise(0)).alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ]
+    )
+    n = {s: F.col(f"n_{s}") for s in ("train", "val", "test")}
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    one = per_user.agg(
+        *[F.sum(n[s]).cast("bigint").alias(f"{s}_events") for s in n],
+        *[cnt(n[s] > 0).alias(f"{s}_users") for s in n],
+        cnt((n["val"] > 0) & (n["train"] > 0)).alias("val_in_train"),
+        cnt((n["test"] > 0) & (n["train"] > 0)).alias("test_in_train"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("train").alias("split"),
+            F.col("train_events").alias("n_events"),
+            F.col("train_users").alias("n_users"),
+            F.col("train_users").alias("n_users_seen_in_train"),
+        ),
+        F.struct(
+            F.lit("val").alias("split"),
+            F.col("val_events").alias("n_events"),
+            F.col("val_users").alias("n_users"),
+            F.col("val_in_train").alias("n_users_seen_in_train"),
+        ),
+        F.struct(
+            F.lit("test").alias("split"),
+            F.col("test_events").alias("n_events"),
+            F.col("test_users").alias("n_users"),
+            F.col("test_in_train").alias("n_users_seen_in_train"),
+        ),
+    )
+    return one.select(F.inline(rows))
+
+
+def _e2e_sql() -> str:
+    from dffoo_data_pipeline_spark.functions.text import quality_score_sql
+
+    return rf"""
+WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           {quality_score_sql('text')} AS quality
+    FROM documents),
+gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated)
+    WHERE rn = 1),
+cuts AS (
+    SELECT lang,
+           FLOOR(quantile_cont(n_chars, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+    FROM deduped GROUP BY lang),
+kept AS (
+    SELECT d.* FROM deduped d JOIN cuts c USING (lang)
+    WHERE CAST(d.n_chars AS DOUBLE) <= c.p99),
+split AS (
+    SELECT lang, n_tok,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM split GROUP BY split, lang
+"""
+
+
+@_register("curation_e2e_corpus", _e2e_sql())
+def curation_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation pipeline in one plan — the composite a
+    team migrating from the reference would actually run nightly:
+
+      1. score: token count + heuristic quality per document
+      2. gate: drop quality < 0.5
+      3. exact dedup: keep the lowest doc_id per content fingerprint
+      4. length gate: drop docs above their language's p99 (computed on
+         the POST-dedup corpus, so boilerplate floods can't move the cut)
+      5. split: deterministic hash-of-id train/val/test assignment
+      6. report: docs + tokens per (split, lang) — the artifact a
+         training run consumes as its data card.
+
+    Scale: stage 3 is one shuffle on fp (content-hash keys are uniform —
+    no skew); stage 4's cut table is |langs| rows broadcast back; every
+    other stage is map-side.  The report shuffle is (split, lang) —
+    bounded.  The whole thing is ONE Catalyst plan: the scan is shared,
+    filters push into it, and no intermediate materialization exists
+    anywhere (contrast with the reference's staged CSV temp files,
+    web_scraper.py's per-stage outputs).
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        TX.tokens("text").alias("__toks"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("__toks").alias("n_tok"),
+        TX.fingerprint_md5("text").alias("fp"),
+        TX.quality_score_from_parts(
+            F.size("__toks"), TX.avg_token_len("text", toks=F.col("__toks")), "text"
+        ).alias("quality"),
+    )
+    gated = scored.where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    cuts = deduped.groupBy("lang").agg(
+        round_det(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99")
+    )
+    kept = deduped.join(F.broadcast(cuts), "lang").where(
+        F.col("n_chars").cast("double") <= F.col("p99")
+    )
+    h1 = F.substring(_doc_hash(), 1, 1)
+    split = F.when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test")
+    return (
+        kept.select("lang", "n_tok", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

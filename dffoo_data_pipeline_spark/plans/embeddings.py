@@ -237,3 +237,112 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
     )
+
+
+_N_INDEX = 64
+_INT8_TOPK = 3
+
+_INT8_TOPK_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+params AS (
+    SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi
+    FROM base WHERE vec_id < {_N_INDEX}),
+idx AS (
+    SELECT vec_id AS index_id,
+           CASE WHEN hi = lo THEN list_transform(emb, x -> lo)
+                ELSE list_transform(emb,
+                       x -> lo + FLOOR((x - lo) / ((hi - lo) / 255) + 0.5)
+                                 * ((hi - lo) / 255))
+           END AS deq
+    FROM params),
+idxn AS (
+    SELECT index_id, deq,
+           list_sum(list_transform(deq, x -> x * x)) AS nrm2
+    FROM idx),
+idxnz AS (SELECT * FROM idxn WHERE nrm2 > 0),
+probes AS (
+    SELECT vec_id, emb,
+           list_sum(list_transform(emb, x -> x * x)) AS p2
+    FROM base),
+pnz AS (SELECT * FROM probes WHERE p2 > 0),
+scored AS (
+    SELECT p.vec_id, i.index_id,
+           FLOOR(list_sum(list_transform(list_zip(p.emb, i.deq),
+                                         z -> z[1] * z[2]))
+                 / (sqrt(p.p2) * sqrt(i.nrm2)) * 1000000 + 0.5) / 1000000
+             AS cos_sim
+    FROM pnz p, idxnz i)
+SELECT vec_id, index_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+    SELECT vec_id, index_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, index_id) AS rn
+    FROM scored)
+WHERE rn <= {_INT8_TOPK}
+"""
+
+
+@_register("similarity_int8_topk", _INT8_TOPK_ORACLE)
+def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors against an int8-QUANTIZED index (64 index
+    vectors = vec_id < 64): each index vector is stored as per-vector
+    affine int8 codes (embedding_quantize_int8's scheme) and dequantized
+    on the fly for scoring — full-precision probes against a 4×-smaller
+    index, the memory/recall trade every serving-scale ANN makes.
+
+    Scale: the quantized index is exactly the thing you CAN broadcast 4×
+    further than a float index (the routed ceiling in
+    operators/similarity.py:cosine_topk_auto moves 4× up); scoring is one
+    map-side pass over the probes, no shuffle of the big side; the top-k
+    window repartitions on vec_id.  Determinism: codes are exact integers
+    (floor of identically-derived doubles); dequantized values and both
+    norms recompute identically in both engines; cosine rounded at 1e-6
+    with index_id tiebreak.
+
+    Zero-norm guard on BOTH sides (probe and dequantized index) — same
+    non-ANSI-divide rationale as embedding_nearest_seed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    deq = F.when(
+        F.col("hi") == F.col("lo"),
+        F.transform(F.col("embedding"), lambda x: F.col("lo")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.col("lo")
+            + F.floor((x.cast("double") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255) + 0.5)
+            * ((F.col("hi") - F.col("lo")) / 255),
+        )
+    )
+    idx = (
+        e.where(F.col("vec_id") < _N_INDEX)
+        .select(
+            F.col("vec_id").alias("index_id"),
+            "embedding",
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .select(F.col("index_id"), deq.alias("deq"))
+        .select(
+            "index_id",
+            "deq",
+            F.aggregate("deq", F.lit(0.0), lambda a, x: a + x * x).alias("nrm2"),
+        )
+        .where(F.col("nrm2") > 0)
+    )
+    probes = e.select(
+        "vec_id", "embedding", _sumsq(F.col("embedding")).alias("p2")
+    ).where(F.col("p2") > 0)
+    cos = _dot(F.col("embedding"), F.col("deq")) / (
+        F.sqrt(F.col("p2")) * F.sqrt(F.col("nrm2"))
+    )
+    scored = probes.join(F.broadcast(idx)).select(
+        "vec_id", "index_id", N.round_det(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "index_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _INT8_TOPK)
+    )

@@ -381,3 +381,129 @@ def events_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(n_err / n_all, 6).alias("error_rate"),
         (n_err / n_all > 0.25).alias("alert"),
     )
+
+
+_ANOMALY_MAD_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, date_trunc('hour', ts)),
+med AS (
+    SELECT event_type,
+           FLOOR(quantile_cont(n_events, 0.5) * 1000000 + 0.5) / 1000000 AS med
+    FROM hourly GROUP BY event_type),
+mad AS (
+    SELECT h.event_type,
+           FLOOR(quantile_cont(abs(h.n_events - m.med), 0.5) * 1000000 + 0.5)
+             / 1000000 AS mad
+    FROM hourly h JOIN med m USING (event_type) GROUP BY h.event_type)
+SELECT h.event_type, h.window_start, h.n_events, m.med, d.mad,
+       FLOOR((h.n_events - m.med) / d.mad * 10000 + 0.5) / 10000 AS robust_z
+FROM hourly h JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND abs((h.n_events - m.med) / d.mad) > 3
+"""
+
+
+@_register("events_anomaly_mad", _ANOMALY_MAD_SQL)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on hourly event volume: flag (type, hour)
+    buckets whose count sits more than 3 robust-z units from the type's
+    median, where the unit is the MAD (median absolute deviation) — the
+    outlier gate that, unlike mean/stddev z-scores, is not itself dragged
+    by the outliers it is trying to flag.
+
+    Scale: the corpus-sized work is ONE shuffle (hour, type) with
+    map-side combine; everything after runs on the aggregated frame
+    (|types| × |hours| rows).  Medians are exact `percentile` here;
+    `approx_percentile` is the drop-in at unbounded cardinality.  The
+    med/MAD tables are |types| rows — broadcast back.  Determinism: med
+    and MAD rounded at 1e-6 before the score; the flag compares the
+    UNROUNDED score ratio identically in both engines; robust_z reported
+    rounded at 1e-4.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = hourly.groupBy("event_type").agg(
+        N.round_det(F.expr("percentile(n_events, 0.5)"), 6).alias("med")
+    )
+    withmed = hourly.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        N.round_det(F.expr("percentile(abs(n_events - med), 0.5)"), 6).alias("mad")
+    )
+    scored = withmed.join(F.broadcast(mad), "event_type")
+    z = (F.col("n_events") - F.col("med")) / F.col("mad")
+    return scored.where((F.col("mad") > 0) & (F.abs(z) > 3)).select(
+        "event_type",
+        "window_start",
+        "n_events",
+        "med",
+        "mad",
+        N.round_det(z, 4).alias("robust_z"),
+    )
+
+
+_SCD2_SQL = """
+WITH tiers AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM events),
+changes AS (
+    SELECT user_id, ts, tier,
+           lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_tier
+    FROM tiers),
+starts AS (
+    SELECT user_id, tier, ts AS valid_from
+    FROM changes WHERE prev_tier IS NULL OR tier <> prev_tier)
+SELECT user_id, tier, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         IS NULL AS is_current
+FROM starts
+"""
+
+
+@_register("scd2_user_tier", _SCD2_SQL)
+def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    derive each user's value tier per event, keep only CHANGE points, and
+    emit validity ranges [valid_from, valid_to) with an is_current flag —
+    the standard dimension-history table every warehouse load maintains
+    (reference analog: the append-with-run-id load, web_scraper.py's
+    final insert, is SCD type 0; this is the type-2 upgrade).
+
+    Scale: both windows shuffle once on user_id (the second window
+    reuses the first's partitioning — Catalyst plans a single Exchange);
+    state per user is one row per tier CHANGE, not per event, so the
+    output is change-compressed.  event_id tiebreak keeps
+    equal-timestamp ordering engine-identical; valid_from values are
+    unique per user (they are event times of change rows), so the lead()
+    is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select("user_id", "ts", "event_id", tier.alias("tier")).withColumn(
+        "prev_tier", F.lag("tier").over(w)
+    )
+    starts = changes.where(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    ).select("user_id", "tier", F.col("ts").alias("valid_from"))
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(wv)
+    return starts.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -672,3 +672,43 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is unit-tested (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(e, id_col="vec_id", vec_col="embedding", k=5, planes=16, prefix_bits=6)
+
+
+_CONTAINMENT_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+directed AS (
+    SELECT i.doc_a AS contained, i.doc_b AS container, i.isect * 1.0 / sa.sz AS c
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+    UNION ALL
+    SELECT i.doc_b, i.doc_a, i.isect * 1.0 / sb.sz
+    FROM inter i JOIN sizes sb ON i.doc_b = sb.doc_id)
+SELECT contained, container, ROUND(c, 4) AS containment
+FROM directed WHERE c >= 0.8
+"""
+
+
+@_register("dedup_shingle_containment", _CONTAINMENT_ORACLE)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup pairs (|A∩B|/|A| ≥ 0.8 over 3-gram
+    shingles): catches a document embedded inside a longer one — the
+    quote/excerpt/wrapper case symmetric Jaccard misses because the union
+    is dominated by the longer side (operators/dedup.py:
+    shingle_containment_pairs has the plan and scale analysis).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_containment_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )

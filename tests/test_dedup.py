@@ -108,3 +108,39 @@ def test_minhash_lsh_pair_quality(spark):
     }
     assert (1, 2) in cands
     assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment fires at
+    ~1.0 in the short→long direction while Jaccard stays below a
+    symmetric dedup threshold."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + "one two three four five six seven eight nine ten eleven twelve"
+    texts = {1: short, 2: long_}
+    pairs = {
+        (r.contained, r.container): r.containment
+        for r in dedup.shingle_containment_pairs(
+            _docs_df(spark, texts), "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    # doc 1 has 3 shingles, all present in doc 2 → containment 1.0
+    assert pairs == {(1, 2): 1.0}
+    jac = dedup.ngram_jaccard_pairs(
+        _docs_df(spark, texts), "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert jac == []  # symmetric dedup misses the same pair
+
+
+def test_containment_is_directed_and_thresholded(spark):
+    """Both directions emit independently; sub-threshold directions are
+    dropped."""
+    texts = {
+        1: "a b c d e f",          # 4 shingles
+        2: "a b c d e f g h",      # 6 shingles, contains all of doc 1
+    }
+    rows = dedup.shingle_containment_pairs(
+        _docs_df(spark, texts), "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    got = {(r.contained, r.container): r.containment for r in rows}
+    assert got[(1, 2)] == 1.0          # 4/4
+    assert got[(2, 1)] == round(4 / 6, 4)  # 4/6 ≥ 0.5 both ways here
