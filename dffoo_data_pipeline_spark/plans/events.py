@@ -414,25 +414,27 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus-sized work is ONE shuffle (hour, type) with
     map-side combine; everything after runs on the aggregated frame
-    (|types| × |hours| rows).  Medians are exact `percentile` here;
-    `approx_percentile` is the drop-in at unbounded cardinality.  The
-    med/MAD tables are |types| rows — broadcast back.  Determinism: med
-    and MAD rounded at 1e-6 before the score; the flag compares the
-    UNROUNDED score ratio identically in both engines; robust_z reported
-    rounded at 1e-4.
+    (|types| × |hours| rows) as two stacked window aggregates over the
+    SAME partitioning (event_type) — Catalyst plans a single extra
+    Exchange and the events scan happens exactly once (the groupBy+join
+    formulation re-scanned the fact table for every med/MAD reference).
+    Medians are exact `percentile` here; `approx_percentile` is the
+    drop-in at unbounded cardinality.  Determinism: med and MAD rounded
+    at 1e-6 before the score; the flag compares the UNROUNDED score
+    ratio identically in both engines; robust_z reported rounded at 1e-4.
     """
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("window_start")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    med = hourly.groupBy("event_type").agg(
-        N.round_det(F.expr("percentile(n_events, 0.5)"), 6).alias("med")
+    wt = Window.partitionBy("event_type")
+    withmed = hourly.withColumn(
+        "med", N.round_det(F.expr("percentile(n_events, 0.5)").over(wt), 6)
     )
-    withmed = hourly.join(F.broadcast(med), "event_type")
-    mad = withmed.groupBy("event_type").agg(
-        N.round_det(F.expr("percentile(abs(n_events - med), 0.5)"), 6).alias("mad")
+    scored = withmed.withColumn(
+        "mad",
+        N.round_det(F.expr("percentile(abs(n_events - med), 0.5)").over(wt), 6),
     )
-    scored = withmed.join(F.broadcast(mad), "event_type")
     z = (F.col("n_events") - F.col("med")) / F.col("mad")
     return scored.where((F.col("mad") > 0) & (F.abs(z) > 3)).select(
         "event_type",
@@ -507,3 +509,145 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+_CDC_APPLY_SQL = """
+WITH changes AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error'  THEN 'D'
+                ELSE 'U' END AS op
+    FROM events),
+latest AS (
+    SELECT user_id, op, value, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+    FROM changes)
+SELECT user_id,
+       CAST(value AS DOUBLE) AS current_value,
+       ts AS updated_at,
+       n_changes
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@_register("cdc_apply_latest", _CDC_APPLY_SQL)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: collapse an insert/update/delete change
+    stream to the final snapshot — keep each key's LATEST operation
+    (deletes remove the key), the batch core of every warehouse MERGE /
+    materialized-upsert load (sources/writers.py:upsert_by_key is the
+    write-side twin; the streaming twin applies the same window per
+    micro-batch).  Ops are derived from event_type here (signup→I,
+    error→D, else U) purely to make the registered query self-contained
+    over the shared fixture.
+
+    Scale: one shuffle on the key; ROW_NUMBER + the per-key count share
+    one window Exchange.  A 100 TB changelog compacts per partition
+    before any join (change-compression ratio = keys/changes).
+    Determinism: (ts, event_id) DESC makes the winner unique even at
+    equal timestamps.
+    """
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    changes = e.select("user_id", "ts", "event_id", "value", op.alias("op"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = changes.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_changes"),
+    )
+    return latest.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        F.col("user_id"),
+        F.col("value").alias("current_value"),
+        F.col("ts").alias("updated_at"),
+        "n_changes",
+    )
+
+
+_TOP_PATHS_K = 20
+
+_TOP_PATHS_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                        > {SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_no
+    FROM ordered),
+paths AS (
+    SELECT event_type || '>' ||
+           lead(event_type, 1) OVER w || '>' ||
+           lead(event_type, 2) OVER w AS path
+    FROM sessions
+    WINDOW w AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)),
+cnt AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths WHERE path IS NOT NULL GROUP BY path)
+SELECT path, n, CAST(rn AS INT) AS rank FROM (
+    SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn FROM cnt)
+WHERE rn <= {_TOP_PATHS_K}
+"""
+
+
+@_register("events_top_paths", _TOP_PATHS_SQL)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step action paths WITHIN sessions: sessionize (30-min
+    gap), slide a 3-event window over each session's ordered actions,
+    count corpus-wide — the "what do users actually do" path-mining query
+    behind UX funnels (the ordered funnel's exploratory complement: it
+    finds the sequences worth funneling).
+
+    Scale: sessionization + the path window are ONE shuffle on user_id
+    (the (user, session) window is a sub-partitioning of the user window
+    — Catalyst reuses the Exchange, sorting only); the path count is a
+    map-side-combined shuffle on path (≤ |types|³ groups); top-k is
+    TakeOrderedAndProject heaps, no global sort.  NULL-ended windows at
+    session tails drop before counting in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ordered.withColumn("session_no", F.sum("new_session").over(wsum))
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(ws),
+        F.lead("event_type", 2).over(ws),
+    )
+    # concat_ws skips NULLs, so a 2-step tail would silently shorten —
+    # require all three legs explicitly (the SQL's || is NULL-strict)
+    full = (
+        F.lead("event_type", 1).over(ws).isNotNull()
+        & F.lead("event_type", 2).over(ws).isNotNull()
+    )
+    paths = sessions.select(path.alias("path"), full.alias("full")).where("full")
+    cnt = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    topk = cnt.orderBy(F.desc("n"), "path").limit(_TOP_PATHS_K)
+    wr = Window.orderBy(F.desc("n"), "path")
+    return topk.withColumn("rank", F.row_number().over(wr))

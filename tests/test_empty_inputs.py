@@ -86,3 +86,34 @@ def test_profile_empty_table(spark):
     assert set(rows) == {"k", "s"}
     assert rows["k"].n_rows == 0 and rows["k"].n_distinct == 0
     assert rows["k"].min_num is None and rows["s"].min_str is None
+
+
+def test_containment_empty(spark, empty_docs):
+    out = dedup.shingle_containment_pairs(empty_docs, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["contained", "container", "containment"]
+
+
+def test_event_analytics_empty(spark, monkeypatch):
+    """Anomaly/SCD2/CDC/path queries over an empty events slice must
+    yield empty frames with the right schema, not throw (a filtered day
+    at 100 TB is routinely empty)."""
+    from dffoo_data_pipeline_spark.plans import events as EV
+    from dffoo_data_pipeline_spark.sources import readers
+
+    empty_events = spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(readers, "load_table", lambda *a, **k: empty_events)
+    monkeypatch.setattr(EV, "load_table", lambda *a, **k: empty_events)
+    for name in (
+        "events_anomaly_mad",
+        "scd2_user_tier",
+        "cdc_apply_latest",
+        "events_top_paths",
+    ):
+        out = EV.QUERIES[name](spark, "ignored")
+        assert out.count() == 0, name
+        assert len(out.columns) >= 3, name

@@ -126,3 +126,25 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_anomaly_mad_scans_events_once(spark, sf_dir):
+    """The med/MAD windows must share one Exchange over the aggregated
+    hourly frame — a groupBy+join formulation would re-scan the fact
+    table for every reference (4 scans)."""
+    from dffoo_data_pipeline_spark.plans.events import QUERIES
+
+    df = QUERIES["events_anomaly_mad"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_e2e_corpus_broadcasts_lang_cuts(spark, sf_dir):
+    """The per-lang p99 cut table must come back as a broadcast join —
+    a shuffle join on lang (bounded cardinality) would be skewed and
+    pointless at scale."""
+    from dffoo_data_pipeline_spark.plans.curation import QUERIES
+
+    df = QUERIES["curation_e2e_corpus"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
