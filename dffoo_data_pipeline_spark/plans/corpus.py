@@ -769,19 +769,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus mean.  An external frozen vocabulary would be a drop-in
     replacement for `freq`.
 
-    Scale: one shuffle to build the unigram table (map-side combine
-    shrinks it to vocab size), one shuffle join of token instances to
-    frequencies on `tok` (vocab too large to broadcast at 100 TB), one
-    per-doc aggregation.  Determinism: each ln() is rounded at 1e-6
+    Scale: ONE explode feeds a (doc, tok) term-frequency aggregation;
+    the corpus frequency table falls out of tf with a second, vocab-sized
+    shuffle (no re-explode of token instances — the same derivation
+    text_tfidf_top_terms uses for df), and the scoring join runs on
+    DISTINCT (doc, tok) pairs weighted by tf, not on every instance —
+    typically 2-5× less join input on natural text.  The tok join key is
+    vocab-scale (too big to broadcast at 100 TB), so a shuffle join is
+    the right plan.  Determinism: each ln() is rounded at 1e-6
     (`round_det`'s floor form is mode-independent for negatives too) then
-    carried as DECIMAL(18,6), so the per-doc sum is exact under any
-    partition order.
+    carried as DECIMAL(18,6); tf·lp stays in DECIMAL, so the per-doc sum
+    is exact under any partition order.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok")
     )
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cnt"))
     n_total = freq.agg(F.sum("cnt").cast("bigint").alias("n"))
     logp = freq.crossJoin(F.broadcast(n_total)).select(
         "tok",
@@ -790,13 +795,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp"),
     )
     return (
-        tok.join(logp, "tok")
+        tf.join(logp, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            round_det(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_logprob"
-            ),
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            round_det(
+                F.sum(F.col("lp") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_logprob"),
         )
     )
 

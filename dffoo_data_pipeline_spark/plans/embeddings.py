@@ -346,3 +346,70 @@ def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _INT8_TOPK)
     )
+
+
+_CENTROID_DIST_ORACLE = """
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+    SELECT vec_id, label, u.pos,
+           CAST(FLOOR(emb[u.pos] * 1000000000 + 0.5) / 1000000000
+                AS DECIMAL(18,9)) AS xr
+    FROM base, unnest(range(1, len(emb) + 1)) AS u(pos)),
+cent AS (
+    SELECT label, pos,
+           FLOOR(CAST(SUM(xr) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS c
+    FROM ex GROUP BY label, pos),
+d2 AS (
+    SELECT e.vec_id, e.label,
+           CAST(FLOOR((CAST(e.xr AS DOUBLE) - c.c) * (CAST(e.xr AS DOUBLE) - c.c)
+                      * 1000000000000 + 0.5) / 1000000000000 AS DECIMAL(28,14)) AS dd
+    FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos)
+SELECT vec_id, label,
+       FLOOR(sqrt(CAST(SUM(dd) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS dist_to_centroid
+FROM d2 GROUP BY vec_id, label
+"""
+
+
+@_register("embedding_centroid_dist", _CENTROID_DIST_ORACLE)
+def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector Euclidean distance to its OWN label's centroid — the
+    embedding-space audit that surfaces mislabeled / outlier vectors
+    (rank a label's vectors by this and the top of the list is your
+    labeling-error review queue).
+
+    Scale: one explode (no shuffle) → one (label, pos) aggregation
+    (cardinality |labels|·dim — tiny) → centroids broadcast back →
+    per-vec reduce on vec_id.  Nothing holds a full vector set in one
+    task.  Determinism: elements are floor-rounded at 1e-9 and carried
+    as DECIMAL(18,9) so the centroid mean is partition-order-exact; the
+    squared deviations go through DECIMAL(28,14) the same way; the final
+    sqrt is rounded at 1e-6.  (pos is 0-based here, 1-based in the
+    oracle — it is only ever a join key within one engine.)
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        N.round_det(F.col("x").cast("double"), 9).cast("decimal(18,9)").alias("xr"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        N.round_det(F.sum("xr").cast("double") / F.count(F.lit(1)), 6).alias("c")
+    )
+    xd = F.col("xr").cast("double")
+    d2 = ex.join(F.broadcast(cent), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        N.round_det((xd - F.col("c")) * (xd - F.col("c")), 12)
+        .cast("decimal(28,14)")
+        .alias("dd"),
+    )
+    return d2.groupBy("vec_id", "label").agg(
+        N.round_det(F.sqrt(F.sum("dd").cast("double")), 6).alias("dist_to_centroid")
+    )

@@ -2086,3 +2086,50 @@ def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+
+_MONTHLY_GROWTH_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY date_trunc('month', o_orderdate))
+SELECT month, revenue, n_orders,
+       CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+            ELSE FLOOR((revenue - lag(revenue) OVER (ORDER BY month))
+                       / lag(revenue) OVER (ORDER BY month) * 1000000 + 0.5)
+                 / 1000000
+       END AS mom_growth
+FROM monthly
+"""
+
+
+@_register("orders_monthly_growth", _MONTHLY_GROWTH_ORACLE)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the canonical trend query (lag
+    window OVER an aggregate): monthly revenue/order counts plus the
+    relative delta to the prior month.
+
+    Scale: the corpus-sized work is one shuffle on the month bucket with
+    map-side partials; the unpartitioned lag window then runs over
+    |months| rows — a frame that stays tiny forever, so the
+    single-partition window is correct (the same aggregate-then-window
+    shape as corpus_token_budget).  Money sums in DECIMAL (exact under
+    any partition order); growth rounded at 1e-6.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        N.money_sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(N.round_det((F.col("revenue") - prev) / prev, 6))
+        .alias("mom_growth"),
+    )
