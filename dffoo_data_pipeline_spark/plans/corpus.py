@@ -191,28 +191,29 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf · (ln((D+1)/(df+1)) + 1)) — keyword extraction / topic signal for
     curation dashboards and near-dup triage.
 
-    Scale: tf shuffles on (doc_id, term); df is a COUNT over a term
-    window on the SAME tf frame (tf rows are distinct (doc, term) pairs,
-    so the window count IS the document frequency) — a single lineage,
-    where the groupBy-then-self-join formulation recomputed the whole
-    scan→explode→tf subtree for the df side (Catalyst prunes the two
-    references differently, so ReuseExchange never fires; measured 3
-    parquet scans and 2 explodes vs 1 and 1 here).  df stays
-    vocabulary-sized — far too big to broadcast at 100 TB — and the term
-    window shuffles the pairs frame once on term, the same volume the
-    join's probe side alone used to shuffle.  D arrives via a one-row
-    broadcast cross join, not a driver collect.  Ranked winner is
-    deterministic: tfidf rounded at 1e-6, ties broken by term.
+    Scale: tf shuffles on (doc_id, term); df falls out of tf (one row
+    per (doc, term)) as a plain count per term — map-side combine makes
+    that aggregation skew-proof — and joins back on term.  The tf⋈df
+    join DOES re-run the scan→explode→tf subtree for the df side
+    (Catalyst prunes the two references differently, so ReuseExchange
+    never fires); a window-over-term would be single-lineage but pins
+    every pair of a stop-word term into ONE task with no recourse —
+    unsplittable at 100 TB — while a skewed JOIN key is exactly what AQE
+    skew-join splits.  Same decision, same reasoning as
+    operators/boilerplate.py; df stays vocabulary-sized, far too big to
+    broadcast.  D arrives via a one-row broadcast cross join, not a
+    driver collect.  Ranked winner is deterministic: tfidf rounded at
+    1e-6, ties broken by term.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    wdf = Window.partitionBy("term")
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     d_total = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(d_total))
         .select(
             "doc_id",
@@ -772,41 +773,47 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement for `freq`.
 
     Scale: ONE explode feeds a (doc, tok) term-frequency aggregation;
-    the corpus frequency is a SUM over a tok window on that same tf
-    frame (single lineage — a groupBy-then-join formulation recomputes
-    the scan→explode→tf subtree for every reference because Catalyst
-    prunes them differently and ReuseExchange never fires), and scoring
-    weights DISTINCT (doc, tok) pairs by tf rather than touching every
-    instance.  The total-token denominator comes from a second LIGHT
-    scan of documents (a per-row array size, no explode) broadcast as
-    one row.  Determinism: each ln() is rounded at 1e-6 (`round_det`'s
-    floor form is mode-independent for negatives too) then carried as
-    DECIMAL(18,6); tf·lp stays in DECIMAL, so the per-doc sum is exact
-    under any partition order.
+    the vocab frequency table falls out of tf with a skew-proof
+    map-side-combined shuffle, and scoring joins DISTINCT (doc, tok)
+    pairs weighted by tf rather than touching every instance.  The
+    tf⋈freq join recomputes the scan→explode→tf subtree for the freq
+    side (pruning divergence defeats ReuseExchange) — accepted
+    deliberately: the single-lineage alternative (SUM over a tok window)
+    pins every pair of a stop-word token into one unsplittable task,
+    while a skewed join partition is what AQE skew-join splits (same
+    decision as operators/boilerplate.py).  The total-token denominator
+    comes from a second LIGHT scan of documents (a per-row array size,
+    no explode) broadcast as one row.  Determinism: each ln() is rounded
+    at 1e-6 (`round_det`'s floor form is mode-independent for negatives
+    too) then carried as DECIMAL(18,6); tf·lp stays in DECIMAL, so the
+    per-doc sum is exact under any partition order.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cnt"))
     n_total = d.agg(
         F.sum(F.size(TX.tokens(TX.normalized_text("text")))).cast("bigint").alias("n")
     )
-    cnt = F.sum("tf").over(Window.partitionBy("tok")).cast("bigint")
-    scored = tf.withColumn("cnt", cnt).crossJoin(F.broadcast(n_total)).select(
-        "doc_id",
-        "tf",
+    logp = freq.crossJoin(F.broadcast(n_total)).select(
+        "tok",
         round_det(F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
         .cast("decimal(18,6)")
         .alias("lp"),
     )
-    return scored.groupBy("doc_id").agg(
-        F.sum("tf").cast("bigint").alias("n_tokens"),
-        round_det(
-            F.sum(F.col("lp") * F.col("tf")).cast("double")
-            / F.sum("tf").cast("double"),
-            6,
-        ).alias("avg_logprob"),
+    return (
+        tf.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            round_det(
+                F.sum(F.col("lp") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
     )
 
 
