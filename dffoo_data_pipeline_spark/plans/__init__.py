@@ -76,6 +76,10 @@ _PRIORITY = [
     "dedup_shingle_containment",
     "similarity_int8_topk",
     "corpus_ppl_buckets",
+    "cdc_apply_latest",
+    # r4 backlog (registered + locally oracle-green, outside this round's
+    # ~50-row driver window): events_top_paths, embedding_centroid_dist,
+    # orders_monthly_growth
 ]
 
 

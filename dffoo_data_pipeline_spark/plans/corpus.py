@@ -853,6 +853,14 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles); the cut table is |langs| × 2 values computed from
     the SCORED frame (exact `percentile` here, `approx_percentile` at
     unbounded scale) and broadcast back, so bucketing is map-side.
+    Known cost, accepted deliberately: `scored` has two consumers (cuts
+    + final join), so the whole per-doc pipeline is computed twice in
+    the registered single-plan form — the oracle does the same.  At
+    100 TB you stage `scored` to storage (one line:
+    `scored.write.parquet(...)`; or `localCheckpoint` as
+    operators/graph.py does for iteration) and point both consumers at
+    the staged table — this module keeps the no-hidden-cache rule
+    (operators/boilerplate.py states the same policy).
     Determinism: per-doc scores are already rounded at 1e-6; cuts are
     rounded at 1e-6; both engines compare with the same `>=`, and tercile
     boundaries interpolate over identical doubles.

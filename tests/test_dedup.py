@@ -144,3 +144,29 @@ def test_containment_is_directed_and_thresholded(spark):
     got = {(r.contained, r.container): r.containment for r in rows}
     assert got[(1, 2)] == 1.0          # 4/4
     assert got[(2, 1)] == round(4 / 6, 4)  # 4/6 ≥ 0.5 both ways here
+
+
+def _py_containment(texts: dict, n=3, threshold=0.8):
+    sh = {}
+    for d, t in texts.items():
+        w = t.lower().strip().split()
+        sh[d] = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    out = {}
+    for a in sh:
+        for b in sh:
+            if a == b or not sh[a]:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= threshold:
+                out[(a, b)] = round(c, 4)
+    return out
+
+
+def test_containment_matches_python_oracle(spark):
+    got = {
+        (r.contained, r.container): r.containment
+        for r in dedup.shingle_containment_pairs(
+            _docs_df(spark, TEXTS), "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    assert got == _py_containment(TEXTS, n=3, threshold=0.3)

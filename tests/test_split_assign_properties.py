@@ -93,3 +93,27 @@ def test_events_sessionization_empty_input(spark, tmp_path):
         "session_end",
         "session_value",
     ]
+
+
+def test_temporal_split_partitions_and_leakage_bounds(spark, sf_dir):
+    """The three splits must partition the event set exactly, per-split
+    user counts can never exceed the global user count, and
+    train-overlap is bounded by the split's own user count."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.curation import QUERIES
+
+    rows = {r.split: r for r in QUERIES["curation_temporal_split"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    con = duckdb.connect()
+    n_events, n_users = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert sum(r.n_events for r in rows.values()) == n_events
+    # 80/10/10 by exact quantile: train gets ~80% of events (quantile
+    # interpolation can move a handful of boundary events either way)
+    assert abs(rows["train"].n_events - 0.8 * n_events) <= max(2, 0.01 * n_events)
+    for r in rows.values():
+        assert r.n_users <= n_users
+        assert r.n_users_seen_in_train <= r.n_users
+    assert rows["train"].n_users_seen_in_train == rows["train"].n_users
