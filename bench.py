@@ -51,7 +51,9 @@ _N_LEGACY = len(HEADLINE)
 HEADLINE += [
     "text_tfidf_top_terms",          # tf/df shuffles + vocab join + top-k
     "corpus_repeated_unit_removal",  # count + anti-ish join + ordered reassembly
-    "text_unigram_logprob",          # vocab build + instance join + DECIMAL agg
+    "text_unigram_logprob",          # vocab build + tf-weighted join + DECIMAL agg
+    "curation_e2e_corpus",           # score→gate→dedup→length-gate→split, one plan
+    "similarity_int8_topk",          # quantized-index ANN scoring
 ]
 
 
