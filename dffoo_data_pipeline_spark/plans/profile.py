@@ -161,3 +161,79 @@ def profile_quantiles_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["profile_quantiles_docs_by_lang"] = profile_quantiles_docs_by_lang
 ORACLES["profile_quantiles_docs_by_lang"] = _GROUP_QUANTILES_ORACLE
+
+
+_CORR_ORACLE = """
+WITH m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+             AS sxx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS syy,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS sxy
+    FROM lineitem)
+SELECT n,
+       FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (n - 1) * 10000 + 0.5) / 10000 AS covar_qty_price,
+       FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+       FLOOR(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1)) * 10000 + 0.5) / 10000 AS stddev_qty
+FROM m
+"""
+
+
+def profile_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance / stddev of quantity vs
+    price — computed from EXACT DECIMAL moment sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) rather than `F.corr`/`F.covar_samp`: the built-ins
+    accumulate doubles in partition order, so their last ulps are
+    nondeterministic run-to-run AND engine-to-engine, which an exact
+    value hash rejects.  Five decimal sums are partition-order-exact;
+    the textbook formulas then run on identical doubles in both engines.
+
+    Scale: one scan, one single-row aggregate (map-side partials — the
+    five sums are each one DECIMAL per partition); no shuffle of data
+    rows at all.  This is the same one-pass moment trick every
+    distributed stats library uses, minus the floating-point merge.
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_num = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    return m.select(
+        F.col("n"),
+        round_det(cov_num / (n - 1), 4).alias("covar_qty_price"),
+        round_det(cov_num / F.sqrt(varx * vary), 6).alias("corr_qty_price"),
+        round_det(F.sqrt(varx / (n - 1)), 4).alias("stddev_qty"),
+    )
+
+
+QUERIES["profile_corr_lineitem"] = profile_corr_lineitem
+ORACLES["profile_corr_lineitem"] = _CORR_ORACLE

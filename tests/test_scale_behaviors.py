@@ -148,3 +148,24 @@ def test_e2e_corpus_broadcasts_lang_cuts(spark, sf_dir):
     df = QUERIES["curation_e2e_corpus"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+    """Repo-wide plan lint: no registered batch query may degenerate into
+    CartesianProduct — an unhinted cross join that would be quadratic at
+    scale.  (One-row broadcast cross joins plan as
+    BroadcastNestedLoopJoin, which is the sanctioned shape for global
+    scalars.)  Streaming-backed queries are skipped: building their
+    result actually runs the stream; their plans are covered by the
+    streaming tests."""
+    from dffoo_data_pipeline_spark.plans import all_queries
+
+    q, _ = all_queries()
+    offenders = []
+    for name, fn in q.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
