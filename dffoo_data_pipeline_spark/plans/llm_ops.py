@@ -712,3 +712,59 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_containment_pairs(
         d, id_col="doc_id", text_col="text", n=3, threshold=0.8
     )
+
+
+_KWIC_TERMS = ("spark", "window")
+_KWIC_CTX = 3
+
+_KWIC_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents),
+hits AS (
+    SELECT doc_id, t, u.p, t[u.p] AS term
+    FROM toks, unnest(range(1, len(t) + 1)) AS u(p)
+    WHERE t[u.p] IN ('spark', 'window'))
+SELECT doc_id, term, CAST(p AS INT) AS pos,
+       COALESCE(array_to_string(list_slice(t, greatest(p - {_KWIC_CTX}, 1), p - 1),
+                                ' '), '') AS left_ctx,
+       COALESCE(array_to_string(list_slice(t, p + 1, p + {_KWIC_CTX}), ' '), '')
+         AS right_ctx
+FROM hits
+"""
+
+
+@_register("text_kwic", _KWIC_ORACLE)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of the watch
+    terms with 3 tokens of context either side — the positional-search
+    primitive behind corpus QA ("show me how the corpus uses X"),
+    PII-hit review, and contamination spot checks.
+
+    Scale: posexplode → same-stage filter on the term set, so only
+    matching positions survive past the Generate (the full token array
+    rides each row only within the map task, never through a shuffle);
+    there is NO shuffle at all — output is written partition-local.  The
+    term set is a literal here; an operator taking a benchmark-sized
+    term table would broadcast-semi-join it instead.  Positions are
+    1-based on both engines.
+    """
+    from dffoo_data_pipeline_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t"))
+    hits = staged.select(
+        "doc_id", "t", F.posexplode("t").alias("p0", "term")
+    ).where(F.col("term").isin(*_KWIC_TERMS))
+    p = F.col("p0") + 1  # 1-based position
+    left_start = F.greatest(p - _KWIC_CTX, F.lit(1))
+    return hits.select(
+        "doc_id",
+        "term",
+        p.cast("int").alias("pos"),
+        F.concat_ws(" ", F.slice(F.col("t"), left_start, p - left_start)).alias(
+            "left_ctx"
+        ),
+        F.concat_ws(" ", F.slice(F.col("t"), p + 1, _KWIC_CTX)).alias("right_ctx"),
+    )
