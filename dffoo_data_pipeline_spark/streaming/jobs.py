@@ -577,3 +577,56 @@ def streaming_dedup_against_ledger(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id", "user_id", "event_type", "ts"
     )
     return run_stream_to_table(novel, "append")
+
+
+@_register(
+    "streaming_error_rate_alert",
+    # identical semantics to the batch SLO rollup → same oracle
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS error_rate,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             > 0.25 AS alert
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def streaming_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-fraction SLO rollup AS A STREAM (twin of the batch
+    events_hourly_error_rate): windowed conditional aggregation under a
+    1-hour watermark, alert flag computed per window — the always-on
+    health monitor a paging pipeline tails.
+
+    Scale: state is one (count, error-count) pair per open hour window,
+    closed by the watermark; conditional sums are incremental (no
+    per-event state), and the alert predicate compares the UNROUNDED
+    ratio exactly like the batch twin, so batch backfill and the live
+    stream can never disagree on whether an hour alerted.
+    """
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    e = read_events_stream(spark, sf_dir)
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    n_all = F.count(F.lit(1))
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            n_all.alias("n_events"),
+            n_err.alias("n_errors"),
+            round_det(n_err / n_all, 6).alias("error_rate"),
+            (n_err / n_all > 0.25).alias("alert"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_errors",
+            "error_rate",
+            "alert",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
