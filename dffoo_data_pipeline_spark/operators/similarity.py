@@ -481,3 +481,80 @@ def cosine_neardup_auto(
         return lsh_neardup_pairs(
             df, id_col, vec_col, threshold=threshold, planes=planes, prefix_bits=prefix_bits
         )
+
+
+def cosine_topk_against_index(
+    probe_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    index_id_col: str | None = None,
+    index_vec_col: str | None = None,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
+) -> DataFrame:
+    """Exact top-k cosine of every probe against a SEPARATE bounded index
+    frame (the asymmetric sibling of `cosine_topk_bruteforce`, which
+    scores a corpus against itself and masks self-matches; here probe
+    and index are distinct frames — quantized indexes, frozen reference
+    sets — and a probe that also lives in the index keeps its match).
+
+    Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k.  Ranking
+    sorts on the ROUNDED similarity (1e-6) with neighbor-id tiebreak —
+    the same total order a SQL `ROW_NUMBER() OVER (ORDER BY round DESC,
+    id)` produces, so an engine-independent oracle can reproduce the
+    winners even when two unrounded sims differ only in the last ulps.
+
+    Scale: index is collected via the bounded limit-probe guard
+    (`IndexTooLargeError` past `max_index_rows`) and broadcast; probes
+    stream through one Arrow-batched pass — no shuffle of the probe
+    side at all.  Zero-norm vectors are the CALLER's contract to filter
+    (division here is IEEE: a zero norm yields ±inf/nan scores).
+    """
+    spark = probe_df.sparkSession
+    iid = index_id_col or id_col
+    ivec = index_vec_col or vec_col
+    idx_ids, idx_M, idx_norms = _collect_index(
+        index_df.select(
+            F.col(iid).alias(id_col), F.col(ivec).alias(vec_col)
+        ),
+        id_col,
+        vec_col,
+        max_index_rows,
+    )
+    b = spark.sparkContext.broadcast((idx_ids, idx_M, idx_norms))
+    base = _out_schema(probe_df, id_col)
+    schema = T.StructType(base.fields + [T.StructField("rank", T.IntegerType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_i, M_i, norms_i = b.value
+        for pb in batches:
+            if len(pb) == 0 or len(ids_i) == 0:
+                continue
+            q_ids = pb[id_col].to_numpy()
+            Q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            q_norms = np.linalg.norm(Q, axis=1)
+            # round_det's exact floor-half-up form, NOT np.round (half-even)
+            S = np.floor((Q @ M_i.T) / np.outer(q_norms, norms_i) * 1e6 + 0.5) / 1e6
+            kk = min(k, S.shape[1])
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for r in range(S.shape[0]):
+                order = np.lexsort((ids_i, -S[r]))[:kk]
+                out_q.extend([q_ids[r]] * len(order))
+                out_n.extend(ids_i[order])
+                out_s.extend(S[r, order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "cos_sim": out_s,
+                    "rank": out_r,
+                }
+            )
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(probe_df.select(id_col, vec_col), id_col).mapInPandas(
+        gen, schema
+    )

@@ -292,16 +292,27 @@ def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the quantized index is exactly the thing you CAN broadcast 4×
     further than a float index (the routed ceiling in
-    operators/similarity.py:cosine_topk_auto moves 4× up); scoring is one
-    map-side pass over the probes, no shuffle of the big side; the top-k
-    window repartitions on vec_id.  Determinism: codes are exact integers
-    (floor of identically-derived doubles); dequantized values and both
-    norms recompute identically in both engines; cosine rounded at 1e-6
-    with index_id tiebreak.
+    operators/similarity.py:cosine_topk_auto moves 4× up); dequantization
+    is a JVM array expression over the 64 index rows, and scoring runs
+    through the Arrow-batched index scorer
+    (operators/similarity.py:cosine_topk_against_index) — one map-side
+    numpy pass over the probes, no shuffle of the big side, no per-pair
+    interpreted fold (the zip_with/aggregate formulation measured 2.6×
+    slower at sf0.1).  Determinism: codes are exact integers (floor of
+    identically-derived doubles), the dequantized doubles match the
+    oracle's bit-for-bit, the scorer rounds with round_det's exact
+    floor-half-up form before ranking, and ranks tiebreak on index_id —
+    matmul-vs-sequential accumulation differs at ~1e-15, far inside the
+    1e-6 round.
 
     Zero-norm guard on BOTH sides (probe and dequantized index) — same
-    non-ANSI-divide rationale as embedding_nearest_seed.
+    non-ANSI-divide rationale as embedding_nearest_seed; the scorer's
+    contract leaves that filter to the caller.
     """
+    from dffoo_data_pipeline_spark.operators.similarity import (
+        cosine_topk_against_index,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     lo = F.array_min("embedding").cast("double")
     hi = F.array_max("embedding").cast("double")
@@ -325,26 +336,23 @@ def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             hi.alias("hi"),
         )
         .select(F.col("index_id"), deq.alias("deq"))
-        .select(
-            "index_id",
-            "deq",
-            F.aggregate("deq", F.lit(0.0), lambda a, x: a + x * x).alias("nrm2"),
-        )
-        .where(F.col("nrm2") > 0)
+        .where(F.aggregate("deq", F.lit(0.0), lambda a, x: a + x * x) > 0)
     )
-    probes = e.select(
-        "vec_id", "embedding", _sumsq(F.col("embedding")).alias("p2")
-    ).where(F.col("p2") > 0)
-    cos = _dot(F.col("embedding"), F.col("deq")) / (
-        F.sqrt(F.col("p2")) * F.sqrt(F.col("nrm2"))
+    probes = e.where(_sumsq(F.col("embedding")) > 0).select("vec_id", "embedding")
+    out = cosine_topk_against_index(
+        probes,
+        idx,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_INT8_TOPK,
+        index_id_col="index_id",
+        index_vec_col="deq",
     )
-    scored = probes.join(F.broadcast(idx)).select(
-        "vec_id", "index_id", N.round_det(cos, 6).alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "index_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _INT8_TOPK)
+    return out.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("index_id"),
+        "cos_sim",
+        "rank",
     )
 
 

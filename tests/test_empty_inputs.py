@@ -117,3 +117,18 @@ def test_event_analytics_empty(spark, monkeypatch):
         out = EV.QUERIES[name](spark, "ignored")
         assert out.count() == 0, name
         assert len(out.columns) >= 3, name
+
+
+def test_cosine_against_index_empty_sides(spark):
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    out = similarity.cosine_topk_against_index(e, some, "vec_id", "embedding", k=2)
+    assert out.count() == 0  # no probes
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    # empty index: probes stream through, zero matches emitted
+    assert (
+        similarity.cosine_topk_against_index(some, e, "vec_id", "embedding", k=2).count()
+        == 0
+    )
