@@ -79,7 +79,8 @@ _PRIORITY = [
     "cdc_apply_latest",
     # r4 backlog (registered + locally oracle-green, outside this round's
     # ~50-row driver window): events_top_paths, embedding_centroid_dist,
-    # orders_monthly_growth
+    # orders_monthly_growth, profile_corr_lineitem, text_kwic,
+    # streaming_error_rate_alert
 ]
 
 
