@@ -651,3 +651,51 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = cnt.orderBy(F.desc("n"), "path").limit(_TOP_PATHS_K)
     wr = Window.orderBy(F.desc("n"), "path")
     return topk.withColumn("rank", F.row_number().over(wr))
+
+
+_INACTIVE_HOURS = 24
+
+_CHURN_SQL = f"""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+per_user AS (
+    SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id)
+SELECT p.user_id, p.last_ts, p.n_events,
+       CAST(FLOOR(date_diff('microsecond', p.last_ts, m.max_ts)
+                  / 3600000000.0) AS BIGINT) AS hours_inactive
+FROM per_user p CROSS JOIN mx m
+WHERE date_diff('microsecond', p.last_ts, m.max_ts)
+      > {_INACTIVE_HOURS} * CAST(3600000000 AS BIGINT)
+"""
+
+
+@_register("events_churned_users", _CHURN_SQL)
+def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn candidates: users whose LAST event is more than 24 hours
+    before the corpus's latest event — the re-engagement / account-
+    cleanup list (the cohort complement of events_cohort_retention; the
+    production threshold is a constant edit — 24 h fits this fixture's
+    30-day, always-on user base, where week-scale gaps never occur).
+
+    Scale: one shuffle on user_id (map-side max/count partials); the
+    global max is a one-row broadcast cross join, not a driver collect;
+    the staleness predicate and integer day bucket compute identically
+    in both engines on exact microsecond arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    stale_us = F.unix_micros("max_ts") - F.unix_micros("last_ts")
+    hour_us = 3600 * 1_000_000
+    return (
+        per_user.crossJoin(F.broadcast(mx))
+        .where(stale_us > _INACTIVE_HOURS * hour_us)
+        .select(
+            "user_id",
+            "last_ts",
+            "n_events",
+            F.floor(stale_us / hour_us).cast("bigint").alias("hours_inactive"),
+        )
+    )

@@ -2133,3 +2133,72 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(N.round_det((F.col("revenue") - prev) / prev, 6))
         .alias("mom_growth"),
     )
+
+
+_PARETO_SHARE = 0.8
+
+_PARETO_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey AS suppkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem GROUP BY l_suppkey),
+ranked AS (
+    SELECT suppkey, revenue,
+           SUM(revenue) OVER (ORDER BY revenue DESC, suppkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_rev,
+           SUM(revenue) OVER () AS total_rev,
+           ROW_NUMBER() OVER (ORDER BY revenue DESC, suppkey) AS rn
+    FROM rev)
+SELECT suppkey, revenue,
+       FLOOR(cum_rev / total_rev * 1000000 + 0.5) / 1000000 AS cum_share,
+       CAST(rn AS INT) AS rank
+FROM ranked
+WHERE (cum_rev - revenue) / total_rev < {_PARETO_SHARE}
+"""
+
+
+@_register("supplier_revenue_pareto", _PARETO_ORACLE)
+def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto head: the smallest set of suppliers covering 80% of
+    discounted revenue, with each one's cumulative share — the
+    concentration report behind "which 20% of X produce 80% of Y"
+    (vendor risk, hot-key diagnosis, curation source triage share the
+    shape).  The supplier STRADDLING the 80% boundary is included
+    (cumulative share BEFORE it is under the cap), mirroring
+    curation_token_budget_fill's boundary rule.
+
+    Scale: the corpus-sized work is one shuffle on suppkey with exact
+    DECIMAL money partials; both windows then run over the
+    supplier-sized aggregate — unpartitioned, which is correct ONLY
+    because that frame is dimension-sized (same argument as
+    orders_monthly_growth); revenue is rounded to DOUBLE per supplier
+    first, so the cumulative sums fold identical doubles in a unique
+    (revenue DESC, suppkey) order in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        N.money_sum(
+            N.dec2("l_extendedprice") * (1 - N.dec2("l_discount"))
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), "suppkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "suppkey",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return ranked.where(
+        (F.col("cum_rev") - F.col("revenue")) / F.col("total_rev") < _PARETO_SHARE
+    ).select(
+        "suppkey",
+        "revenue",
+        N.round_det(F.col("cum_rev") / F.col("total_rev"), 6).alias("cum_share"),
+        "rank",
+    )
