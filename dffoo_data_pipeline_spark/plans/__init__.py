@@ -80,7 +80,8 @@ _PRIORITY = [
     # r4 backlog (registered + locally oracle-green, outside this round's
     # ~50-row driver window): events_top_paths, embedding_centroid_dist,
     # orders_monthly_growth, profile_corr_lineitem, text_kwic,
-    # streaming_error_rate_alert
+    # streaming_error_rate_alert, events_churned_users,
+    # supplier_revenue_pareto, text_char_ngram_profile
 ]
 
 

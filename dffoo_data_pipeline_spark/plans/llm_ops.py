@@ -768,3 +768,62 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.concat_ws(" ", F.slice(F.col("t"), p + 1, _KWIC_CTX)).alias("right_ctx"),
     )
+
+
+_CHAR_NGRAM_N = 3
+_CHAR_NGRAM_TOPK = 10
+
+_CHAR_NGRAM_ORACLE = rf"""
+WITH norm AS (
+    SELECT lang, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+    FROM documents),
+grams AS (
+    SELECT lang, substr(s, u.i, {_CHAR_NGRAM_N}) AS gram
+    FROM norm, unnest(range(1, length(s) - {_CHAR_NGRAM_N} + 2)) AS u(i)
+    WHERE length(s) >= {_CHAR_NGRAM_N}),
+cnt AS (
+    SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY lang, gram)
+SELECT lang, gram, n, CAST(rn AS INT) AS rank FROM (
+    SELECT lang, gram, n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rn
+    FROM cnt)
+WHERE rn <= {_CHAR_NGRAM_TOPK}
+"""
+
+
+@_register("text_char_ngram_profile", _CHAR_NGRAM_ORACLE)
+def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the feature basis real
+    language-ID models train on (text_lang_predict's stopword signal is
+    the word-level shortcut; character n-grams survive unknown words,
+    code-switching, and missing whitespace).
+
+    Scale: char grams explode ~|text| rows per doc, so the count shuffle
+    keys on (lang, gram) with map-side combine collapsing each
+    partition's repeats BEFORE the exchange — shuffle volume is
+    per-partition-distinct grams (bounded by alphabet³ per language),
+    not character instances.  The top-k window then runs over the
+    aggregated (lang, gram) frame only.  Substring positions are 1-based
+    in both engines; normalization (lowercase, whitespace collapse) is
+    byte-identical.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    norm = d.select("lang", TX.normalized_text("text").alias("s"))
+    grams = norm.where(F.length("s") >= _CHAR_NGRAM_N).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - _CHAR_NGRAM_N + 1),
+                lambda i: F.substring(F.col("s"), i, _CHAR_NGRAM_N),
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "gram")
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CHAR_NGRAM_TOPK)
+    )
