@@ -81,7 +81,8 @@ _PRIORITY = [
     # ~50-row driver window): events_top_paths, embedding_centroid_dist,
     # orders_monthly_growth, profile_corr_lineitem, text_kwic,
     # streaming_error_rate_alert, events_churned_users,
-    # supplier_revenue_pareto, text_char_ngram_profile, events_dau_wau
+    # supplier_revenue_pareto, text_char_ngram_profile, events_dau_wau,
+    # text_gopher_rules, dedup_semantic_int8
 ]
 
 

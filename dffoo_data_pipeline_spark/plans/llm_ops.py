@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dffoo_data_pipeline_spark.functions import numeric as N
 from dffoo_data_pipeline_spark.functions import text as TX
 from dffoo_data_pipeline_spark.operators import dedup, similarity
 from dffoo_data_pipeline_spark.sources.readers import load_table
@@ -826,4 +827,104 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cnt.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _CHAR_NGRAM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM documents),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           FLOOR((list_sum(list_transform(toks, x -> length(x))) * 1.0
+                  / len(toks)) * 10000 + 0.5) / 10000 AS mean_word_len,
+           FLOOR((length(regexp_replace(text, '[^#…]', '', 'g')) * 1.0
+                  / len(toks)) * 10000 + 0.5) / 10000 AS symbol_word_ratio,
+           FLOOR((len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                  / len(toks)) * 10000 + 0.5) / 10000 AS alpha_word_ratio,
+           CAST(len(list_filter(toks,
+                x -> x IN ('the','a','of','and','to','in','is','it')))
+                AS BIGINT) AS stop_hits
+    FROM t)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_ratio,
+       stop_hits,
+       n_words BETWEEN 50 AND 100000                 AS r_word_count,
+       mean_word_len BETWEEN 3 AND 10                AS r_mean_len,
+       symbol_word_ratio <= 0.1                      AS r_symbol,
+       alpha_word_ratio >= 0.8                       AS r_alpha,
+       stop_hits >= 2                                AS r_stops,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_word_ratio <= 0.1
+         AND alpha_word_ratio >= 0.8
+         AND stop_hits >= 2                          AS passes_gopher
+FROM m
+"""
+
+
+@_register("text_gopher_rules", _GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gates (Rae et al. 2021, table A1
+    — the published rule set, not the composite score of
+    `text_quality_score`): word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio ('#'/'…') <= 0.1, >=80% of words contain
+    an alphabetic character, and >=2 stop-word hits.  Emits every raw
+    ratio plus per-rule booleans plus the AND — downstream mixes filter on
+    `passes_gopher` but audit on the per-rule columns (which rule kills
+    how much of which source is the first question every curation run
+    asks).
+
+    Scale: one projection, zero shuffles — all per-row JVM expressions.
+    The token array is materialized ONCE in a staged select (the
+    higher-order folds are interpreted, so Catalyst would not CSE a
+    repeated split; same pattern as text_quality_score).  Determinism:
+    ratios go through round_det's floor-half-up before the threshold
+    compare, so rule booleans can't flip on engine ulps.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "text",
+        TX.tokens(F.lower(F.trim("text"))).alias("toks"),
+    )
+    n_words = F.size("toks").cast("bigint")
+    mean_len = TX.avg_token_len(None, toks=F.col("toks"))
+    symbol_ratio = N.round_det(
+        F.length(F.regexp_replace("text", "[^#…]", "")) / F.size("toks"), 4
+    )
+    alpha_ratio = N.round_det(
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]")))
+        / F.size("toks"),
+        4,
+    )
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin(*TX.EN_STOPWORDS))
+    ).cast("bigint")
+    m = toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    r_word = F.col("n_words").between(50, 100000)
+    r_mean = F.col("mean_word_len").between(3, 10)
+    r_symbol = F.col("symbol_word_ratio") <= 0.1
+    r_alpha = F.col("alpha_word_ratio") >= 0.8
+    r_stops = F.col("stop_hits") >= 2
+    return m.select(
+        "*",
+        r_word.alias("r_word_count"),
+        r_mean.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stops.alias("r_stops"),
+        (r_word & r_mean & r_symbol & r_alpha & r_stops).alias("passes_gopher"),
     )
