@@ -421,3 +421,166 @@ def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d2.groupBy("vec_id", "label").agg(
         N.round_det(F.sqrt(F.sum("dd").cast("double")), 6).alias("dist_to_centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup on int8 codes (integer-exact end to end)
+# ---------------------------------------------------------------------------
+
+_SEM_N_SEEDS = 8
+_SEM_TAU2_X1E4 = 1225  # tau = 0.35 → tau² · 10⁴ (fixture-tuned: ~28% dups)
+
+_SEM_DEDUP_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           list_min(embedding::DOUBLE[]) AS lo,
+           list_max(embedding::DOUBLE[]) AS hi
+    FROM embeddings),
+codes AS (
+    SELECT vec_id,
+           CASE WHEN hi = lo
+                THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(emb,
+                       x -> CAST(FLOOR((x - lo) / ((hi - lo) / 255) + 0.5)
+                                 AS BIGINT) - 128)
+           END AS c
+    FROM base),
+norms AS (
+    SELECT vec_id, c,
+           CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
+    FROM codes),
+seeds AS (
+    SELECT vec_id AS seed_id, c AS sc, n2 AS sn2
+    FROM norms WHERE vec_id < {_SEM_N_SEEDS} AND n2 > 0),
+dots AS (
+    SELECT v.vec_id, s.seed_id, s.sn2,
+           CAST(list_sum(list_transform(list_zip(v.c, s.sc),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d
+    FROM norms v, seeds s),
+assign AS (
+    SELECT vec_id, seed_id AS cluster_id FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CAST(d AS DOUBLE) * abs(d) / sn2 DESC, seed_id) AS rn
+        FROM dots)
+    WHERE rn = 1),
+members AS (
+    SELECT a.vec_id, a.cluster_id, n.c, n.n2
+    FROM assign a JOIN norms n USING (vec_id)),
+pair_dots AS (
+    SELECT b.vec_id AS dup_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM members a JOIN members b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+     AND a.n2 > 0 AND b.n2 > 0),
+dup_marks AS (
+    SELECT DISTINCT dup_id FROM pair_dots
+    WHERE d > 0 AND d * d * 10000 >= {_SEM_TAU2_X1E4} * na2 * nb2)
+SELECT m.vec_id, m.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size,
+       d.dup_id IS NOT NULL AS is_semantic_dup
+FROM members m LEFT JOIN dup_marks d ON m.vec_id = d.dup_id
+"""
+
+
+@_register("dedup_semantic_int8", _SEM_DEDUP_ORACLE)
+def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    — public): coarse-cluster the corpus in embedding space, then mark a
+    vector a semantic duplicate when a LOWER-id member of the same
+    cluster is closer than cosine τ=0.35.  Survivors =
+    `is_semantic_dup = false` — the keep-one-per-tight-neighborhood rule
+    that removes paraphrase/near-copy redundancy exact dedup can't see.
+
+    Integer-exact by construction: vectors are first quantized to
+    centered int8 codes (`embedding_quantize_int8`'s affine scheme,
+    shifted −128; degenerate hi=lo vectors → zero codes, excluded by the
+    norm guard), and BOTH the cluster assignment and the τ test run on
+    BIGINT dot products — `d² · 10⁴ ≥ τ²·10⁴ · |a|²·|b|²` with
+    |d| ≤ 128²·64 ≈ 1.05e6, so every product stays < 1.4e16, well inside
+    BIGINT, and the one division in seed ranking (d·|d| / |seed|²) is a
+    single correctly-rounded IEEE op on exact ≤2⁵³ integers — identical
+    in any engine, NO float tolerance anywhere.
+
+    Scale (the reason SemDeDup exists): assignment is a broadcast of k
+    centroid codes (int8 = 4× the broadcast reach of float32) and the
+    pair test shuffles ONCE on cluster_id — candidate pairs are per-
+    cluster, never corpus².  Real deployments pick k ≈ √N so expected
+    cluster size stays √N (per-cluster pairs ~N total), and sub-bucket
+    any skewed cluster with LSH (operators/dedup.py:minhash_lsh_pairs is
+    the same banding trick).  Here k=8 seed vectors (vec_id < 8) keeps
+    the fixture deterministic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    c = F.when(
+        F.col("hi") == F.col("lo"),
+        F.transform(F.col("emb"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("emb"),
+            lambda x: F.floor(
+                (x.cast("double") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255)
+                + 0.5
+            )
+            - 128,
+        )
+    )
+    intdot = lambda a, b: F.aggregate(  # noqa: E731 — BIGINT fold, order-free
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    norms = (
+        e.select("vec_id", F.col("embedding").alias("emb"), lo.alias("lo"), hi.alias("hi"))
+        .select("vec_id", c.alias("c"))
+        .select("vec_id", "c", intdot(F.col("c"), F.col("c")).alias("n2"))
+    )
+    seeds = (
+        norms.where((F.col("vec_id") < _SEM_N_SEEDS) & (F.col("n2") > 0))
+        .select(F.col("vec_id").alias("seed_id"), F.col("c").alias("sc"), F.col("n2").alias("sn2"))
+    )
+    dots = norms.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", "sn2", intdot(F.col("c"), F.col("sc")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("d").cast("double") * F.abs("d") / F.col("sn2")).desc(), "seed_id"
+    )
+    assign = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    members = assign.join(norms, "vec_id")
+    a = members.select(
+        F.col("cluster_id"), F.col("vec_id").alias("a_id"), F.col("c").alias("ac"), F.col("n2").alias("na2")
+    )
+    b = members.select(
+        F.col("cluster_id"), F.col("vec_id").alias("dup_id"), F.col("c").alias("bc"), F.col("n2").alias("nb2")
+    )
+    pair_d = intdot(F.col("ac"), F.col("bc"))
+    dup_marks = (
+        a.join(b, "cluster_id")
+        .where((F.col("a_id") < F.col("dup_id")) & (F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select("dup_id", pair_d.alias("d"), "na2", "nb2")
+        .where(
+            (F.col("d") > 0)
+            & (F.col("d") * F.col("d") * 10000 >= F.lit(_SEM_TAU2_X1E4) * F.col("na2") * F.col("nb2"))
+        )
+        .select("dup_id")
+        .distinct()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        members.join(dup_marks, members.vec_id == dup_marks.dup_id, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+            F.col("dup_id").isNotNull().alias("is_semantic_dup"),
+        )
+    )
