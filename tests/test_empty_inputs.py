@@ -132,3 +132,29 @@ def test_cosine_against_index_empty_sides(spark):
         similarity.cosine_topk_against_index(some, e, "vec_id", "embedding", k=2).count()
         == 0
     )
+
+
+def test_gopher_rules_empty(spark, monkeypatch):
+    from dffoo_data_pipeline_spark.plans import llm_ops as LO
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    monkeypatch.setattr(LO, "load_table", lambda *a, **k: empty_docs)
+    out = LO.QUERIES["text_gopher_rules"](spark, "ignored")
+    assert out.count() == 0
+    assert "passes_gopher" in out.columns
+
+
+def test_semantic_dedup_empty(spark, monkeypatch):
+    """No embeddings (or none below the seed cutoff) → empty result, not
+    a crash from an empty broadcast side."""
+    from dffoo_data_pipeline_spark.plans import embeddings as EM
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(EM, "load_table", lambda *a, **k: empty)
+    out = EM.QUERIES["dedup_semantic_int8"](spark, "ignored")
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster_id", "cluster_size", "is_semantic_dup"]
