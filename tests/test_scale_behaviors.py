@@ -169,3 +169,21 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """The SemDeDup plan's two joins must take the scale-correct physical
+    forms: centroid assignment as a broadcast (k centroid codes, never a
+    shuffle of the corpus), and the pair test as a hash/merge join keyed
+    on cluster_id (per-cluster candidates — the whole point of coarse
+    clustering is that this is NOT corpus²)."""
+    from dffoo_data_pipeline_spark.plans.embeddings import QUERIES
+
+    df = QUERIES["dedup_semantic_int8"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    )
+    assert joins >= 2, plan  # pair self-join + dup-mark/member joins
