@@ -473,3 +473,81 @@ def curation_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (near-dup clusters move atomically)
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_SPLIT_ORACLE = r"""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS isect
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT i.a, i.b FROM inter i
+    JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= 0.6
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+
+
+@_register("curation_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that near-dup ANALYSIS can't leak
+    through: hash the near-dup CLUSTER id, not the doc id, so every
+    member of a paraphrase/near-copy cluster lands in the same split.
+    `curation_split_assign`'s per-doc hash is correct only AFTER perfect
+    dedup — any surviving near-dup pair straddling train/test silently
+    inflates eval (the contamination failure mode
+    text_contamination_overlap measures after the fact; this op prevents
+    it structurally).
+
+    Plan: exact shared-shingle Jaccard pairs (operators/dedup.py posting-
+    list plan — at corpus scale the same decision runs over MinHash-LSH
+    candidates) → connected components (operators/graph.py iterative
+    min-label propagation, lineage-checkpointed) → md5-of-cluster-id
+    split, the same join-free deterministic draw as the other curation
+    ops.  Singleton docs are their own cluster (cluster_id = doc_id), so
+    ratios converge to the 75/12.5/12.5 cuts as dedup removes mass.
+    """
+    from dffoo_data_pipeline_spark.operators import dedup
+    from dffoo_data_pipeline_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    clusters = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    h1 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    return clusters.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").alias("split"),
+    )

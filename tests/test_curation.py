@@ -66,3 +66,17 @@ def test_funnel_counts_monotonic(spark):
     counts = [r.n_docs for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > 0
+
+
+def test_leakage_safe_split_cluster_atomicity(spark, sf_dir):
+    """The defining invariant: no near-dup cluster straddles splits, and
+    every doc is assigned exactly once."""
+    from dffoo_data_pipeline_spark.plans.curation import QUERIES
+
+    out = QUERIES["curation_leakage_safe_split"](spark, sf_dir)
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n")
+    )
+    assert per_cluster.where(F.col("n_splits") > 1).count() == 0
+    total = out.count()
+    assert out.select("doc_id").distinct().count() == total
