@@ -82,7 +82,8 @@ _PRIORITY = [
     # orders_monthly_growth, profile_corr_lineitem, text_kwic,
     # streaming_error_rate_alert, events_churned_users,
     # supplier_revenue_pareto, text_char_ngram_profile, events_dau_wau,
-    # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split
+    # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split,
+    # curation_k_anonymity
 ]
 
 

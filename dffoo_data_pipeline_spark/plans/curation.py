@@ -551,3 +551,60 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON_K = 10
+
+_K_ANON_ORACLE = f"""
+WITH cells AS (
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment),
+gen AS (
+    SELECT c_nationkey, CAST(SUM(k) AS BIGINT) AS k_generalized
+    FROM cells GROUP BY c_nationkey)
+SELECT c.c_nationkey, c.c_mktsegment, c.k,
+       c.k < {_K_ANON_K} AS at_risk,
+       g.k_generalized,
+       g.k_generalized < {_K_ANON_K} AS still_at_risk
+FROM cells c JOIN gen g USING (c_nationkey)
+"""
+
+
+@_register("curation_k_anonymity", _K_ANON_ORACLE)
+def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002 — public) over the quasi-identifier
+    pair (nation, market segment): a released row is re-identifiable when
+    its QI cell holds fewer than k=10 individuals.  Emits per-cell k, the
+    at-risk flag, and the k after generalizing the finer QI away
+    (segment → ANY) — the first remediation every privacy review tries.
+    `curation_pii_redaction` scrubs direct identifiers; this measures the
+    indirect ones redaction can't touch.
+
+    Scale: two cheap aggregations — the cell count shuffles on the QI
+    pair (bounded cardinality: |nations|×|segments|), the generalized
+    count is a re-agg of the CELL table (125 rows), not a second scan of
+    the population.  All counts BIGINT — no float anywhere.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    gen = cells.groupBy("c_nationkey").agg(
+        F.sum("k").cast("bigint").alias("k_generalized")
+    )
+    return (
+        cells.join(F.broadcast(gen), "c_nationkey")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            (F.col("k") < _K_ANON_K).alias("at_risk"),
+            "k_generalized",
+            (F.col("k_generalized") < _K_ANON_K).alias("still_at_risk"),
+        )
+    )
