@@ -608,3 +608,79 @@ def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k_generalized") < _K_ANON_K).alias("still_at_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights
+# ---------------------------------------------------------------------------
+
+_MIX_TEMP_BUDGET = 1_000_000  # token budget the quotas are scaled to
+
+_MIX_TEMP_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens
+    FROM documents GROUP BY source),
+sq AS (
+    SELECT *,
+           CAST(FLOOR(sqrt(n_tokens) * 1000000 + 0.5) AS DECIMAL(18,0)) AS sq6
+    FROM per_source),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           SUM(sq6) AS tot_sq6
+    FROM sq)
+SELECT s.source, s.n_docs, s.n_tokens,
+       FLOOR((s.n_tokens * 1.0 / t.tot_tokens) * 1000000 + 0.5) / 1000000
+         AS p_raw,
+       FLOOR((s.sq6 / t.tot_sq6) * 1000000 + 0.5) / 1000000 AS p_temp,
+       CAST(FLOOR({_MIX_TEMP_BUDGET} * (FLOOR((s.sq6 / t.tot_sq6) * 1000000 + 0.5)
+                                        / 1000000)) AS BIGINT) AS quota_tokens
+FROM sq s CROSS JOIN tot t
+"""
+
+
+@_register("curation_mix_temperature", _MIX_TEMP_ORACLE)
+def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the T=2 / α=0.5 upsampling rule
+    from public multilingual recipes — mT5, XLM-R): sampling weight
+    p_i ∝ n_tokens_i^(1/2) instead of raw share, boosting small sources
+    without letting any dominate.  Emits raw vs temperature share plus
+    the token quota each source gets out of a 1M-token budget —
+    `curation_weighted_mix` consumes exactly these weights.
+
+    Scale: one agg over documents shuffled on `source` (bounded
+    cardinality), then arithmetic over the tiny per-source table; the
+    global totals come from re-aggregating THAT table, never a second
+    corpus scan (the one-row totals frame joins back as a broadcast
+    nested-loop — the sanctioned global-scalar shape).  Cross-engine
+    float rule: sqrt is a single correctly-rounded IEEE op on an exact
+    BIGINT, rounded to 6dp and summed as DECIMAL so partition order
+    can't move the total; every emitted ratio goes through round_det.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    sq = per_source.withColumn(
+        "sq6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000 + 0.5)
+        .cast("decimal(18,0)"),
+    )
+    tot = sq.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("sq6").alias("tot_sq6"),
+    )
+    from dffoo_data_pipeline_spark.functions import numeric as N
+
+    p_temp = N.round_det(F.col("sq6").cast("double") / F.col("tot_sq6").cast("double"), 6)
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        N.round_det(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("p_raw"),
+        p_temp.alias("p_temp"),
+        F.floor(F.lit(_MIX_TEMP_BUDGET) * p_temp).cast("bigint").alias("quota_tokens"),
+    )
