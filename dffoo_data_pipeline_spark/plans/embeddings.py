@@ -535,10 +535,17 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # Materialize the quantized codes ONCE (localCheckpoint truncates the
+    # lineage): the frame is consumed 4× downstream (seeds, assignment,
+    # both sides of the pair self-join) and without this every consumer
+    # re-runs scan+quantize — 9 corpus scans in the executed plan.  This
+    # is the "write the codes table" step every real SemDeDup run does;
+    # codes are ~dim bytes/vector, far smaller than the embeddings read.
     norms = (
         e.select("vec_id", F.col("embedding").alias("emb"), lo.alias("lo"), hi.alias("hi"))
         .select("vec_id", c.alias("c"))
         .select("vec_id", "c", intdot(F.col("c"), F.col("c")).alias("n2"))
+        .localCheckpoint(eager=True)
     )
     seeds = (
         norms.where((F.col("vec_id") < _SEM_N_SEEDS) & (F.col("n2") > 0))
