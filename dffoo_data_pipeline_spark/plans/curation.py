@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dffoo_data_pipeline_spark.functions import numeric as N
 from dffoo_data_pipeline_spark.functions import text as TX
 from dffoo_data_pipeline_spark.sources.readers import load_table
 
@@ -683,4 +684,83 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.round_det(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("p_raw"),
         p_temp.alias("p_temp"),
         F.floor(F.lit(_MIX_TEMP_BUDGET) * p_temp).cast("bigint").alias("quota_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP-style noisy release (seeded Laplace — reproducible, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_DP_B = 5.0  # Laplace scale b = sensitivity/ε = 1/0.2
+
+_DP_HEX = "0123456789abcdef"
+_DP_RELEASE_ORACLE = rf"""
+WITH per_source AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source),
+seeded AS (
+    SELECT source, n_docs, md5(source) AS h FROM per_source),
+unif AS (
+    SELECT source, n_docs,
+           ({" + ".join(
+               f"(strpos('{_DP_HEX}', substr(h, {i+1}, 1)) - 1) / {16**(i+1)}.0"
+               for i in range(8)
+           )} + {0.5 / 16**8}) AS u
+    FROM seeded),
+noise AS (
+    SELECT source, n_docs,
+           FLOOR(({_DP_B} * (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                  * ln(GREATEST(1.0 - 2.0 * abs(u - 0.5), 1e-12)) * -1.0)
+                 * 10000 + 0.5) / 10000 AS lap
+    FROM unif)
+SELECT source, n_docs, lap AS noise,
+       CAST(GREATEST(FLOOR(n_docs + lap + 0.5), 0) AS BIGINT) AS released_n_docs
+FROM noise
+"""
+
+
+@_register("curation_dp_release", _DP_RELEASE_ORACLE)
+def curation_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006 — public):
+    per-source doc counts + Laplace(b=5) noise (sensitivity 1, ε=0.2) —
+    the mechanism for publishing corpus composition stats without
+    revealing any single document's membership.
+
+    The noise draw is SEEDED, not sampled: the uniform comes from the
+    first 8 hex digits of md5(source) (the same deterministic-draw trick
+    as every curation op — swap the seed by salting the hashed string),
+    pushed through the Laplace inverse CDF.  A production release uses a
+    fresh RNG; the seeded form is what you want for reproducible
+    pipeline tests, and it makes the whole mechanism oracle-checkable.
+    Each 16^-i weight is an exact binary double, so u is bit-identical
+    across engines; the one transcendental (ln) is rounded at 1e-4
+    before adding to the BIGINT count (same discipline as
+    text_unigram_logprob's log).
+
+    Scale: one agg shuffled on `source` (bounded cardinality) + per-row
+    arithmetic on the tiny per-source table.  Released counts clamp at 0.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    h = F.md5("source")
+    u = sum(
+        [
+            (F.instr(F.lit(_DP_HEX), F.substring(h, i + 1, 1)) - 1) / F.lit(float(16 ** (i + 1)))
+            for i in range(8)
+        ],
+        start=F.lit(0.5 / 16**8),
+    )
+    sgn = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = N.round_det(
+        F.lit(_DP_B) * sgn * F.log(F.greatest(1.0 - 2.0 * F.abs(u - 0.5), F.lit(1e-12))) * -1.0,
+        4,
+    )
+    out = per_source.select("source", "n_docs", lap.alias("noise"))
+    return out.select(
+        "source",
+        "n_docs",
+        "noise",
+        F.greatest(F.floor(F.col("n_docs") + F.col("noise") + 0.5), F.lit(0))
+        .cast("bigint")
+        .alias("released_n_docs"),
     )
