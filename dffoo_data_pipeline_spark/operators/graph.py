@@ -44,25 +44,47 @@ def connected_components(
     `edges` may be directed pairs (a<b); they are symmetrized here.
     Isolated nodes cluster with themselves.
     """
-    und = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    und = und.distinct().localCheckpoint(eager=True)
+    sc = nodes.sparkSession.sparkContext
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    def _persistent_ids() -> set:
+        ids, it = set(), sc._jsc.getPersistentRDDs().keySet().iterator()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    def _unpersist(ids: set) -> None:
+        # free an intermediate checkpoint's storage (executor memory/disk
+        # accumulates across the iteration otherwise — at corpus scale
+        # that's max_iterations copies of the label table pinned at once)
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist(False)
+
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+        before = _persistent_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_ids() - before
+
+    und, und_ids = _checkpoint(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels, labels_ids = _checkpoint(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    )
 
     changed = 0
     for _ in range(max_iterations):
         neighbor_labels = und.join(
             labels, und.src == labels.id, "inner"
         ).select(F.col("dst").alias("id"), "cluster_id")
-        new_labels = (
+        new_labels, new_ids = _checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -70,9 +92,11 @@ def connected_components(
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels = new_labels
+        _unpersist(labels_ids)  # superseded label generation
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
+    _unpersist(und_ids)
     if changed:
         # silent partial labels would be wrong-without-warning for a
         # long-chain graph; surface it so callers can raise max_iterations

@@ -91,8 +91,11 @@ def test_guard_at_testdata_scale_is_invisible(spark):
 
 
 def test_no_cached_rdds_left_behind(spark):
+    # delta-based: earlier tests in the session may legitimately hold the
+    # materialized RESULT of an iterative op; this op must add nothing
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     dedup.ngram_jaccard_pairs(_docs_df(spark, TEXTS), "doc_id", "text").count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def test_minhash_lsh_pair_quality(spark):

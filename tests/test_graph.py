@@ -42,3 +42,19 @@ def test_warns_when_not_converged(spark):
         warnings.simplefilter("error", ConvergenceWarning)
         done = connected_components(nodes, chain)
         assert {r.cluster_id for r in done.collect()} == {1}
+
+
+def test_connected_components_frees_intermediate_checkpoints(spark):
+    """The iteration must unpersist superseded label generations and the
+    symmetrized edge table — only the returned materialized result may
+    stay pinned (at scale, leaking max_iterations label-table copies is
+    an executor-memory leak)."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src bigint, dst bigint"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = connected_components(nodes, edges)
+    out.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
