@@ -381,3 +381,128 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Histogram values are unit-tested against pure numpy."""
     a = documents_as_assets(load_table(spark, sf_dir, "documents"))
     return byte_histogram_features(a, bins=16)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (aHash over the decode slot + banded Hamming join)
+# ---------------------------------------------------------------------------
+
+_PHASH_MAX_HAMMING = 6
+_PHASH_BANDS = 8  # 8 bands × 8 bits: ≤6 flipped bits → ≥2 bands still equal
+
+
+def image_ahash_codes(assets: DataFrame) -> DataFrame:
+    """(asset_id, phash) — 64-bit average-hash per image asset.
+
+    Decode (codec slot — fake_decode here, swap in a real codec and
+    nothing else changes) → 8×8 block-mean thumbnail → bit i set when
+    block i ≥ thumbnail mean.  Arrow-batched mapInPandas: one Python
+    crossing, whole-batch numpy, 8 bytes out per asset.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    weights = np.power(2, np.arange(64, dtype=np.uint64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            ids, hashes = [], []
+            for aid, payload, meta in zip(pb["asset_id"], pb["payload"], pb["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                px = fake_decode(bytes(payload), w, h).astype(np.float64)
+                bh, bw = h // 8, w // 8  # crop to 8×8 whole blocks
+                thumb = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+                bits = (thumb >= thumb.mean()).flatten()
+                hashes.append(int((weights * bits).sum(dtype=np.uint64).astype(np.int64)))
+                ids.append(aid)
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(
+        assets.select("asset_id", "payload", "meta"), "asset_id"
+    ).mapInPandas(gen, schema)
+
+
+def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> DataFrame:
+    """Per-asset near-dup verdict over 64-bit perceptual hashes.
+
+    Banded candidate generation (LSH on the hash itself): split the 64
+    bits into 8 byte-bands; two hashes within Hamming distance 6 agree
+    on ≥2 whole bands (pigeonhole), so a join keyed on (band_idx,
+    band_value) finds every true pair while touching only
+    bucket-colliding candidates — never assets².  Candidates are then
+    verified exactly with bit_count(xor) in the JVM.
+
+    Output: asset_id, phash, n_same_hash (exact-dup group size),
+    near_dup_of (lowest-id asset within max_hamming, null when none —
+    the keep/drop decision keys on it).
+    """
+    bands = codes.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("phash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "phash", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash"),
+    )
+    b = bands.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+        .where(
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))) <= max_hamming
+        )
+    )
+    marks = pairs.groupBy(F.col("b_id").alias("asset_id")).agg(
+        F.min("a_id").alias("near_dup_of")
+    )
+    sizes = codes.groupBy("phash").agg(F.count(F.lit(1)).cast("bigint").alias("n_same_hash"))
+    return (
+        codes.join(sizes, "phash")
+        .join(marks, "asset_id", "left")
+        .select("asset_id", "phash", "n_same_hash", "near_dup_of")
+    )
+
+
+@_register("multimodal_phash_neardup")  # rows-only: Python decode in the hash path
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual hash — the visual analog of
+    MinHash-LSH for text: decode → aHash → banded Hamming join.  Pair
+    quality (identical payloads collide, 1-byte edits stay within
+    Hamming 6, unrelated images don't pair) is unit-tested
+    (tests/test_multimodal.py); engine-specific float means in the
+    thumbnail make the hash itself rows-only for the oracle.
+
+    Scale: hashing is one Arrow-batched pass (8 bytes out per asset);
+    the candidate join shuffles on (band_idx, band_val) — 2048 distinct
+    buckets here, uniform by construction of the hash; exact
+    verification is a JVM bit_count on candidates only.
+    """
+    a = documents_as_assets(load_table(spark, sf_dir, "documents")).where(
+        F.col("modality") == "image"
+    )
+    return phash_neardup(image_ahash_codes(a))

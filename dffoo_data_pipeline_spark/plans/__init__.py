@@ -83,7 +83,8 @@ _PRIORITY = [
     # streaming_error_rate_alert, events_churned_users,
     # supplier_revenue_pareto, text_char_ngram_profile, events_dau_wau,
     # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split,
-    # curation_k_anonymity, curation_mix_temperature, curation_dp_release
+    # curation_k_anonymity, curation_mix_temperature, curation_dp_release,
+    # multimodal_phash_neardup
 ]
 
 

@@ -25,6 +25,7 @@ ROWS_ONLY = [
     "multimodal_features",
     "multimodal_audio_rms",
     "multimodal_image_pixel_stats",
+    "multimodal_phash_neardup",
     "text_sequence_packing",
     "abilities_parse_scaled",
 ]

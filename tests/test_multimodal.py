@@ -116,3 +116,39 @@ def test_frame_sample_tolerates_empty_payload(spark):
     out = frame_sample(documents_as_assets(docs))
     ids = [r.asset_id for r in out.collect()]
     assert 1 in ids and 2 not in ids
+
+
+def test_phash_pair_quality(spark):
+    """Identical images share a hash (exact group), a one-char payload
+    edit stays within the Hamming budget (near-dup found), unrelated
+    images don't pair."""
+    from dffoo_data_pipeline_spark.multimodal.assets import (
+        image_ahash_codes,
+        phash_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    # ids ≡ 0 (mod 3): image modality; ≡ 0 (mod 512/256): identical
+    # decode dims, so same payload ⇒ same pixel grid ⇒ same hash
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1536, base),  # exact duplicate payload, same decode dims
+            # near-identical: edit INSIDE the decoded region (16×16 dims
+            # consume the first 256 payload bytes; a tail edit would be
+            # invisible to the hash, and correctly so)
+            (3072, base[:96] + " " * 8 + base[104:]),  # Hamming 5 from base
+            (9, "completely different pixels " + "zzz " * 40),
+        ],
+        "doc_id long, text string",
+    )
+    assets = documents_as_assets(docs)
+    out = {
+        r.asset_id: r
+        for r in phash_neardup(image_ahash_codes(assets)).collect()
+    }
+    assert out[0].phash == out[1536].phash
+    assert out[1536].n_same_hash == 2 and out[1536].near_dup_of == 0
+    assert out[3072].near_dup_of in (0, 1536)  # tail edit: within budget
+    assert out[9].near_dup_of is None and out[9].n_same_hash == 1
+    assert out[0].near_dup_of is None  # lowest id is the keeper
