@@ -880,3 +880,100 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(cuts), "lang").select(
         "doc_id", "lang", "n_tokens", "avg_logprob", bucket.alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health: Zipf slope + type/token (Heaps) stats per source
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 50
+
+_ZIPF_HEAPS_ORACLE = rf"""
+WITH tok AS (
+    SELECT source,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                               ' ')) AS term
+    FROM documents),
+tf AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tok GROUP BY source, term),
+totals AS (
+    SELECT source, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM tf GROUP BY source),
+ranked AS (
+    SELECT source, freq,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY freq DESC, term) AS rank
+    FROM tf),
+top AS (
+    SELECT source,
+           CAST(FLOOR(ln(rank) * 1000000000 + 0.5) / 1000000000
+                AS DECIMAL(18,9)) AS x,
+           CAST(FLOOR(ln(freq) * 1000000000 + 0.5) / 1000000000
+                AS DECIMAL(18,9)) AS y
+    FROM ranked WHERE rank <= {_ZIPF_TOPK}),
+m AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+    FROM top GROUP BY source)
+SELECT t.source, t.n_tokens, t.n_types,
+       FLOOR((t.n_types * 1.0 / t.n_tokens) * 1000000 + 0.5) / 1000000
+         AS type_token_ratio,
+       FLOOR(((m.n * m.sxy - m.sx * m.sy)
+              / (m.n * m.sxx - m.sx * m.sx)) * 1000000 + 0.5) / 1000000
+         AS zipf_slope
+FROM totals t JOIN m USING (source)
+"""
+
+
+@_register("corpus_zipf_heaps", _ZIPF_HEAPS_ORACLE)
+def corpus_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report per source: token/type counts, type-token
+    ratio (the Heaps'-law operating point), and the Zipf slope — the
+    least-squares slope of ln(freq) on ln(rank) over the top-50 terms.
+    Natural language sits near −1; machine-generated or template spam
+    drifts flat — a cheap corpus-drift alarm between snapshots.
+
+    Scale: term frequencies shuffle once on (source, term) with map-side
+    combine; the rank window runs over the AGGREGATED tf frame only, and
+    the regression runs on ≤50 rows per source.  Determinism
+    (profile_corr_lineitem's discipline): ln of exact BIGINTs is rounded
+    at 1e-9 and summed as DECIMAL — partition order cannot move the
+    moment sums — then the textbook slope formula runs on identical
+    doubles in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select(
+        "source", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("freq"))
+    totals = tf.groupBy("source").agg(
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), "term")
+    x = round_det(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)")
+    y = round_det(F.log(F.col("freq").cast("double")), 9).cast("decimal(18,9)")
+    top = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ZIPF_TOPK)
+        .select("source", x.alias("x"), y.alias("y"))
+    )
+    m = top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return totals.join(m, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        round_det(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        round_det((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
