@@ -54,6 +54,7 @@ HEADLINE += [
     "text_unigram_logprob",          # vocab build + tf-weighted join + DECIMAL agg
     "curation_e2e_corpus",           # score→gate→dedup→length-gate→split, one plan
     "similarity_int8_topk",          # quantized-index ANN scoring
+    "dedup_semantic_int8",           # SemDeDup: cluster-bucketed int8 pair test
 ]
 
 
