@@ -834,13 +834,15 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher-style quality rule battery
 # ---------------------------------------------------------------------------
 
-_GOPHER_ORACLE = r"""
+# Shared per-doc base for the Gopher rule battery: `m` carries the raw
+# metrics plus `source` so the streaming pass-rate oracle can reuse it.
+_GOPHER_BASE_SQL = r"""
 WITH t AS (
-    SELECT doc_id, text,
+    SELECT doc_id, source, text,
            string_split_regex(lower(trim(text)), '\s+') AS toks
     FROM documents),
 m AS (
-    SELECT doc_id,
+    SELECT doc_id, source,
            CAST(len(toks) AS BIGINT) AS n_words,
            FLOOR((list_sum(list_transform(toks, x -> length(x))) * 1.0
                   / len(toks)) * 10000 + 0.5) / 10000 AS mean_word_len,
@@ -852,6 +854,15 @@ m AS (
                 x -> x IN ('the','a','of','and','to','in','is','it')))
                 AS BIGINT) AS stop_hits
     FROM t)
+"""
+
+_GOPHER_PASS_SQL = (
+    "(n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)"
+    " AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8"
+    " AND stop_hits >= 2"
+)
+
+_GOPHER_ORACLE = _GOPHER_BASE_SQL + f"""
 SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_ratio,
        stop_hits,
        n_words BETWEEN 50 AND 100000                 AS r_word_count,
@@ -888,8 +899,16 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare, so rule booleans can't flip on engine ulps.
     """
     d = load_table(spark, sf_dir, "documents")
+    return gopher_rule_flags(d).drop("source")
+
+
+def gopher_rule_flags(d: DataFrame) -> DataFrame:
+    """Per-doc Gopher metrics + rule flags for any frame with
+    (doc_id, source, text) — pure projections, so it applies unchanged to
+    a STREAMING DataFrame (streaming/jobs.py:streaming_quality_gate)."""
     toks = d.select(
         "doc_id",
+        "source",
         "text",
         TX.tokens(F.lower(F.trim("text"))).alias("toks"),
     )
@@ -908,6 +927,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     m = toks.select(
         "doc_id",
+        "source",
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_word_ratio"),

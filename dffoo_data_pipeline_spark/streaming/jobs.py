@@ -630,3 +630,85 @@ def streaming_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus quality gate (documents stream × Gopher rules)
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_DOCS_STAGE_DIRS: dict[str, str] = {}
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` as an unbounded stream (file source standing in for
+    the ingest landing bucket a crawler writes into)."""
+    key = sf_dir.rstrip("/")
+    if key not in _DOCS_STAGE_DIRS:
+        d = tempfile.mkdtemp(prefix="sg_docs_src_")
+        os.symlink(f"{key}/documents.parquet", f"{d}/documents.parquet")
+        _DOCS_STAGE_DIRS[key] = d
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_DOCS_STAGE_DIRS[key])
+    )
+
+
+def _streaming_gate_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.llm_ops import (
+        _GOPHER_BASE_SQL,
+        _GOPHER_PASS_SQL,
+    )
+
+    return _GOPHER_BASE_SQL + f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {_GOPHER_PASS_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       FLOOR((SUM(CASE WHEN {_GOPHER_PASS_SQL} THEN 1 ELSE 0 END) * 1.0
+              / COUNT(*)) * 1000000 + 0.5) / 1000000 AS pass_rate
+FROM m
+GROUP BY source
+"""
+
+
+@_register("streaming_quality_gate", _streaming_gate_oracle())
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher pass-rate over the INGEST STREAM — the quality
+    dashboard a crawler pipeline watches while documents land, hours
+    before any batch curation run: a source whose pass-rate dives mid-
+    crawl is a broken extractor or a spam flood, and the earlier the gate
+    fires the less junk ships to the batch layer.
+
+    The per-doc rule battery is the SAME column expressions as the batch
+    query (plans/llm_ops.py:gopher_rule_flags — pure projections apply to
+    a streaming frame unchanged), so the batch oracle checks the stream.
+    Scale: projections run per-microbatch with no state at all; the only
+    state is the per-source running counts (bounded by |sources|) —
+    complete-mode output of a tiny aggregate.
+    """
+    from dffoo_data_pipeline_spark.plans.llm_ops import gopher_rule_flags
+
+    docs = read_documents_stream(spark, sf_dir)
+    flags = gopher_rule_flags(docs)
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("passes_gopher").cast("long")).cast("bigint").alias("n_pass"),
+    )
+    out = agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        N.round_det(F.col("n_pass") / F.col("n_docs"), 6).alias("pass_rate"),
+    )
+    return run_stream_to_table(out, "complete")
