@@ -84,7 +84,8 @@ _PRIORITY = [
     # supplier_revenue_pareto, text_char_ngram_profile, events_dau_wau,
     # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split,
     # curation_k_anonymity, curation_mix_temperature, curation_dp_release,
-    # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate
+    # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
+    # streaming_embedding_assign
 ]
 
 

@@ -430,7 +430,48 @@ def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_N_SEEDS = 8
 _SEM_TAU2_X1E4 = 1225  # tau = 0.35 → tau² · 10⁴ (fixture-tuned: ~28% dups)
 
-_SEM_DEDUP_ORACLE = f"""
+def _intdot(a, b):
+    """Exact BIGINT dot product fold — order-free (integer addition)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, c: array<bigint>, n2) — centered int8 codes + squared
+    norm for any frame with (vec_id, embedding).  Pure projections, so it
+    applies unchanged to a STREAMING frame (streaming/jobs.py's ingest
+    router).  Degenerate hi=lo vectors quantize to all-zero codes
+    (n2 = 0), which every consumer's norm guard excludes from pair math.
+    """
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    c = F.when(
+        F.col("hi") == F.col("lo"),
+        F.transform(F.col("emb"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("emb"),
+            lambda x: F.floor(
+                (x.cast("double") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255)
+                + 0.5
+            )
+            - 128,
+        )
+    )
+    return (
+        e.select("vec_id", F.col("embedding").alias("emb"), lo.alias("lo"), hi.alias("hi"))
+        .select("vec_id", c.alias("c"))
+        .select("vec_id", "c", _intdot(F.col("c"), F.col("c")).alias("n2"))
+    )
+
+
+# Shared CTE chain: raw embeddings → centered int8 codes → seed argmax
+# assignment.  Reused by the streaming ingest router's oracle
+# (streaming/jobs.py:streaming_embedding_assign).
+_SEM_ASSIGN_SQL = f"""
 WITH base AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb,
            list_min(embedding::DOUBLE[]) AS lo,
@@ -464,8 +505,11 @@ assign AS (
                    PARTITION BY vec_id
                    ORDER BY CAST(d AS DOUBLE) * abs(d) / sn2 DESC, seed_id) AS rn
         FROM dots)
-    WHERE rn = 1),
-members AS (
+    WHERE rn = 1)
+"""
+
+_SEM_DEDUP_ORACLE = _SEM_ASSIGN_SQL + f"""
+, members AS (
     SELECT a.vec_id, a.cluster_id, n.c, n.n2
     FROM assign a JOIN norms n USING (vec_id)),
 pair_dots AS (
@@ -515,38 +559,14 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture deterministic.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    lo = F.array_min("embedding").cast("double")
-    hi = F.array_max("embedding").cast("double")
-    c = F.when(
-        F.col("hi") == F.col("lo"),
-        F.transform(F.col("emb"), lambda x: F.lit(0).cast("bigint")),
-    ).otherwise(
-        F.transform(
-            F.col("emb"),
-            lambda x: F.floor(
-                (x.cast("double") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255)
-                + 0.5
-            )
-            - 128,
-        )
-    )
-    intdot = lambda a, b: F.aggregate(  # noqa: E731 — BIGINT fold, order-free
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     # Materialize the quantized codes ONCE (localCheckpoint truncates the
     # lineage): the frame is consumed 4× downstream (seeds, assignment,
     # both sides of the pair self-join) and without this every consumer
     # re-runs scan+quantize — 9 corpus scans in the executed plan.  This
     # is the "write the codes table" step every real SemDeDup run does;
     # codes are ~dim bytes/vector, far smaller than the embeddings read.
-    norms = (
-        e.select("vec_id", F.col("embedding").alias("emb"), lo.alias("lo"), hi.alias("hi"))
-        .select("vec_id", c.alias("c"))
-        .select("vec_id", "c", intdot(F.col("c"), F.col("c")).alias("n2"))
-        .localCheckpoint(eager=True)
-    )
+    norms = int8_codes(e).localCheckpoint(eager=True)
+    intdot = _intdot
     seeds = (
         norms.where((F.col("vec_id") < _SEM_N_SEEDS) & (F.col("n2") > 0))
         .select(F.col("vec_id").alias("seed_id"), F.col("c").alias("sc"), F.col("n2").alias("sn2"))

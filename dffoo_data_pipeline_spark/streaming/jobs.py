@@ -712,3 +712,102 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.round_det(F.col("n_pass") / F.col("n_docs"), 6).alias("pass_rate"),
     )
     return run_stream_to_table(out, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest router: assign incoming embeddings to semantic shards
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+_EMB_STAGE_DIRS: dict[str, str] = {}
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = sf_dir.rstrip("/")
+    if key not in _EMB_STAGE_DIRS:
+        d = tempfile.mkdtemp(prefix="sg_emb_src_")
+        os.symlink(f"{key}/embeddings.parquet", f"{d}/embeddings.parquet")
+        _EMB_STAGE_DIRS[key] = d
+    return (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_EMB_STAGE_DIRS[key])
+    )
+
+
+def _emb_assign_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.embeddings import _SEM_ASSIGN_SQL
+
+    return _SEM_ASSIGN_SQL + """
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM assign GROUP BY cluster_id
+"""
+
+
+@_register("streaming_embedding_assign", _emb_assign_oracle())
+def streaming_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic shard routing at INGEST: every embedding arriving on the
+    stream is quantized to centered int8 codes and assigned to its
+    nearest seed centroid (dedup_semantic_int8's assignment, identical
+    math — the shared oracle CTE checks both); output is the running
+    per-shard count, the signal an ingest controller watches to rebalance
+    or split hot shards.
+
+    Streaming shape: the seed index is TINY and static, so it rides into
+    the stream as literal arrays (collected once at plan build — 8
+    bounded rows, the sanctioned global-scalar collect) and the per-row
+    argmax is a pure projection via array_max over (score, -seed_id)
+    structs — ties pick the lowest seed exactly like the batch
+    ROW_NUMBER.  That leaves ONE stateful operator (the per-shard count,
+    |shards| keys) — Structured Streaming's single-aggregation constraint
+    is satisfied by design, no watermark needed.  The BIGINT dot per seed
+    is exact; d·|d| ≤ 1.1e12 < 2⁵³ so the double score divides
+    identically in both engines.
+    """
+    from dffoo_data_pipeline_spark.plans.embeddings import (
+        _SEM_N_SEEDS,
+        int8_codes,
+    )
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    seeds = (
+        int8_codes(load_table(spark, sf_dir, "embeddings"))
+        .where((F.col("vec_id") < _SEM_N_SEEDS) & (F.col("n2") > 0))
+        .collect()
+    )
+    stream_codes = int8_codes(read_embeddings_stream(spark, sf_dir))
+
+    def _intdot_lit(code_col, seed_vec):
+        return F.aggregate(
+            F.zip_with(
+                code_col,
+                F.array(*[F.lit(int(v)).cast("bigint") for v in seed_vec]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    choices = []
+    for s in sorted(seeds, key=lambda r: r.vec_id):
+        d = _intdot_lit(F.col("c"), s.c)
+        score = d.cast("double") * F.abs(d) / F.lit(float(s.n2))
+        choices.append(
+            F.struct(
+                score.alias("score"),
+                F.lit(-s.vec_id).cast("bigint").alias("negseed"),
+            )
+        )
+    best = F.array_max(F.array(*choices))
+    assigned = stream_codes.select((-best["negseed"]).alias("cluster_id"))
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    return run_stream_to_table(agg, "complete")
