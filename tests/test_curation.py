@@ -80,3 +80,34 @@ def test_leakage_safe_split_cluster_atomicity(spark, sf_dir):
     assert per_cluster.where(F.col("n_splits") > 1).count() == 0
     total = out.count()
     assert out.select("doc_id").distinct().count() == total
+
+
+def test_mix_temperature_invariants(spark, sf_dir):
+    """Temperature weights must (a) sum to 1 within rounding, (b) spend
+    at most the budget, (c) COMPRESS the mixture — the max/min share
+    ratio can only shrink versus raw proportions (that's what T>1 is
+    for)."""
+    from dffoo_data_pipeline_spark.plans.curation import (
+        _MIX_TEMP_BUDGET,
+        QUERIES,
+    )
+
+    rows = QUERIES["curation_mix_temperature"](spark, sf_dir).collect()
+    p_temp = [r.p_temp for r in rows]
+    p_raw = [r.p_raw for r in rows]
+    assert abs(sum(p_temp) - 1.0) < 1e-4
+    assert sum(r.quota_tokens for r in rows) <= _MIX_TEMP_BUDGET
+    assert max(p_temp) / min(p_temp) <= max(p_raw) / min(p_raw) + 1e-9
+
+
+def test_k_anonymity_generalization_monotone(spark, sf_dir):
+    """Generalizing a QI can only merge cells: k_generalized >= k for
+    every cell, so still_at_risk implies at_risk."""
+    from dffoo_data_pipeline_spark.plans.curation import QUERIES
+
+    rows = QUERIES["curation_k_anonymity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.k_generalized >= r.k
+        if r.still_at_risk:
+            assert r.at_risk
