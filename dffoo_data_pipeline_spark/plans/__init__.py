@@ -85,7 +85,7 @@ _PRIORITY = [
     # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split,
     # curation_k_anonymity, curation_mix_temperature, curation_dp_release,
     # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
-    # streaming_embedding_assign
+    # streaming_embedding_assign, udaf_trimmed_mean_length
 ]
 
 

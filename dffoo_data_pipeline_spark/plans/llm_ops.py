@@ -948,3 +948,69 @@ def gopher_rule_flags(d: DataFrame) -> DataFrame:
         r_stops.alias("r_stops"),
         (r_word & r_mean & r_symbol & r_alpha & r_stops).alias("passes_gopher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF (the UDAF slot of the §2j surface)
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = r"""
+WITH r AS (
+    SELECT lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*)    OVER (PARTITION BY lang) AS n
+    FROM documents),
+kept AS (
+    SELECT lang, n_chars, n FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       FLOOR((SUM(n_chars) * 1.0 / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS trimmed_mean_chars
+FROM kept GROUP BY lang
+"""
+
+
+@_register("udaf_trimmed_mean_length", _TRIMMED_ORACLE)
+def udaf_trimmed_mean_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean document length per language via a GROUPED_AGG
+    pandas UDF (Series → scalar — the user-defined AGGREGATE slot of the
+    §2j surface; the scalar pandas_udf, mapInPandas/mapInArrow,
+    applyInPandas[WithState] and UDTF forms are exercised elsewhere).
+    Trimmed means are the robust-location standard for corpus length
+    dashboards — a few giant concatenation bugs can move a plain AVG by
+    × but barely touch the trimmed form.
+
+    Determinism without tolerance: the trimmed SUM is over BIGINT
+    n_chars — exact in int64 AND in any engine's 53-bit-exact double
+    range — so the single final division is bit-identical to the
+    oracle's SUM/COUNT.  (A float-valued metric would need the DECIMAL
+    staging the other aggs use.)  Scale: Arrow-batched partial groups —
+    Spark feeds each group's Series to ONE python call; the shuffle is
+    the same hash-partition on lang a JVM agg would do.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # hint-based eval-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        vals = np.sort(v.to_numpy(dtype=np.int64))
+        k = len(vals) // 10
+        kept = vals[k : len(vals) - k]
+        return float(kept.sum(dtype=np.int64)) / len(kept)
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — count via a second
+    # pandas aggregate in the same (single-shuffle) groupBy instead
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_count(v):
+        return len(v)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        group_count("n_chars").alias("n_docs"),
+        N.round_det(trimmed_mean("n_chars"), 6).alias("trimmed_mean_chars"),
+    )
