@@ -210,3 +210,39 @@ def write_partitioned_corpus(
     whole directories at planning time (PartitionFilters in the scan, zero
     files opened for excluded languages) instead of filtering rows."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_sorted_corpus(
+    df: DataFrame, path: str, sort_col: str, n_files: int = 8
+) -> DataFrame:
+    """Total-order corpus layout: `repartitionByRange` +
+    `sortWithinPartitions` writes n_files parquet files whose
+    `sort_col` ranges are disjoint and globally ordered — the layout
+    that makes key lookups and merge-style consumers (tokenizer shards,
+    binary-searching samplers) touch ONE file instead of all of them.
+    Returns the manifest (file, rows, min/max of sort_col) read back
+    from the written files; at scale the manifest IS the index a reader
+    prunes on.
+
+    Range partitioning samples the key distribution, so file sizes stay
+    balanced under skew (hash partitioning balances too but destroys
+    order; coalesce preserves neither).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows"),
+            F.min(sort_col).alias(f"min_{sort_col}"),
+            F.max(sort_col).alias(f"max_{sort_col}"),
+        )
+    )

@@ -184,3 +184,24 @@ def test_upsert_and_compact_leave_no_staging(spark):
     parent = os.path.dirname(path.rstrip("/"))
     leftovers = [d for d in os.listdir(parent) if "__staging__" in d or "__old__" in d]
     assert leftovers == []
+
+
+def test_sorted_corpus_ranges_disjoint(spark, tmp_path):
+    """write_sorted_corpus must produce files whose sort-key ranges are
+    disjoint and cover the input in global order — the property that
+    lets a reader binary-search the manifest instead of scanning."""
+    from dffoo_data_pipeline_spark.sources.writers import write_sorted_corpus
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "CAST(id % 977 AS BIGINT) * 31 AS sort_key"
+    )
+    manifest = write_sorted_corpus(
+        df, str(tmp_path / "sorted"), "sort_key", n_files=6
+    ).collect()
+    assert sum(r.rows for r in manifest) == 10_000
+    spans = sorted((r.min_sort_key, r.max_sort_key) for r in manifest)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans  # disjoint (range boundary may touch)
+    # file sizes balanced within 3× despite the modular key pattern
+    rows = sorted(r.rows for r in manifest)
+    assert rows[-1] <= 3 * rows[0], rows
