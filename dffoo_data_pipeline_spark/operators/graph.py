@@ -72,8 +72,27 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
+    # Iterate ONLY over nodes that touch an edge.  In a dedup graph the
+    # overwhelming majority of documents are singletons (no near-dup
+    # pair); keeping them out of the loop turns every iteration's join +
+    # re-aggregation from corpus-sized into subgraph-sized (≪1% at real
+    # scale — there, iterations dominate and the win is proportional to
+    # corpus size; at sf0.1 the pair plan dominates and this still cuts
+    # the leakage-split query 4.1s → 3.1s).  Isolated nodes are
+    # trivially their own cluster and union back at the end.
+    # endpoints come from the already-materialized `und` (the caller's
+    # edges frame may be an expensive subtree — e.g. the Jaccard pair
+    # plan — and must be evaluated exactly once); the tiny endpoint set
+    # is checkpointed itself so `isolated` can be evaluated inside the
+    # returned result after und's blocks are freed.
+    ids = nodes.select(F.col(id_col).alias("id"))
+    endpoints, ep_ids = _checkpoint(und.select(F.col("src").alias("id")).distinct())
+    active = ids.join(endpoints, "id", "semi")
+    isolated = ids.join(endpoints, "id", "anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
     labels, labels_ids = _checkpoint(
-        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+        active.select("id", F.col("id").alias("cluster_id"))
     )
 
     changed = 0
@@ -106,4 +125,12 @@ def connected_components(
             ConvergenceWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("id"), F.col("cluster_id"))
+    # one final materialization so every intermediate (subgraph labels,
+    # endpoint set) can be freed — exactly ONE persistent RDD leaves this
+    # function: the result
+    result, _result_ids = _checkpoint(
+        labels.select(F.col("id"), F.col("cluster_id")).unionByName(isolated)
+    )
+    _unpersist(labels_ids)
+    _unpersist(ep_ids)
+    return result
