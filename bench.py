@@ -55,6 +55,7 @@ HEADLINE += [
     "curation_e2e_corpus",           # score→gate→dedup→length-gate→split, one plan
     "similarity_int8_topk",          # quantized-index ANN scoring
     "dedup_semantic_int8",           # SemDeDup: cluster-bucketed int8 pair test
+    "curation_leakage_safe_split",   # pair graph → subgraph CC → cluster-hash split
 ]
 
 
@@ -90,11 +91,16 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        df = fn(spark, sf_dir)
+        fn(spark, sf_dir)  # warm pass: file listing, codegen, UDF fork
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            # plan construction INSIDE the timer: queries that eagerly
+            # materialize a sub-result (localCheckpoint in the iterative
+            # ops) do real work at construction — timing only the final
+            # write under-reports them (leakage split measured 0.02s
+            # with construction untimed vs ~3s honest)
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[0], 3)

@@ -565,7 +565,11 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs scan+quantize — 9 corpus scans in the executed plan.  This
     # is the "write the codes table" step every real SemDeDup run does;
     # codes are ~dim bytes/vector, far smaller than the embeddings read.
-    norms = int8_codes(e).localCheckpoint(eager=True)
+    # lazy checkpoint: materializes at the first ACTION (so building the
+    # plan — e.g. for explain/lint — stays free), then every downstream
+    # consumer reads the one materialized copy instead of re-running
+    # scan+quantize (9 scans without it)
+    norms = int8_codes(e).localCheckpoint(eager=False)
     intdot = _intdot
     seeds = (
         norms.where((F.col("vec_id") < _SEM_N_SEEDS) & (F.col("n2") > 0))
