@@ -185,3 +185,28 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     (predicate pushdown, column pruning, vectorized read) for corpora that
     arrive ORC-encoded from Hive-era warehouses."""
     return spark.read.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(file, line_no, line) from raw text files — the ingestion shape the
+    reference's scraper consumes (numbered HTML text lines per page;
+    web_scraper.py walks soup.text line offsets).  `wholetext` reads each
+    file as ONE row, so the posexplode's positions are EXACT per-file
+    line numbers — `monotonically_increasing_id` over a line-mode read
+    would interleave across partitions and break the parser's ±k offset
+    contract.
+
+    Scale: parallelism is per-file (a scraped page per file — thousands
+    of small files is the normal shape; for giant single files, split
+    upstream or fall back to line-mode + per-partition renumbering).
+    Line numbers are 0-based to match the parser's offset convention.
+    """
+    from pyspark.sql import functions as F
+
+    whole = spark.read.text(path, wholetext=True)
+    return (
+        whole.select(
+            F.input_file_name().alias("file"),
+            F.posexplode(F.split("value", "\n")).alias("line_no", "line"),
+        )
+    )

@@ -153,3 +153,21 @@ def test_jdbc_append_call_shape_fails_without_driver(spark):
         )
     msg = str(ei.value)
     assert "driver" in msg.lower() or "No suitable" in msg, msg
+
+
+def test_read_text_lines_exact_numbering(spark, tmp_path):
+    """Per-file 0-based line numbers must be exact regardless of
+    partitioning — the parser's ±k lead/lag offsets depend on it."""
+    from dffoo_data_pipeline_spark.sources.readers import read_text_lines
+
+    for i, body in enumerate(
+        ["alpha\nbravo\ncharlie", "x\ny\nz\nw\nv", "single"]
+    ):
+        (tmp_path / f"page{i}.txt").write_text(body)
+    out = read_text_lines(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r.file.rsplit("/", 1)[-1], []).append((r.line_no, r.line))
+    assert sorted(by_file["page0.txt"]) == [(0, "alpha"), (1, "bravo"), (2, "charlie")]
+    assert len(by_file["page1.txt"]) == 5 and sorted(by_file["page1.txt"])[4] == (4, "v")
+    assert by_file["page2.txt"] == [(0, "single")]
