@@ -171,3 +171,50 @@ def test_read_text_lines_exact_numbering(spark, tmp_path):
     assert sorted(by_file["page0.txt"]) == [(0, "alpha"), (1, "bravo"), (2, "charlie")]
     assert len(by_file["page1.txt"]) == 5 and sorted(by_file["page1.txt"])[4] == (4, "v")
     assert by_file["page2.txt"] == [(0, "single")]
+
+
+def test_text_lines_feed_ability_parser(spark, tmp_path):
+    """End-to-end ingestion parity: writing each ability's HTML lines as
+    a RAW TEXT FILE (one scraped page per ability, the reference's actual
+    input shape) and reading through read_text_lines must parse to
+    exactly the same result as the in-memory fixture path."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.fixtures import ability_line_rows
+    from dffoo_data_pipeline_spark.plans.abilities import parse_ability_lines
+    from dffoo_data_pipeline_spark.schemas import ABILITY_HTML_LINES
+    from dffoo_data_pipeline_spark.sources.readers import read_text_lines
+
+    rows = ability_line_rows()
+    pages: dict[tuple, list] = {}
+    for char, ability, aid, gv, line_no, line in rows:
+        pages.setdefault((char, ability, aid, gv), []).append((line_no, line))
+    for i, ((char, ability, aid, gv), lines) in enumerate(sorted(pages.items())):
+        body = "\n".join(l for _, l in sorted(lines))
+        name = urllib.parse.quote(f"{char}||{ability}||{aid}||{gv}", safe="")
+        (tmp_path / f"{i:04d}__{name}.txt").write_text(body)
+
+    raw = read_text_lines(spark, str(tmp_path))
+    # input_file_name yields a URI, so the quoted name arrives
+    # percent-encoded twice — decode twice
+    meta = F.split(
+        F.url_decode(F.url_decode(F.regexp_extract("file", r"\d+__(.*)\.txt$", 1))),
+        r"\|\|",
+    )
+    staged = raw.select(
+        F.element_at(meta, 1).alias("char_name"),
+        F.element_at(meta, 2).alias("ability_name"),
+        F.element_at(meta, 3).cast("int").alias("ability_id"),
+        F.element_at(meta, 4).alias("game_version"),
+        F.col("line_no").cast("int"),
+        "line",
+    )
+    from_files = parse_ability_lines(staged)
+    from_memory = parse_ability_lines(
+        spark.createDataFrame(rows, ABILITY_HTML_LINES)
+    )
+    a = sorted(map(tuple, from_files.collect()))
+    b = sorted(map(tuple, from_memory.collect()))
+    assert a == b and len(a) > 0
