@@ -85,7 +85,8 @@ _PRIORITY = [
     # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split,
     # curation_k_anonymity, curation_mix_temperature, curation_dp_release,
     # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
-    # streaming_embedding_assign, udaf_trimmed_mean_length
+    # streaming_embedding_assign, udaf_trimmed_mean_length,
+    # dedup_duplicate_spans, curation_dsir_weights
 ]
 
 
@@ -103,11 +104,12 @@ def all_queries():
         llm_ops,
         profile,
         relational,
+        selection,
     )
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

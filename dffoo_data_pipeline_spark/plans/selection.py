@@ -1,0 +1,282 @@
+"""Data-selection operators: exact duplicated-span detection and
+DSIR-style importance weighting.
+
+Two selection signals a pretraining pipeline computes between dedup and
+sampling (SURVEY.md §2k's curation surface; reference analog: the
+keep/drop row gates of web_scraper.py's parse loop, lifted to
+corpus-statistics-driven gates):
+
+* ``dedup_duplicate_spans`` — the window-hash approximation of
+  suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better"): every stride-1 window of
+  ``W_SPAN`` consecutive tokens is hashed; a window whose hash occurs
+  ≥2× anywhere in the corpus is a duplicated span, and documents past a
+  duplicated-span-fraction threshold are flagged for dropping.  The full
+  suffix array finds arbitrary-length repeats; fixed-W windows find
+  exactly the repeats of length ≥ W — the standard distributed
+  relaxation, expressible as two hash shuffles.
+
+* ``curation_dsir_weights`` — hashed-unigram importance weights (Xie et
+  al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): build bucketed unigram LMs of a target slice and of the
+  whole corpus over ``N_BUCKETS`` hash buckets, and score each document
+  by its mean per-token log importance ratio ln(p_target/p_source).
+  The registered query uses the ``lang = 'en'`` slice as the target
+  stand-in; a real run swaps in any high-quality reference corpus.
+
+Cross-engine determinism: the bucket hash is the leading 8 hex digits of
+md5 parsed as an integer — Spark ``conv(substring(md5(x),1,8),16,10)``
+and DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT`` produce identical
+values (both engines compute the same RFC-1321 md5 of the same
+normalized token bytes).  Every ln() is floor-rounded at 1e-6
+(`round_det`, mode-independent) then carried as DECIMAL so per-doc sums
+are partition-order-exact — same discipline as plans/corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions import text as TX
+from dffoo_data_pipeline_spark.functions.numeric import round_det
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (windowed suffix-array relaxation)
+# ---------------------------------------------------------------------------
+
+W_SPAN = 8  # tokens per rolling window (= minimum repeat length detected)
+DUP_FRAC_DROP = 0.2  # drop a doc when ≥20% of its windows are duplicated
+
+_SPANS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS t
+    FROM documents),
+eligible AS (
+    SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {W_SPAN}),
+starts AS (
+    SELECT doc_id, t,
+           unnest(range(1, n - {W_SPAN} + 2)) AS s
+    FROM eligible),
+wins AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(t, s, s + {W_SPAN} - 1), ' ')) AS h
+    FROM starts),
+cnts AS (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+perdoc_dup AS (
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+    FROM wins w JOIN cnts USING (h)
+    GROUP BY w.doc_id),
+perdoc AS (
+    SELECT doc_id, CAST(n - {W_SPAN} + 1 AS BIGINT) AS n_windows
+    FROM eligible),
+flagged AS (
+    SELECT p.doc_id, p.n_windows,
+           CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           FLOOR(COALESCE(d.n_dup_windows, 0) * 1.0 / p.n_windows
+                 * 10000 + 0.5) / 10000 AS dup_frac
+    FROM perdoc p LEFT JOIN perdoc_dup d USING (doc_id))
+SELECT doc_id, n_windows, n_dup_windows, dup_frac,
+       CAST(CASE WHEN dup_frac >= {DUP_FRAC_DROP} THEN 1 ELSE 0 END AS INT)
+         AS drop_flag
+FROM flagged
+"""
+
+
+@_register("dedup_duplicate_spans", _SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span audit: fraction of the document's
+    stride-1 {W_SPAN}-token windows whose hash occurs ≥2× corpus-wide
+    (including elsewhere in the same document — self-repeats are exactly
+    what the templating/boilerplate signal wants), plus a drop flag at
+    the 20% threshold.  Documents shorter than W_SPAN tokens have no
+    windows and are excluded (they cannot contain a length-≥W repeat).
+
+    Scale: the explode is ~n_tokens rows per doc (stride 1 — inherent to
+    the operator, this is the cost suffix-array dedup pays up front too)
+    but each row is only (doc_id, 32-byte hash); the span text itself
+    never shuffles.  Two hash shuffles: COUNT per window hash (map-side
+    combine folds each task's repeats first) and the wins⋈dup-hashes
+    join (AQE handles a skewed hash — a boilerplate span shared by
+    millions of docs — by splitting its partition).  The join recomputes
+    the scan→explode subtree for the count side — same accepted tradeoff
+    as plans/corpus.py's unigram LM (a window-over-h alternative would
+    pin each hot hash into one unsplittable task; at 100 TB you stage
+    `wins` to storage once instead).  The final per-doc rollup shuffles
+    doc_id-sized keys only.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select(
+        "doc_id", TX.tokens(TX.normalized_text("text")).alias("t")
+    ).where(F.size("t") >= W_SPAN)
+    n = F.size("t")
+    wins = staged.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), n - W_SPAN + 1)).alias("s"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), W_SPAN))).alias("h"),
+    )
+    dup_hashes = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2).select("h")
+    )
+    perdoc_dup = (
+        wins.join(dup_hashes, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+    )
+    perdoc = staged.select("doc_id", (n - W_SPAN + 1).cast("bigint").alias("n_windows"))
+    n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint")
+    dup_frac = round_det(n_dup / F.col("n_windows"), 4)
+    return (
+        perdoc.join(perdoc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            n_dup.alias("n_dup_windows"),
+            dup_frac.alias("dup_frac"),
+            (dup_frac >= DUP_FRAC_DROP).cast("int").alias("drop_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 64  # hashed-unigram feature buckets (DSIR uses 10k at web scale)
+_TARGET_LANG = "en"  # stand-in target slice for the registered query
+
+_DSIR_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                               ' ')) AS tok
+    FROM documents),
+b AS (
+    SELECT doc_id, lang,
+           (('0x' || substr(md5(tok), 1, 8))::BIGINT) % {N_BUCKETS} AS bucket
+    FROM tok),
+dim AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS cs,
+           CAST(COUNT(*) FILTER (WHERE lang = '{_TARGET_LANG}') AS BIGINT) AS ct
+    FROM b GROUP BY bucket),
+tot AS (
+    SELECT CAST(SUM(cs) AS BIGINT) AS total_s,
+           CAST(SUM(ct) AS BIGINT) AS total_t
+    FROM dim),
+lr AS (
+    SELECT bucket,
+           CAST(FLOOR(ln(CAST((ct + 1) * (total_s + {N_BUCKETS}) AS DOUBLE)
+                         / CAST((cs + 1) * (total_t + {N_BUCKETS}) AS DOUBLE))
+                      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS lr
+    FROM dim, tot),
+perdocbucket AS (
+    SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM b GROUP BY doc_id, lang, bucket),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(lr * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS dsir_logw
+    FROM perdocbucket JOIN lr USING (bucket)
+    GROUP BY doc_id, lang)
+SELECT doc_id, lang, n_tokens, dsir_logw,
+       CAST(CASE WHEN dsir_logw > 0 THEN 1 ELSE 0 END AS INT) AS selected
+FROM scored
+"""
+
+
+@_register("curation_dsir_weights", _DSIR_ORACLE)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: mean over tokens of
+    ln(p_target(bucket)/p_source(bucket)) under add-one-smoothed
+    hashed-unigram LMs (64 buckets here; web-scale DSIR uses ~10k —
+    one constant).  Target = the corpus's own 'en' slice as a
+    deterministic, oracle-able stand-in; `selected` = weight > 0, i.e.
+    the doc looks more target-like than corpus-average.  Importance
+    RESAMPLING is then a weighted sample over `dsir_logw` (see
+    curation_sample_stratified for the sampling machinery).
+
+    Scale: one explode feeds a (doc, bucket) term-frequency aggregation
+    (map-side combine; ≤64 distinct buckets per doc survive the
+    shuffle).  The bucket LM dim is exactly 64 rows — built with a
+    second aggregation over the same exploded frame (recomputes the
+    scan→explode subtree, same accepted tradeoff as the unigram LM in
+    plans/corpus.py) and broadcast back, so scoring adds no shuffle
+    beyond the tf rollup.  Smoothed count ratios are formed as exact
+    int64 products cast to double (exact below 2^53), divided once
+    (IEEE-identical both engines), ln'd and floor-rounded at 1e-6 into
+    DECIMAL, so the tf-weighted per-doc sum is partition-order-exact.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select(
+        "doc_id", "lang", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok")
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % N_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    dim = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("lang") == _TARGET_LANG, 1)).alias("ct"),
+    )
+    tot = dim.agg(
+        F.sum("cs").alias("total_s"),
+        F.sum("ct").alias("total_t"),
+    )
+    lr = dim.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        round_det(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("total_s") + N_BUCKETS)).cast("double")
+                / ((F.col("cs") + 1) * (F.col("total_t") + N_BUCKETS)).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    pdb = b.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        pdb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            round_det(
+                F.sum(F.col("lr") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("dsir_logw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "dsir_logw",
+        (F.col("dsir_logw") > 0).cast("int").alias("selected"),
+    )
