@@ -110,21 +110,41 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_cols: list[str], num_buckets: int = 32
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: pre-shuffles once at WRITE time so every
+    """Bucketed table: pre-shuffles once at WRITE time so every
     subsequent equi-join/aggregation on `bucket_cols` is co-located and
     shuffle-free.  The 100 TB pattern for fact-fact joins read many times
     (pay the shuffle once, not per query); `sortBy` within buckets also
     removes the join's sort.
 
-    Requires saveAsTable (bucket metadata lives in the catalog)."""
-    (
-        df.write.mode("overwrite")
+    The frame is repartitioned to exactly one task per bucket before the
+    write (`repartition(n, cols)` uses the same murmur3 hash as the
+    bucket spec, so task i holds precisely bucket i's rows → one file
+    per bucket).  Single-file buckets are what lets a reader trust the
+    write-time sort and drop the per-query Sort — opt in with
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (Spark
+    stopped assuming bucket order when buckets may span files,
+    SPARK-28595).  Exchange elimination needs no flag.  Sizing rule:
+    pick `num_buckets` so one bucket of the larger table is 100–500 MB;
+    both join sides need the same count (or a multiple, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+
+    Requires saveAsTable (bucket metadata lives in the catalog); pass
+    `path` to keep the data external at a chosen location."""
+    writer = (
+        df.repartition(num_buckets, *[df[c] for c in bucket_cols])
+        .write.mode("overwrite")
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.format("parquet").option("path", path)
+    writer.saveAsTable(table)
 
 
 def upsert_by_key(

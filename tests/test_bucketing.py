@@ -1,0 +1,119 @@
+"""Bucketed co-located joins: the pay-the-shuffle-once storage path.
+
+The claim under test is the 100 TB one: after `write_bucketed` on the
+join key, a fact⋈fact sort-merge join runs with NO shuffle exchange and
+NO per-query sort — against the same join over plain parquet, which
+must shuffle both sides.  Local bucket counts are tiny; only the plan
+shape (which is scale-invariant) is asserted.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.sources.readers import load_table
+from dffoo_data_pipeline_spark.sources.writers import write_bucketed
+
+N_BUCKETS = 8
+
+
+@contextlib.contextmanager
+def _forced_smj(spark):
+    """Disable broadcast joins (incl. AQE's) so small test tables take the
+    same sort-merge path a 100 TB fact⋈fact join would, and let the scan
+    report the write-time bucket sort (one file per bucket makes that
+    order trustworthy; Spark keeps it behind a flag since 3.0 because
+    multi-file buckets can interleave — SPARK-28595)."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    }
+    old = {}
+    for k, v in overrides.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    write_bucketed(li, "li_b", ["l_orderkey"], N_BUCKETS, path=str(base / "li"))
+    write_bucketed(od, "od_b", ["o_orderkey"], N_BUCKETS, path=str(base / "od"))
+    yield "li_b", "od_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark, bucketed_tables):
+    li_name, od_name = bucketed_tables
+    with _forced_smj(spark):
+        j = spark.table(li_name).join(
+            spark.table(od_name),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _physical_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sortBy at write time: merge streams pre-sorted buckets
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+
+
+def test_plain_parquet_join_shuffles_both_sides(spark, sf_dir):
+    with _forced_smj(spark):
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        plan = _physical_plan(li.join(od, F.col("l_orderkey") == F.col("o_orderkey")))
+        assert plan.count("Exchange hashpartitioning") >= 2, plan
+
+
+def test_bucketed_groupby_on_bucket_key_skips_exchange(spark, bucketed_tables):
+    li_name, _ = bucketed_tables
+    agg = spark.table(li_name).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    plan = _physical_plan(agg)
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_values_match_plain(spark, sf_dir, bucketed_tables):
+    li_name, od_name = bucketed_tables
+    with _forced_smj(spark):
+        bucketed = (
+            spark.table(li_name)
+            .join(spark.table(od_name), F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+            )
+            .collect()[0]
+        )
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    plain = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+        )
+        .collect()[0]
+    )
+    assert bucketed.n == plain.n and bucketed.sq == plain.sq
