@@ -166,8 +166,8 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 64  # hashed-unigram feature buckets (DSIR uses 10k at web scale)
 _TARGET_LANG = "en"  # stand-in target slice for the registered query
 
-_DSIR_ORACLE = rf"""
-WITH tok AS (
+_DSIR_SCORED_CTE = rf"""
+tok AS (
     SELECT doc_id, lang,
            unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
                                ' ')) AS tok
@@ -201,6 +201,10 @@ scored AS (
                  * 1000000 + 0.5) / 1000000 AS dsir_logw
     FROM perdocbucket JOIN lr USING (bucket)
     GROUP BY doc_id, lang)
+"""
+
+_DSIR_ORACLE = rf"""
+WITH {_DSIR_SCORED_CTE}
 SELECT doc_id, lang, n_tokens, dsir_logw,
        CAST(CASE WHEN dsir_logw > 0 THEN 1 ELSE 0 END AS INT) AS selected
 FROM scored
@@ -279,4 +283,72 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "dsir_logw",
         (F.col("dsir_logw") > 0).cast("int").alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling via deterministic Gumbel top-k
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100  # documents drawn by the registered query
+_SEED_TAG = "seed-42:"  # salt for the md5-uniform draws
+
+_RESAMPLE_ORACLE = rf"""
+WITH {_DSIR_SCORED_CTE},
+keyed AS (
+    SELECT doc_id, lang, dsir_logw,
+           dsir_logw
+           + FLOOR(-ln(-ln(((('0x' || substr(md5('{_SEED_TAG}' || doc_id), 1, 8))::BIGINT
+                             + 0.5) / 4294967296.0))
+                   ) * 1000000 + 0.5) / 1000000 AS gumbel_key
+    FROM scored),
+ranked AS (
+    SELECT doc_id, lang, dsir_logw, gumbel_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id)
+                AS BIGINT) AS sample_rank
+    FROM keyed)
+SELECT doc_id, lang, dsir_logw, gumbel_key, sample_rank
+FROM ranked WHERE sample_rank <= {SAMPLE_K}
+"""
+
+
+@_register("curation_dsir_resample", _RESAMPLE_ORACLE)
+def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling without replacement, the second half of
+    DSIR: draw SAMPLE_K documents with probability proportional to their
+    importance weight via the Gumbel top-k identity — adding independent
+    Gumbel(0,1) noise g = −ln(−ln(u)) to each log-weight and taking the
+    K largest keys IS a weighted sample without replacement.  The
+    uniforms are seeded md5 draws, so the "sample" is a pure
+    deterministic function of the corpus: rerunnable, oracle-able, and
+    identical on every engine.
+
+    Scale: the per-doc scored frame is curation_dsir_weights' plan (two
+    shuffles); the noise key adds zero shuffles (row-local md5), and the
+    global top-K is sort-free — TakeOrderedAndProject keeps a K-row heap
+    per partition and merges K·n_partitions rows on one reducer.  The
+    rank window then orders K rows, not the corpus.  Determinism:
+    u = (h + 0.5)/2^32 is an exact power-of-two division of an exact
+    integer (identical doubles both engines); each −ln(−ln(u)) is
+    floor-rounded at 1e-6; key = rounded logw + rounded noise is one
+    exact IEEE add.
+    """
+    scored = curation_dsir_weights(spark, sf_dir).drop("selected", "n_tokens")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_SEED_TAG), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    g = round_det(-F.log(-F.log((h + F.lit(0.5)) / F.lit(4294967296.0))), 6)
+    keyed = scored.select(
+        "doc_id", "lang", "dsir_logw", (F.col("dsir_logw") + g).alias("gumbel_key")
+    )
+    topk = keyed.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(SAMPLE_K)
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("gumbel_key").desc(), "doc_id")
+    )
+    return topk.select(
+        "doc_id", "lang", "dsir_logw", "gumbel_key", rank.cast("bigint").alias("sample_rank")
     )
