@@ -197,7 +197,14 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sig.select(
+    # The band frame feeds BOTH sides of the candidate self-join; without
+    # materialization each side re-runs scan→shingle→xxhash→64-min-agg
+    # (the whole signature pipeline, twice).  Lazy localCheckpoint =
+    # compute once at the first action, read the materialized copy on
+    # both join sides — the "write the signature table" step every real
+    # LSH run does (same idiom as plans/embeddings.py's int8 codes; the
+    # frame is |docs|×(id, 16 band hashes), tiny next to the shingles).
+    banded_src = sig.select(
         id_col,
         F.explode(
             F.array(
@@ -213,6 +220,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    banded = banded_src.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
