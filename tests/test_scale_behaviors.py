@@ -187,3 +187,33 @@ def test_semantic_dedup_plan_shape(spark, sf_dir):
         "BroadcastHashJoin"
     )
     assert joins >= 2, plan  # pair self-join + dup-mark/member joins
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning — THE 100 TB fact⋈dim pattern: the fact
+    table is hive-partitioned on the join key's domain (here: lang, as
+    write_partitioned_corpus lays out a corpus), the dim side carries a
+    selective filter, and the fact scan must receive a runtime
+    `dynamicpruning` subquery on its PartitionFilters instead of reading
+    every partition.  Planning-time static pruning can't do this — the
+    qualifying keys are only known after filtering the dim."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.sources.writers import write_partitioned_corpus
+
+    fact_p = str(tmp_path / "fact")
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang_"), (F.col("id") % 8).cast("string")).alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    )
+    write_partitioned_corpus(docs, fact_p, partition_cols=("lang",))
+    dim = spark.range(8).select(
+        F.concat(F.lit("lang_"), F.col("id").cast("string")).alias("lang"),
+        (F.col("id") < 2).alias("keep"),
+    )
+    j = spark.read.parquet(fact_p).join(dim.where("keep"), "lang")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the join result only touches the two qualifying partitions
+    assert j.count() == 2 * (20_000 // 8)
