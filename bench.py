@@ -56,6 +56,8 @@ HEADLINE += [
     "similarity_int8_topk",          # quantized-index ANN scoring
     "dedup_semantic_int8",           # SemDeDup: cluster-bucketed int8 pair test
     "curation_leakage_safe_split",   # pair graph → subgraph CC → cluster-hash split
+    "dedup_duplicate_spans",         # stride-1 window-hash suffix-array relaxation
+    "curation_dsir_resample",        # hashed-unigram LM weights + Gumbel top-k
 ]
 
 
