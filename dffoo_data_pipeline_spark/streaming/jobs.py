@@ -412,6 +412,33 @@ def stream_to_run_stamped(source: DataFrame, path: str) -> None:
     q.awaitTermination()
 
 
+def run_incremental_to_parquet(result: DataFrame, out_dir: str, ckpt_dir: str) -> None:
+    """One incremental-batch run of the nightly-ingest pattern: process
+    every source file not yet recorded in ``ckpt_dir``'s offset log,
+    append the results to ``out_dir`` exactly once, then stop
+    (availableNow).  Unlike the test-scoped helpers above, the
+    checkpoint is caller-owned and DURABLE — rerunning with the same
+    checkpoint resumes from the recorded offsets, so files landing
+    between runs are processed exactly once and an empty run is a no-op.
+
+    This is how a 100 TB ingest actually operates: a scheduler invokes
+    the job on a cadence; the file-source offset log (which files are
+    done) and the parquet sink's transaction log (which output files are
+    committed) together give end-to-end exactly-once without any
+    bookkeeping in user code — a half-written batch is invisible to
+    readers and re-run under the same batch id on restart.
+    """
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 _USER_TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

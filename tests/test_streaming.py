@@ -249,3 +249,47 @@ def test_custom_sessionizer_order_tolerant(spark, chunked_events_dir):
         "user_id", "session_start", "n_events", "session_value"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_checkpoint_resume_exactly_once(spark, tmp_path):
+    """The durable-checkpoint contract behind run_incremental_to_parquet:
+    run 1 processes the initial files; files landing between runs are
+    picked up by run 2 under the SAME checkpoint without reprocessing
+    run 1's input; a third run with nothing new appends nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dffoo_data_pipeline_spark.streaming.jobs import run_incremental_to_parquet
+
+    src = tmp_path / "landing"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def land(lo: int, hi: int, name: str) -> None:
+        spark.range(lo, hi).select(
+            F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("v")
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def run() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        run_incremental_to_parquet(
+            stream.withColumn("tagged", F.length("v")), out, ckpt
+        )
+
+    land(0, 100, "a")
+    run()
+    assert spark.read.parquet(out).count() == 100
+
+    land(100, 250, "b")
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 250  # 150 new rows, nothing reprocessed
+    assert got.select("id").distinct().count() == 250  # each id exactly once
+
+    run()  # no new files → no-op
+    assert spark.read.parquet(out).count() == 250
