@@ -86,7 +86,8 @@ _PRIORITY = [
     # curation_k_anonymity, curation_mix_temperature, curation_dp_release,
     # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
     # streaming_embedding_assign, udaf_trimmed_mean_length,
-    # dedup_duplicate_spans, curation_dsir_weights, curation_dsir_resample
+    # dedup_duplicate_spans, curation_dsir_weights, curation_dsir_resample,
+    # corpus_bigram_logprob
 ]
 
 

@@ -977,3 +977,121 @@ def corpus_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
         round_det((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality score
+# ---------------------------------------------------------------------------
+
+_LAMBDA = 0.8  # bigram weight; (1-λ) backs off to the unigram MLE
+
+_BIGRAM_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS t
+    FROM documents),
+eligible AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(2, n + 1),
+                                 i -> t[i-1] || ' ' || t[i])) AS bigram
+    FROM eligible),
+tf_bi AS (
+    SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM bi GROUP BY doc_id, bigram),
+c_bi AS (
+    SELECT bigram, CAST(SUM(tf) AS BIGINT) AS cb FROM tf_bi GROUP BY bigram),
+c_prev AS (
+    SELECT string_split(bigram, ' ')[1] AS w_prev,
+           CAST(SUM(cb) AS BIGINT) AS cp
+    FROM c_bi GROUP BY string_split(bigram, ' ')[1]),
+uni AS (
+    SELECT unnest(t) AS w FROM toks),
+c_uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY w),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM uni),
+lp AS (
+    SELECT b.bigram,
+           CAST(FLOOR(ln({_LAMBDA} * (CAST(b.cb AS DOUBLE) / CAST(p.cp AS DOUBLE))
+                         + {1 - _LAMBDA} * (CAST(u.cu AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+                      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS lp
+    FROM c_bi b
+    JOIN c_prev p ON string_split(b.bigram, ' ')[1] = p.w_prev
+    JOIN c_uni u ON string_split(b.bigram, ' ')[2] = u.w
+    CROSS JOIN n_tot t)
+SELECT f.doc_id,
+       CAST(SUM(f.tf) AS BIGINT) AS n_bigrams,
+       FLOOR(CAST(SUM(l.lp * f.tf) AS DOUBLE) / CAST(SUM(f.tf) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS avg_bigram_logprob
+FROM tf_bi f JOIN lp l USING (bigram)
+GROUP BY f.doc_id
+"""
+
+
+@_register("corpus_bigram_logprob", _BIGRAM_ORACLE)
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    trained on the corpus itself: p(w|v) = λ·c(vw)/c(v·) + (1−λ)·c(w)/N,
+    λ=0.8 — one LM order up from text_unigram_logprob, the shape of the
+    CCNet/KenLM perplexity filter (a frozen external LM drops into the
+    count tables unchanged).  Docs need ≥2 tokens to have a bigram.
+
+    Scale: doc bigram term frequencies shuffle once on (doc, bigram);
+    the corpus LM is three count aggregations (bigram, left-word,
+    unigram) that reuse the tf frame or the token explode, joined into a
+    per-BIGRAM logprob dim — sized by distinct corpus bigrams, NOT doc
+    count — and scoring joins tf⋈lp on the bigram key (AQE splits any
+    hot bigram).  Determinism: corpus counts are exact int64 cast to
+    double (exact < 2^53), the interpolation is a fixed IEEE expression
+    of those, each ln floor-rounded at 1e-6 into DECIMAL, tf-weighted
+    DECIMAL sum, one final division — same discipline as the unigram LM.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t"))
+    n = F.size("t")
+    bi = staged.where(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(2, size(t)), i -> concat(t[i-2], ' ', t[i-1]))")
+        ).alias("bigram"),
+    )
+    tf_bi = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    c_bi = tf_bi.groupBy("bigram").agg(F.sum("tf").cast("bigint").alias("cb"))
+    w_prev = F.split(F.col("bigram"), " ")[0]
+    w_cur = F.split(F.col("bigram"), " ")[1]
+    c_prev = c_bi.groupBy(w_prev.alias("w_prev")).agg(
+        F.sum("cb").cast("bigint").alias("cp")
+    )
+    uni = staged.select(F.explode("t").alias("w"))
+    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    n_tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    lp = (
+        c_bi.join(c_prev, w_prev == F.col("w_prev"))
+        .join(c_uni, w_cur == F.col("w"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "bigram",
+            round_det(
+                F.log(
+                    _LAMBDA * (F.col("cb").cast("double") / F.col("cp").cast("double"))
+                    + (1 - _LAMBDA)
+                    * (F.col("cu").cast("double") / F.col("nn").cast("double"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        tf_bi.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            round_det(
+                F.sum(F.col("lp") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
