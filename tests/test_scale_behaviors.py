@@ -4,6 +4,8 @@ joins at 100 TB, session.py skewJoin settings)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 
@@ -162,13 +164,22 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
 
     q, _ = all_queries()
     offenders = []
+    python_offenders = []
     for name, fn in q.items():
         if name.startswith("streaming_"):
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append(name)
+        # the codebase's Arrow-only rule for Python, enforced: BatchEvalPython
+        # is the row-at-a-time pickle path (~10-100x slower than Arrow);
+        # sanctioned Python shows up as ArrowEvalPython / MapInPandas /
+        # FlatMapGroupsInPandas / BatchEvalPythonUDTF (UDTFs have no Arrow
+        # variant pre-Spark-4.1's arrow-udtf flag and are not hot-path here)
+        if re.search(r"BatchEvalPython(?!UDTF)", plan):
+            python_offenders.append(name)
     assert not offenders, offenders
+    assert not python_offenders, python_offenders
 
 
 def test_semantic_dedup_plan_shape(spark, sf_dir):
