@@ -87,7 +87,7 @@ _PRIORITY = [
     # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
     # streaming_embedding_assign, udaf_trimmed_mean_length,
     # dedup_duplicate_spans, curation_dsir_weights, curation_dsir_resample,
-    # corpus_bigram_logprob
+    # corpus_bigram_logprob, corpus_duplicate_span_removal
 ]
 
 

@@ -352,3 +352,104 @@ def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "doc_id", "lang", "dsir_logw", "gumbel_key", rank.cast("bigint").alias("sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (the rewrite half of exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+_REMOVAL_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS t
+    FROM documents),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+wins AS (
+    SELECT doc_id, s,
+           md5(array_to_string(list_slice(t, s, s + {W_SPAN} - 1), ' ')) AS h
+    FROM (SELECT doc_id, t, n, unnest(range(1, n - {W_SPAN} + 2)) AS s
+          FROM nn WHERE n >= {W_SPAN})),
+dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+covered AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT w.doc_id, unnest(range(w.s, w.s + {W_SPAN})) AS pos
+        FROM wins w JOIN dup_h USING (h))),
+tokpos AS (
+    SELECT doc_id, pos, t[pos] AS tok
+    FROM (SELECT doc_id, t, unnest(range(1, n + 1)) AS pos FROM nn)),
+kept AS (
+    SELECT k.doc_id, k.pos, k.tok
+    FROM tokpos k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.pos = c.pos
+    WHERE c.pos IS NULL),
+re AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id)
+SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM nn a LEFT JOIN re r USING (doc_id)
+"""
+
+
+@_register("corpus_duplicate_span_removal", _REMOVAL_ORACLE)
+def corpus_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of exact-substring dedup (Lee et al. 2022 REMOVES
+    the repeated spans rather than dropping documents): every token
+    covered by any corpus-duplicated {W_SPAN}-token window is excised and
+    the survivors are reassembled in original order.  Documents shorter
+    than W_SPAN keep their text verbatim; a fully-templated document
+    survives as ''.
+
+    Scale: extends dedup_duplicate_spans' two hash shuffles with a
+    coverage explode — ≤ W_SPAN positions per duplicated window, deduped
+    on (doc, pos) — and a (doc, pos) anti-join against the token
+    positions, so the rewrite cost is proportional to the DUPLICATED
+    text, not the corpus.  Reassembly is the positional idiom from
+    operators/boilerplate.py (array_sort over (pos, tok) structs — and,
+    same pitfall, per-doc scalars ride a separate no-explode projection,
+    never the generator).  Both engines order ties identically because
+    (doc, pos) is unique.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t"))
+    n = F.size("t")
+    wins = staged.where(n >= W_SPAN).select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), n - W_SPAN + 1)).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), W_SPAN))).alias("h"),
+    )
+    dup_h = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2).select("h")
+    )
+    covered = (
+        wins.join(dup_h, "h")
+        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + W_SPAN - 1)).alias("pos"))
+        .distinct()
+    )
+    tokpos = staged.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    all_docs = staged.select("doc_id", n.cast("bigint").alias("n_tokens"))
+    return all_docs.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
