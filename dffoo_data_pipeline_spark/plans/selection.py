@@ -1,7 +1,7 @@
-"""Data-selection operators: exact duplicated-span detection and
-DSIR-style importance weighting.
+"""Data-selection operators: exact duplicated-span detection/removal and
+DSIR-style importance weighting/resampling.
 
-Two selection signals a pretraining pipeline computes between dedup and
+Selection signals a pretraining pipeline computes between dedup and
 sampling (SURVEY.md §2k's curation surface; reference analog: the
 keep/drop row gates of web_scraper.py's parse loop, lifted to
 corpus-statistics-driven gates):
