@@ -31,6 +31,30 @@ class ConvergenceWarning(UserWarning):
     changing — the returned cluster ids are partially propagated."""
 
 
+def _persistent_ids(sc) -> set:
+    ids, it = set(), sc._jsc.getPersistentRDDs().keySet().iterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _unpersist_ids(sc, ids: set) -> None:
+    # free an intermediate checkpoint's storage (executor memory/disk
+    # accumulates across the iteration otherwise — at corpus scale
+    # that's max_iterations copies of the label table pinned at once)
+    m = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            r.unpersist(False)
+
+
+def _tracked_checkpoint(sc, df: DataFrame) -> tuple[DataFrame, set]:
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_ids(sc) - before
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -46,26 +70,11 @@ def connected_components(
     """
     sc = nodes.sparkSession.sparkContext
 
-    def _persistent_ids() -> set:
-        ids, it = set(), sc._jsc.getPersistentRDDs().keySet().iterator()
-        while it.hasNext():
-            ids.add(it.next())
-        return ids
-
     def _unpersist(ids: set) -> None:
-        # free an intermediate checkpoint's storage (executor memory/disk
-        # accumulates across the iteration otherwise — at corpus scale
-        # that's max_iterations copies of the label table pinned at once)
-        m = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            r = m.get(i)
-            if r is not None:
-                r.unpersist(False)
+        _unpersist_ids(sc, ids)
 
     def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
-        before = _persistent_ids()
-        out = df.localCheckpoint(eager=True)
-        return out, _persistent_ids() - before
+        return _tracked_checkpoint(sc, df)
 
     und, und_ids = _checkpoint(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -134,3 +143,81 @@ def connected_components(
     _unpersist(labels_ids)
     _unpersist(ep_ids)
     return result
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank in scaled INTEGER arithmetic → (node, pr BIGINT).
+
+    ``edges`` = (src, dst, w BIGINT).  Rank mass is carried as integer
+    units of 1/`scale`, and every step is integer multiply + floor
+    division:
+
+        pr₀(v)   = scale ÷ N
+        prₖ₊₁(v) = ((100−d)·scale ÷ 100) ÷ N
+                   + Σ_{(u,v)∈E} ((prₖ(u)·d ÷ 100) · w_uv ÷ outw_u)
+
+    (÷ = floor division, d = `damping_pct`).  Integer arithmetic makes
+    the fixpoint iteration bit-identical on every engine and independent
+    of partitioning / summation order — the property float PageRank
+    lacks — at the cost of ≤1 unit of mass lost per edge per round to
+    flooring.  Dangling nodes (no out-edges) keep the teleport term and
+    drop their damped mass — the standard "remove dangling mass"
+    variant; sinks never accumulate unboundedly.
+
+    Scale: each iteration is one shuffle join (edges ⋈ pr on src — at
+    web-host scale both sides hash-partition on src; outw pre-joins
+    edges once before the loop) + one SUM aggregation keyed by dst —
+    the Pregel message pattern as two relational ops.  Lineage is
+    truncated per round (localCheckpoint) and superseded checkpoints
+    freed, so executor storage holds ONE rank table, not `iterations`
+    of them.  Overflow headroom: pr ≤ scale, so the contribution
+    product needs pr·d·w < 2^63 — with the default 1e9 scale that
+    allows edge weights up to ~1e10; beyond that, re-scale the weights
+    (only ratios w/outw matter) or carry DECIMAL(38,0).
+    """
+    sc = nodes.sparkSession.sparkContext
+    # materialize the (possibly expensive) node/edge subtrees once; the
+    # loop replays them every round otherwise — `nodes` feeds the
+    # per-iteration left join, so an unmaterialized node frame built
+    # from a big join tree would re-run that tree `iterations` times
+    nodes, node_ids = _tracked_checkpoint(sc, nodes)
+    n_nodes = nodes.count()  # one scalar aggregate to the driver (bounded)
+    if n_nodes == 0:
+        _unpersist_ids(sc, node_ids)
+        return nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("pr"))
+    base = ((100 - damping_pct) * scale // 100) // n_nodes
+
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew, ew_ids = _tracked_checkpoint(
+        sc, edges.join(outw, "src").select("src", "dst", "w", "ow")
+    )
+    pr, pr_ids = _tracked_checkpoint(
+        sc, nodes.select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr"))
+    )
+    for _ in range(iterations):
+        contrib = (
+            ew.join(pr, ew.src == pr.node)
+            .select(
+                F.col("dst"),
+                F.expr(f"((pr * {damping_pct}) div 100) * w div ow").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        new_pr, new_ids = _tracked_checkpoint(
+            sc,
+            nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("m"), F.lit(0))).cast("bigint").alias("pr"),
+            ),
+        )
+        _unpersist_ids(sc, pr_ids)
+        pr, pr_ids = new_pr, new_ids
+    _unpersist_ids(sc, ew_ids)
+    return pr

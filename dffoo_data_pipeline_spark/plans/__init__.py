@@ -87,7 +87,9 @@ _PRIORITY = [
     # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
     # streaming_embedding_assign, udaf_trimmed_mean_length,
     # dedup_duplicate_spans, curation_dsir_weights, curation_dsir_resample,
-    # corpus_bigram_logprob, corpus_duplicate_span_removal
+    # corpus_bigram_logprob, corpus_duplicate_span_removal,
+    # text_bm25_topk, text_classifier_score, text_cdc_chunks,
+    # graph_pagerank_nations
 ]
 
 
@@ -102,15 +104,17 @@ def all_queries():
         events,
         flagship,
         job,
+        linkgraph,
         llm_ops,
         profile,
         relational,
+        retrieval,
         selection,
     )
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

@@ -1,0 +1,414 @@
+"""Retrieval and model-based filtering operators over the document corpus.
+
+Three operators a pretraining / RAG data pipeline runs between curation
+and export (SURVEY.md §2k north-star surface; reference analog: the
+keep/drop gates and lookup joins of web_scraper.py's parse loop, lifted
+to corpus statistics):
+
+* ``text_bm25_topk`` — full-corpus BM25 retrieval (Robertson/Sparck
+  Jones probabilistic idf, k1/b length normalization): inverted-index
+  statistics (tf, df, doclen, avgdl) built as plain aggregations, a
+  broadcast query-term probe, and per-query top-k.  This is the lexical
+  retrieval half of retrieval-based dedup/decontamination and of RAG
+  corpus construction.
+
+* ``text_classifier_score`` — hashed-feature linear classifier
+  inference (fastText/CCNet-style quality filter): unigram features
+  hashed into ``N_CLF_BUCKETS`` buckets, a broadcast (bucket, weight)
+  table standing in for trained weights, mean feature weight →
+  sigmoid → keep flag.  A production run swaps the deterministic
+  weight table for learned weights; the PLAN — explode, hash, tf
+  rollup, broadcast weight join, per-doc reduce — is unchanged.
+
+* ``text_cdc_chunks`` — content-defined chunking (FastCDC-style):
+  a chunk boundary falls after token position p whenever the rolling
+  hash of the ``W_CDC``-token window ending at p is ≡ 0 mod
+  ``CDC_DIVISOR``.  Boundaries depend only on local content, so edits
+  re-chunk only the edited neighborhood — the property that makes CDC
+  the standard unit for large-document dedup and incremental ingest.
+
+Cross-engine determinism follows the repo discipline: integer counts,
+md5-prefix hashes (bit-identical in Spark and DuckDB), every ln/exp
+floor-rounded at 1e-6 into DECIMAL before any float aggregation, and
+identical textual arithmetic on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.functions import text as TX
+from dffoo_data_pipeline_spark.functions.numeric import round_det
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB twin of TX.tokens(TX.normalized_text(text))
+_SQL_TOKS = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# fixed query set over the fixture vocabulary; a real run reads a query table
+BM25_QUERIES = (
+    ("q_join", "hash join table"),
+    ("q_sort", "sort merge batch"),
+    ("q_scan", "window scan value"),
+)
+
+_BM25_QUERY_VALUES = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES)
+
+_BM25_ORACLE = rf"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_QUERY_VALUES}),
+qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+toks AS (
+    SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(t) AS term FROM toks)
+    GROUP BY doc_id, dl, term),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(dl) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS avgdl
+    FROM toks),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qidf AS (
+    SELECT query_id, term,
+           CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000 + 0.5)
+                / 1000000 AS DECIMAL(18,6)) AS idf
+    FROM qt JOIN dfreq USING (term) CROSS JOIN stats),
+scored AS (
+    SELECT query_id, doc_id,
+           CAST(SUM(CAST(FLOOR(CAST(idf AS DOUBLE) * (tf * CAST(2.2 AS DOUBLE))
+                                / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                                * 1000000 + 0.5) / 1000000
+                         AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM tf JOIN qidf USING (term) CROSS JOIN stats
+    GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, bm25, bm25_rank FROM (
+    SELECT query_id, doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS bm25_rank
+    FROM scored)
+WHERE bm25_rank <= {BM25_TOP_K}
+"""
+
+
+@_register("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_K} BM25 hits per query over the whole corpus.
+
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the +1 keeps it positive —
+    Lucene's formulation); per-term score = idf · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)) with k1=1.2, b=0.75.
+
+    Scale: one explode feeds the (doc, term) tf rollup (map-side
+    combine); df is a second aggregation over tf keyed by term only.
+    The query side is broadcast twice — qt into the vocab-sized df agg
+    (the join output is |query terms| rows) and the resulting qidf dim
+    into tf — so the only corpus-sized shuffles are the two tf/df
+    aggregations; corpus rows never shuffle on anything wider than
+    their own group keys.  Candidates are docs sharing ≥1 query term
+    (inner join), scored with exact DECIMAL sums.  The final top-k uses
+    a per-query window: with a handful of queries each candidate set is
+    corpus-sized, so at 100 TB you swap the window for the two-phase
+    salted top-k in plans/curation.py (per-partition heap, then a
+    |queries|·k merge) — same output contract.
+
+    Determinism: avgdl and idf are floor-rounded at 1e-6 (exact-int
+    inputs → identical doubles both engines); each per-term contribution
+    is rounded then summed as DECIMAL(18,6), so the per-doc score is
+    partition-order-exact; ties rank by doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    tf = (
+        staged.select("doc_id", "dl", F.explode("t").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        round_det(F.sum("dl").cast("double") / F.count(F.lit(1)), 6).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    qt = spark.createDataFrame(list(BM25_QUERIES), "query_id string, qtext string").select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    )
+    qidf = (
+        dfreq.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            round_det(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("idf"),
+        )
+    )
+    contrib = round_det(
+        F.col("idf").cast("double")
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(qidf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).cast("double").alias("bm25"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    )
+    return (
+        scored.select("query_id", "doc_id", "bm25", rank.cast("bigint").alias("bm25_rank"))
+        .where(F.col("bm25_rank") <= BM25_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier (fastText-style quality filter)
+# ---------------------------------------------------------------------------
+
+N_CLF_BUCKETS = 256  # feature buckets (fastText uses 2M at web scale)
+_CLF_BIAS = "-0.05"  # literal, spelled identically in both engines
+_W_SEED = "w:"  # salt for the deterministic stand-in weights
+
+_CLF_ORACLE = rf"""
+WITH wtab AS (
+    SELECT CAST(r.range AS BIGINT) AS bucket,
+           CAST(FLOOR(((('0x' || substr(md5('{_W_SEED}' || r.range), 1, 8))::BIGINT
+                        + 0.5) / 4294967296.0 * 2 - 1) * 1000000 + 0.5) / 1000000
+                AS DECIMAL(18,6)) AS w
+    FROM range({N_CLF_BUCKETS}) r),
+tok AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+feat AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(tok), 1, 8))::BIGINT) % {N_CLF_BUCKETS} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, bucket),
+scored AS (
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           FLOOR((CAST(SUM(w * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                  + {_CLF_BIAS}) * 1000000 + 0.5) / 1000000 AS clf_logit
+    FROM feat JOIN wtab USING (bucket)
+    GROUP BY doc_id)
+SELECT doc_id, n_tokens, clf_logit,
+       FLOOR(1.0 / (1.0 + exp(-clf_logit)) * 1000000 + 0.5) / 1000000
+         AS clf_score,
+       CAST(CASE WHEN clf_logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep_flag
+FROM scored
+"""
+
+
+@_register("text_classifier_score", _CLF_ORACLE)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier quality score per document: mean hashed-unigram
+    feature weight + bias → sigmoid, keep when the logit is ≥ 0.  The
+    weight table is a deterministic stand-in (md5-uniform in [−1, 1))
+    so the query is oracle-able; a production filter broadcasts learned
+    fastText/logistic weights through the identical plan.
+
+    Scale: one explode → (doc, bucket) tf rollup (map-side combine;
+    ≤{N_CLF_BUCKETS} surviving rows per doc), then a broadcast join
+    against the weight dim (256 rows here, 2M × 16 B ≈ 32 MB at
+    fastText scale — still broadcastable) and a per-doc reduce.  Two
+    corpus shuffles total, both on doc-sized keys; no Python anywhere.
+
+    Determinism: weights are exact-integer-derived doubles rounded at
+    1e-6 into DECIMAL; Σ(w·tf) is an exact DECIMAL sum; the logit is one
+    IEEE divide + add, floor-rounded; exp() of identical doubles is
+    identical in both engines (both call libm pow/exp on the same
+    value), and the sigmoid is rounded again before compare.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    wtab = spark.range(N_CLF_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        round_det(
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(_W_SEED), F.col("id").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                + 0.5
+            )
+            / 4294967296.0
+            * 2
+            - 1,
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    feat = (
+        d.select("doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % N_CLF_BUCKETS).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    logit = round_det(
+        F.sum(F.col("w") * F.col("tf")).cast("double") / F.sum("tf").cast("double")
+        + F.lit(float(_CLF_BIAS)),
+        6,
+    )
+    scored = (
+        feat.join(F.broadcast(wtab), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("n_tokens"), logit.alias("clf_logit"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "clf_logit",
+        round_det(1.0 / (1.0 + F.exp(-F.col("clf_logit"))), 6).alias("clf_score"),
+        (F.col("clf_logit") >= 0).cast("int").alias("keep_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+W_CDC = 4  # rolling-window width in tokens
+CDC_DIVISOR = 8  # boundary when window-hash % divisor == 0 (expected chunk ~8 windows)
+
+_CDC_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, t, len(t) AS n
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)),
+cuts AS (
+    SELECT doc_id, s AS pos, 1 AS cut
+    FROM (SELECT doc_id, t, unnest(range({W_CDC}, n)) AS s
+          FROM toks WHERE n > {W_CDC})
+    WHERE (('0x' || substr(md5(array_to_string(
+               list_slice(t, s - {W_CDC} + 1, s), ' ')), 1, 8))::BIGINT)
+          % {CDC_DIVISOR} = 0),
+tokpos AS (
+    SELECT doc_id, pos, t[pos] AS tok
+    FROM (SELECT doc_id, t, unnest(range(1, n + 1)) AS pos FROM toks)),
+assigned AS (
+    SELECT tp.doc_id, tp.pos, tp.tok,
+           1 + COALESCE(SUM(c.cut) OVER (
+                   PARTITION BY tp.doc_id ORDER BY tp.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS chunk_id
+    FROM tokpos tp LEFT JOIN cuts c ON tp.doc_id = c.doc_id AND tp.pos = c.pos)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) AS BIGINT) AS end_pos,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM assigned
+GROUP BY doc_id, chunk_id
+"""
+
+
+@_register("text_cdc_chunks", _CDC_ORACLE)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks per document: cut after token position p
+    (W_CDC ≤ p < n, so no empty trailing chunk) whenever the md5-prefix
+    hash of the window t[p−W_CDC+1..p] is divisible by CDC_DIVISOR;
+    emit per-chunk token count, position span, and content hash.
+    Because a boundary is a pure function of the W_CDC tokens before
+    it, inserting text perturbs only the chunks it touches — every
+    later chunk keeps its hash, which is what makes CDC chunk hashes a
+    stable dedup/delta key for large evolving documents (same role as
+    FastCDC in storage dedup).
+
+    Scale: the cut scan is the windowed-hash explode of
+    plans/selection.py (rows = tokens, but each only (doc_id, pos));
+    chunk assignment is a per-document ordered running sum — documents
+    are the parallelism unit, which is inherent (chunking is sequential
+    within a doc by definition) and bounded by max doc length, not
+    corpus size.  The final rollup shuffles (doc, chunk) keys.  The
+    chunk hash is built from the ordered token structs, never by
+    re-reading text.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+    n = F.col("n")
+    cut_positions = F.when(
+        n > W_CDC, F.sequence(F.lit(W_CDC), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = (
+        staged.select("doc_id", "t", F.explode(cut_positions).alias("pos"))
+        .where(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos") - W_CDC + 1, W_CDC))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CDC_DIVISOR
+            == 0
+        )
+        .select("doc_id", "pos", F.lit(1).alias("cut"))
+    )
+    tokpos = staged.select("doc_id", F.posexplode("t").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok"
+    )
+    running = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = (
+        tokpos.join(cuts, ["doc_id", "pos"], "left")
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            (1 + F.coalesce(F.sum("cut").over(running), F.lit(0))).alias("chunk_id"),
+        )
+    )
+    return assigned.groupBy("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("start_pos"),
+        F.max("pos").cast("bigint").alias("end_pos"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
