@@ -1095,3 +1095,38 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer induction)
+# ---------------------------------------------------------------------------
+
+N_BPE_MERGES = 8
+
+
+@_register("corpus_bpe_learn")  # rows-only: iterative, merge rules are
+# data-dependent literals in later rounds' plans — not one SQL statement
+def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {N_BPE_MERGES} BPE merges from the corpus: word
+    vocabulary (token → frequency, ONE corpus-sized aggregation), then
+    the iterative pair-count → argmax → rewrite loop of
+    operators/bpe.py, which touches only the vocab table.  Output: the
+    merge table (merge_rank, left, right, pair_count) — the tokenizer
+    artifact a pretraining pipeline ships.
+
+    Correctness is pinned by tests/test_bpe.py against a pure-Python
+    reference implementation of the same algorithm (exact equality,
+    including tie-breaks); the driver records a rows-only row.
+    """
+    from dffoo_data_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    vocab = (
+        d.select(F.explode(TX.tokens(TX.normalized_text("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    merges = learn_bpe_merges(vocab, n_merges=N_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_count long"
+    )
