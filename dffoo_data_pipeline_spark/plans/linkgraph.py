@@ -127,6 +127,19 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    pr = pagerank(nodes, edges, iterations=PR_ITERS, scale=PR_SCALE, damping_pct=PR_DAMPING)
+    # interval 5 + one partition: two checkpoint jobs instead of ten,
+    # single-task rounds — on a ≤25-node graph every round is
+    # rows-trivial and task dispatch dominates; a host-scale graph
+    # would keep the defaults (per-round truncation, cluster
+    # parallelism)
+    pr = pagerank(
+        nodes,
+        edges,
+        iterations=PR_ITERS,
+        scale=PR_SCALE,
+        damping_pct=PR_DAMPING,
+        checkpoint_interval=5,
+        num_partitions=1,
+    )
     rank = F.row_number().over(Window.orderBy(F.col("pr").desc(), "node"))
     return pr.select("node", "pr", rank.cast("bigint").alias("pr_rank"))
