@@ -89,7 +89,8 @@ _PRIORITY = [
     # dedup_duplicate_spans, curation_dsir_weights, curation_dsir_resample,
     # corpus_bigram_logprob, corpus_duplicate_span_removal,
     # text_bm25_topk, text_classifier_score, text_cdc_chunks,
-    # graph_pagerank_nations, corpus_bpe_learn
+    # graph_pagerank_nations, corpus_bpe_learn, events_lateness_audit,
+    # curation_epoch_mix
 ]
 
 

@@ -764,3 +764,83 @@ def curation_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("released_n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch/repetition mixing planner
+# ---------------------------------------------------------------------------
+
+MAX_EPOCHS = 4  # repetition cap per source (data-repetition hygiene)
+_BUDGET_X = 2  # token budget = 2x the corpus (forces some sources past 1 epoch)
+
+_EPOCH_MIX_ORACLE = rf"""
+WITH avail AS (
+    SELECT source,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS avail_tokens,
+           CAST(10 + (('0x' || substr(md5(source), 1, 8))::BIGINT) % 41 AS BIGINT)
+             AS priority
+    FROM documents GROUP BY source),
+tot AS (
+    SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot_tokens,
+           CAST(SUM(priority) AS BIGINT) AS sum_p
+    FROM avail),
+plan AS (
+    SELECT source, avail_tokens, priority,
+           ({_BUDGET_X} * tot_tokens) * priority // sum_p AS ideal_tokens
+    FROM avail CROSS JOIN tot)
+SELECT source, avail_tokens, priority, ideal_tokens,
+       LEAST(ideal_tokens, {MAX_EPOCHS} * avail_tokens) AS planned_tokens,
+       LEAST(ideal_tokens, {MAX_EPOCHS} * avail_tokens) * 1000 // avail_tokens
+         AS epochs_milli
+FROM plan
+"""
+
+
+@_register("curation_epoch_mix", _EPOCH_MIX_ORACLE)
+def curation_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition schedule per source — the "how many epochs of each
+    source" table of an LLM data-mixing plan: each source gets a token
+    allocation proportional to its priority weight under a total budget
+    of 2x the corpus, CAPPED at MAX_EPOCHS passes over what the source
+    actually has (repeating a small high-priority source more than ~4
+    epochs measurably hurts, so the cap is a first-class constraint,
+    not a footnote).  epochs_milli = planned/available in exact
+    milli-epochs.  Priorities here are a deterministic md5 stand-in in
+    [10, 50]; a real run joins curated weights (e.g. the output of
+    curation_mix_temperature) through the identical plan.
+
+    Scale: one corpus aggregation to (source, token count) — map-side
+    combined, |sources| rows survive — then pure integer arithmetic on
+    the source dim (broadcast totals); nothing else touches the corpus.
+    Integer floor division throughout makes the plan bit-identical
+    across engines with no float tolerance.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    avail = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("bigint").alias("avail_tokens"),
+        (
+            10 + F.conv(F.substring(F.md5(F.first("source")), 1, 8), 16, 10).cast("long") % 41
+        ).alias("priority"),
+    )
+    tot = avail.agg(
+        F.sum("avail_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("priority").cast("bigint").alias("sum_p"),
+    )
+    plan = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        "priority",
+        F.expr(f"({_BUDGET_X} * tot_tokens) * priority div sum_p").alias("ideal_tokens"),
+    )
+    planned = F.least(F.col("ideal_tokens"), MAX_EPOCHS * F.col("avail_tokens"))
+    return plan.select(
+        "source",
+        "avail_tokens",
+        "priority",
+        "ideal_tokens",
+        planned.alias("planned_tokens"),
+        F.expr(
+            f"least(ideal_tokens, {MAX_EPOCHS} * avail_tokens) * 1000 div avail_tokens"
+        ).alias("epochs_milli"),
+    )

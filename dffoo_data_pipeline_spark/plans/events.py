@@ -759,3 +759,124 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.round_det(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit
+# ---------------------------------------------------------------------------
+
+# candidate watermark delays (seconds) to audit; 0 = "any disorder at all"
+LATENESS_DELAYS_S = (0, 60, 600, 1800, 3600)
+N_INGEST_SHARDS = 8  # simulated ingest partitions (arrival order is per-shard)
+
+_LATENESS_FILTERS = ",\n       ".join(
+    f"CAST(COUNT(*) FILTER (WHERE late_us > {d * 1_000_000}) AS BIGINT) AS n_{d}"
+    for d in LATENESS_DELAYS_S
+)
+_LATENESS_ROWS = "\nUNION ALL\n".join(
+    f"SELECT CAST({d} AS BIGINT) AS delay_s, n_{d} AS n_late,"
+    f" FLOOR(n_{d} * 1.0 / n_total * 1000000 + 0.5) / 1000000 AS late_frac FROM agg"
+    for d in LATENESS_DELAYS_S
+)
+
+_JITTER_CAP_US = 7_200_000_000  # simulated ingest delay bound (2 h)
+
+_LATENESS_SQL = f"""
+WITH arr AS (
+    SELECT event_id % {N_INGEST_SHARDS} AS shard, event_id,
+           epoch_us(ts) AS tus,
+           epoch_us(ts)
+           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_JITTER_CAP_US}) AS arrival_us
+    FROM events),
+lt AS (
+    SELECT tus,
+           MAX(tus) OVER (PARTITION BY shard ORDER BY arrival_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+    FROM arr),
+l AS (SELECT GREATEST(COALESCE(prev_max - tus, 0), 0) AS late_us FROM lt),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       {_LATENESS_FILTERS}
+    FROM l)
+{_LATENESS_ROWS}
+"""
+
+
+@_register("events_lateness_audit", _LATENESS_SQL)
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does this stream actually arrive?  For each event, its
+    lateness = how far the event-time high-water mark within its ingest
+    shard (in arrival order) had already advanced past the event's own
+    timestamp; then, for each candidate watermark delay, the count and
+    fraction of events a streaming job with `withWatermark(delay)`
+    would drop.  This is the batch audit you run BEFORE picking the
+    watermark for the streaming jobs in streaming/jobs.py — measured
+    disorder, not a guessed delay.
+
+    The synthetic feed is perfectly time-ordered, so the registered
+    query simulates arrival = event time + a seeded md5-uniform ingest
+    delay in [0, 2 h), multiplexed over 8 simulated ingest shards —
+    deterministic, hence oracle-able; a real deployment orders by its
+    actual (shard, ingest offset) instead: drop the jitter column,
+    keep the identical plan.
+
+    Per-shard (not global) high-water mark is the honest distributed
+    relaxation: a single global arrival order would serialize 100 TB
+    through one partition, and real pipelines track disorder per
+    partition anyway (Spark's own watermark is the min over shards).
+
+    Scale: one shuffle on the shard key for the running-max window
+    (shards are few but each holds only (tus, arrival) longs — and a
+    real audit runs per Kafka partition, whose count scales with the
+    cluster), then ONE conditional aggregation computes every candidate
+    delay in a single corpus pass (no per-delay re-scan, no crossJoin
+    fan-out); the |delays|-row unpivot runs on the aggregate only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % _JITTER_CAP_US
+    )
+    arr = e.select(
+        (F.col("event_id") % N_INGEST_SHARDS).alias("shard"),
+        "event_id",
+        tus.alias("tus"),
+        (tus + jitter).alias("arrival_us"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = arr.select(
+        F.greatest(
+            F.coalesce(F.max("tus").over(w) - F.col("tus"), F.lit(0)), F.lit(0)
+        ).alias("late_us")
+    )
+    agg = lt.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.count(F.when(F.col("late_us") > d * 1_000_000, 1)).alias(f"n_{d}")
+            for d in LATENESS_DELAYS_S
+        ],
+    )
+    # stack() unpivots the ONE aggregate row — a union of per-delay
+    # selects would re-run the corpus window+agg once per branch
+    stack_args = ", ".join(
+        f"CAST({d} AS BIGINT), CAST(n_{d} AS BIGINT)" for d in LATENESS_DELAYS_S
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(LATENESS_DELAYS_S)}, {stack_args}) AS (delay_s, n_late)"
+        ),
+        "n_total",
+    ).select(
+        "delay_s",
+        "n_late",
+        N.round_det(F.col("n_late") / F.col("n_total"), 6).alias("late_frac"),
+    )
