@@ -506,3 +506,55 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("modality") == "image"
     )
     return phash_neardup(image_ahash_codes(a))
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (VAD-style islands over RMS windows)
+# ---------------------------------------------------------------------------
+
+RMS_ACTIVE_THRESHOLD = 20.0  # window is "active" when RMS energy >= this
+
+
+def audio_activity_segments(
+    rms_df: DataFrame, threshold: float = RMS_ACTIVE_THRESHOLD
+) -> DataFrame:
+    """Collapse per-window RMS energies into maximal runs of consecutive
+    active windows — the voice-activity-detection segmentation a speech
+    pipeline runs before transcription/chunk export.  Input is
+    audio_rms_windows' (asset_id, window_no, rms); output one row per
+    segment: start/end window, length, mean energy.
+
+    Plan: filter to active windows, then the gaps-and-islands idiom —
+    window_no − ROW_NUMBER() over (asset, window order) is constant
+    exactly within a consecutive run — and one (asset, run) rollup.
+    Everything after the Python RMS kernel is JVM-side; the window
+    shuffle is keyed by asset_id (an asset's windows are bounded by its
+    duration, not corpus size).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("window_no")
+    active = rms_df.where(F.col("rms") >= threshold)
+    grp = (F.col("window_no") - F.row_number().over(w)).alias("grp")
+    return (
+        active.select("asset_id", "window_no", "rms", grp)
+        .groupBy("asset_id", "grp")
+        .agg(
+            F.min("window_no").alias("start_window"),
+            F.max("window_no").alias("end_window"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.round(F.avg("rms"), 4).alias("mean_rms"),
+        )
+        .drop("grp")
+    )
+
+
+@_register("multimodal_audio_segments")  # rows-only: RMS kernel is Python DSP
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segments over the audio assets: 256-sample RMS windows
+    (Arrow-batched kernel) → threshold → consecutive-run rollup.
+    Segment semantics (runs, boundaries, single-window islands) are
+    pinned against constructed payloads in tests/test_multimodal.py."""
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    rms = audio_rms_windows(a.where(F.col("modality") == "audio"))
+    return audio_activity_segments(rms)

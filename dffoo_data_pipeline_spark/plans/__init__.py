@@ -90,7 +90,7 @@ _PRIORITY = [
     # corpus_bigram_logprob, corpus_duplicate_span_removal,
     # text_bm25_topk, text_classifier_score, text_cdc_chunks,
     # graph_pagerank_nations, corpus_bpe_learn, events_lateness_audit,
-    # curation_epoch_mix
+    # curation_epoch_mix, multimodal_audio_segments
 ]
 
 

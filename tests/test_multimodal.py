@@ -152,3 +152,46 @@ def test_phash_pair_quality(spark):
     assert out[3072].near_dup_of in (0, 1536)  # tail edit: within budget
     assert out[9].near_dup_of is None and out[9].n_same_hash == 1
     assert out[0].near_dup_of is None  # lowest id is the keeper
+
+
+def test_audio_activity_segments_islands(spark):
+    from dffoo_data_pipeline_spark.multimodal.assets import audio_activity_segments
+
+    # windows: [loud, loud, quiet, loud, quiet, quiet, loud] per the rms
+    # column — expect islands [0,1], [3,3], [6,6]
+    rows = [
+        (1, 0, 100.0), (1, 1, 55.0), (1, 2, 0.0), (1, 3, 80.0),
+        (1, 4, 3.0), (1, 5, 19.9), (1, 6, 21.0),
+        (2, 0, 5.0),  # entirely quiet asset: no segments
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, window_no int, rms double")
+    got = sorted(
+        (r.asset_id, r.start_window, r.end_window, r.n_windows)
+        for r in audio_activity_segments(df).collect()
+    )
+    assert got == [(1, 0, 1, 2), (1, 3, 3, 1), (1, 6, 6, 1)]
+
+
+def test_audio_segments_from_constructed_payload(spark):
+    from dffoo_data_pipeline_spark.multimodal.assets import (
+        audio_activity_segments,
+        audio_rms_windows,
+    )
+
+    quiet = bytes([128]) * 256          # RMS 0
+    loud = bytes([28, 228]) * 128       # RMS 100
+    payload = loud * 2 + quiet * 3 + loud  # windows: A A q q q A
+    df = spark.createDataFrame([(7, payload)], "asset_id long, payload binary")
+    rms = audio_rms_windows(df)
+    got = sorted(
+        (r.start_window, r.end_window, float(r.mean_rms))
+        for r in audio_activity_segments(rms).collect()
+    )
+    assert got == [(0, 1, 100.0), (5, 5, 100.0)]
+
+
+def test_registered_audio_segments_rows(spark, sf_dir):
+    from dffoo_data_pipeline_spark.multimodal.assets import multimodal_audio_segments
+
+    df = multimodal_audio_segments(spark, sf_dir)
+    assert df.count() >= 0 and len(df.schema.fields) == 5
