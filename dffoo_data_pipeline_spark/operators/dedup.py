@@ -177,6 +177,87 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band_id, band_hash) from a minhash signature frame — the LSH
+    band table.  This IS the persistable near-dup index of a continuous
+    ingest pipeline: write it once per corpus snapshot, probe each new
+    batch against it (`neardup_against_index`) instead of re-pairing the
+    whole corpus."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def neardup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Probe a NEW batch against an existing LSH band index — the
+    incremental near-dup shape of a continuous crawl: the corpus-sized
+    side is a pre-built table (`band_signatures` output, re-read from
+    storage), only the batch is shingled/hashed per run.
+
+    Returns one row per new document: (id, matched_id, n_shared_bands,
+    novel) — matched_id is the strongest index match (most shared bands,
+    ties to the smallest id), NULL + novel=1 when no band collides.
+
+    Scale: the probe joins on (band_id, band_hash) — batch-sized × the
+    colliding slice of the index, never index × index; the index itself
+    is hash-partitioned on the join key at write time (write_bucketed)
+    so steady-state probes shuffle only the new batch.
+    """
+    probe = band_signatures(
+        minhash_signatures(new_df, id_col, text_col, n, num_hashes), id_col, num_hashes, bands
+    ).localCheckpoint(eager=False)
+    idx = index.select(
+        F.col(id_col).alias("matched_id"), "band_id", "band_hash"
+    )
+    hits = (
+        probe.join(idx, ["band_id", "band_hash"])
+        .groupBy(id_col, "matched_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("n_shared_bands").desc(), F.col("matched_id")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ids = probe.select(id_col).distinct()
+    return ids.join(best, id_col, "left").select(
+        id_col,
+        "matched_id",
+        F.coalesce("n_shared_bands", F.lit(0)).cast("bigint").alias("n_shared_bands"),
+        F.col("matched_id").isNull().cast("int").alias("novel"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -195,7 +276,6 @@ def minhash_lsh_candidates(
     band_hash) — linear shuffle, quadratic only within identical-band
     groups, which is exactly the set you must compare anyway.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     # The band frame feeds BOTH sides of the candidate self-join; without
     # materialization each side re-runs scan→shingle→xxhash→64-min-agg
@@ -204,23 +284,7 @@ def minhash_lsh_candidates(
     # both join sides — the "write the signature table" step every real
     # LSH run does (same idiom as plans/embeddings.py's int8 codes; the
     # frame is |docs|×(id, 16 band hashes), tiny next to the shingles).
-    banded_src = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
-    banded = banded_src.localCheckpoint(eager=False)
+    banded = band_signatures(sig, id_col, num_hashes, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

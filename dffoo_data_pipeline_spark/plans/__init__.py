@@ -90,7 +90,8 @@ _PRIORITY = [
     # corpus_bigram_logprob, corpus_duplicate_span_removal,
     # text_bm25_topk, text_classifier_score, text_cdc_chunks,
     # graph_pagerank_nations, corpus_bpe_learn, events_lateness_audit,
-    # curation_epoch_mix, multimodal_audio_segments
+    # curation_epoch_mix, multimodal_audio_segments,
+    # profile_approx_quantiles_lineitem, dedup_incremental_neardup
 ]
 
 

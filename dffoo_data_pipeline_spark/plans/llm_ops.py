@@ -1014,3 +1014,27 @@ def udaf_trimmed_mean_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_count("n_chars").alias("n_docs"),
         N.round_det(trimmed_mean("n_chars"), 6).alias("trimmed_mean_chars"),
     )
+
+
+@_register("dedup_incremental_neardup")  # rows-only: engine-specific hashes
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup the NEW batch against the existing corpus's LSH band
+    index — the near-dup half of continuous ingest (the exact half is
+    dedup_incremental_novel): docs with doc_id % 10 == 0 play the
+    incoming batch, the rest the already-indexed corpus.  Per new doc:
+    strongest index match + novel flag.  Pair quality inherits the
+    MinHash tests; batch/index split semantics are pinned in
+    tests/test_dedup.py.
+
+    Scale: only the batch is shingled/minhashed per run — the index is
+    a pre-built band table re-read from storage (band_signatures +
+    write_bucketed on the band key makes steady-state probes shuffle
+    the batch only).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    index = dedup.band_signatures(
+        dedup.minhash_signatures(old, "doc_id", "text"), "doc_id"
+    )
+    return dedup.neardup_against_index(new, index, id_col="doc_id", text_col="text")

@@ -237,3 +237,44 @@ def profile_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["profile_corr_lineitem"] = profile_corr_lineitem
 ORACLES["profile_corr_lineitem"] = _CORR_ORACLE
+
+
+APPROX_QUANTILE_ACCURACY = 10_000  # GK sketch knob: rank error <= n/accuracy
+
+
+def profile_approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path made first-class: `approx_percentile`
+    (Greenwald-Khanna sketch — bounded memory, mergeable map-side, one
+    scan for all columns) with the SAME output shape as the exact
+    `profile_quantiles_lineitem`, so callers swap by name.  Rows-only
+    for the driver (sketch internals are engine-specific); the rank
+    error contract |rank(q̂) − p·n| ≤ n/accuracy is asserted against
+    the exact quantiles in tests/test_profile.py.
+    """
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    ps = ", ".join(str(p) for p in _QUANTILE_PS)
+    one = li.agg(
+        *[
+            F.expr(
+                f"approx_percentile({c}, array({ps}), {APPROX_QUANTILE_ACCURACY})"
+            ).alias(f"{c}__q")
+            for c in _QUANTILE_COLS
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(p).alias("p"),
+                F.col(f"{c}__q")[i].cast("double").alias("q"),
+            )
+            for c in _QUANTILE_COLS
+            for i, p in enumerate(_QUANTILE_PS)
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
+QUERIES["profile_approx_quantiles_lineitem"] = profile_approx_quantiles_lineitem

@@ -173,3 +173,32 @@ def test_containment_matches_python_oracle(spark):
         ).collect()
     }
     assert got == _py_containment(TEXTS, n=3, threshold=0.3)
+
+
+def test_neardup_against_index_matches_and_novel(spark):
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+        neardup_against_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank " * 3
+    old = spark.createDataFrame(
+        [(1, base), (2, "entirely different content about spark shuffles and joins " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact copy of old doc 1 -> must match
+            (11, base.replace("lazy", "sleepy")),  # near copy -> should match doc 1
+            (12, "completely novel text with no overlap whatsoever in any shingle " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    index = band_signatures(minhash_signatures(old, "doc_id", "text"), "doc_id")
+    got = {r.doc_id: r for r in neardup_against_index(new, index, "doc_id", "text").collect()}
+    assert set(got) == {10, 11, 12}  # exactly one verdict per new doc
+    assert got[10].matched_id == 1 and got[10].novel == 0
+    assert got[10].n_shared_bands == 16  # identical text: every band collides
+    assert got[11].matched_id == 1 and got[11].novel == 0
+    assert got[12].matched_id is None and got[12].novel == 1

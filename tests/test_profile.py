@@ -44,3 +44,39 @@ def test_profile_single_scan(spark):
     df = _fixture(spark)
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """GK sketch contract: the rank of each approximate quantile must sit
+    within n/accuracy of the target rank p*n (plus 1 for interpolation
+    slack) — the property that makes approx_percentile a safe drop-in
+    for the exact path at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.plans.profile import (
+        APPROX_QUANTILE_ACCURACY,
+        _QUANTILE_COLS,
+        profile_approx_quantiles_lineitem,
+    )
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    slack = n / APPROX_QUANTILE_ACCURACY + 1
+    approx = profile_approx_quantiles_lineitem(spark, sf_dir).collect()
+    assert len(approx) == len(_QUANTILE_COLS) * 5
+    # one aggregate computes every rank check; with ties the returned
+    # value occupies the whole rank interval [count(<q̂), count(<=q̂)]
+    checks = li.agg(
+        *[
+            agg
+            for i, r in enumerate(approx)
+            for agg in (
+                F.count(F.when(F.col(r.col_name) < r.q, 1)).alias(f"lo_{i}"),
+                F.count(F.when(F.col(r.col_name) <= r.q, 1)).alias(f"hi_{i}"),
+            )
+        ]
+    ).collect()[0]
+    for i, r in enumerate(approx):
+        lo, hi = checks[f"lo_{i}"], checks[f"hi_{i}"]
+        assert lo - slack <= r.p * n <= hi + slack, (r.col_name, r.p, r.q, lo, hi)
