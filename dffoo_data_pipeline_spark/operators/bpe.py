@@ -111,3 +111,27 @@ def learn_bpe_merges(vocab: DataFrame, n_merges: int = 8) -> list[tuple[int, str
             merge_adjacent(F.col("sym"), best.left, best.right).alias("sym"), "freq"
         ).localCheckpoint(eager=False)
     return merges
+
+
+def apply_bpe_merges(vocab: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Encode side of BPE: apply a learned merge table to a (word, ...)
+    frame → (word, n_bpe_tokens).  Merges compose as `len(merges)`
+    chained leftmost-nonoverlapping folds IN LEARNING ORDER — exactly
+    how the reference encoder applies its merge ranks — all fused into
+    one narrow projection over the vocab (no shuffles, no Python).
+
+    Scale: encoding touches the VOCAB, not the corpus; per-document BPE
+    counts then come from one (word → n_bpe_tokens) join.  A real
+    tokenizer's thousands of merges would chain the same fold — at that
+    depth you'd precompute (word → count) once and persist it, which is
+    this same frame written out.
+    """
+    sym = word_symbols(F.col("word"))
+    for _, left, right, _ in merges:
+        sym = merge_adjacent(sym, left, right)
+    # the EOW marker is bookkeeping, not an emitted token — uncounted
+    # unless it fused into a merged symbol (then it's part of a real token)
+    return vocab.select(
+        "word",
+        F.size(F.filter(sym, lambda s: s != F.lit(EOW))).cast("bigint").alias("n_bpe_tokens"),
+    )

@@ -91,7 +91,8 @@ _PRIORITY = [
     # text_bm25_topk, text_classifier_score, text_cdc_chunks,
     # graph_pagerank_nations, corpus_bpe_learn, events_lateness_audit,
     # curation_epoch_mix, multimodal_audio_segments,
-    # profile_approx_quantiles_lineitem, dedup_incremental_neardup
+    # profile_approx_quantiles_lineitem, dedup_incremental_neardup,
+    # corpus_bpe_encode
 ]
 
 

@@ -1130,3 +1130,43 @@ def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+@_register("corpus_bpe_encode")  # rows-only: merge table is data-dependent
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode side of the tokenizer: apply the corpus-learned BPE merge
+    table (corpus_bpe_learn) to every document and report whitespace
+    vs BPE token counts + the compression ratio — the number that tells
+    you what a context window actually holds.
+
+    Scale: encoding runs on the distinct-word VOCAB (chained
+    leftmost-nonoverlapping folds, no shuffle), then one broadcast-able
+    (word → n_bpe_tokens) join brings counts back to the corpus; the
+    per-doc rollup is the only corpus-sized shuffle.  Exact-equality
+    tested against a pure-Python reference encoder.
+    """
+    from dffoo_data_pipeline_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = d.select("doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    vocab = vocab.localCheckpoint(eager=False)  # feeds learning AND encoding once
+    merges = learn_bpe_merges(vocab, n_merges=N_BPE_MERGES)
+    encoded = apply_bpe_merges(vocab, merges)
+    return (
+        toks.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            round_det(F.col("n_bpe_tokens") / F.col("n_words"), 4).alias("bpe_per_word"),
+        )
+    )

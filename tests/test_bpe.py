@@ -82,3 +82,54 @@ def test_registered_query_matches_reference_on_corpus(spark, sf_dir):
         for r in corpus_bpe_learn(spark, sf_dir).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def _reference_encode(word: str, merges) -> int:
+    sym = list(word) + [EOW]
+    for _, left, right, _ in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sum(1 for s in sym if s != EOW)
+
+
+def test_apply_matches_reference_encoder(spark):
+    vocab = {"low": 5, "lower": 2, "lowest": 6, "newest": 3, "widest": 2}
+    merges = _reference_bpe(vocab, 6)
+    df = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    from dffoo_data_pipeline_spark.operators.bpe import apply_bpe_merges
+
+    got = {r.word: r.n_bpe_tokens for r in apply_bpe_merges(df, merges).collect()}
+    assert got == {w: _reference_encode(w, merges) for w in vocab}
+
+
+def test_corpus_bpe_encode_matches_reference(spark, sf_dir):
+    from dffoo_data_pipeline_spark.plans.corpus import (
+        N_BPE_MERGES,
+        corpus_bpe_encode,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("w"),
+    ).collect()
+    vocab: dict = {}
+    for r in toks:
+        vocab[r.w] = vocab.get(r.w, 0) + 1
+    merges = _reference_bpe(vocab, N_BPE_MERGES)
+    expected: dict = {}
+    for r in toks:
+        nw, nb = expected.get(r.doc_id, (0, 0))
+        expected[r.doc_id] = (nw + 1, nb + _reference_encode(r.w, merges))
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in corpus_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == expected
