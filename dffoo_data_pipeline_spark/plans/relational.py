@@ -2202,3 +2202,69 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.round_det(F.col("cum_rev") / F.col("total_rev"), 6).alias("cum_share"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog over time (interval sweep)
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH span AS (
+    SELECT o.o_orderkey, o.o_orderdate AS open_day,
+           MAX(l.l_shipdate) AS close_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate),
+deltas AS (
+    SELECT CAST(open_day AS DATE) AS day, 1 AS delta FROM span
+    UNION ALL
+    SELECT CAST(close_day AS DATE) + 1, -1 FROM span),
+daily AS (
+    SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+    FROM deltas GROUP BY day)
+SELECT CAST(day AS VARCHAR) AS day, delta,
+       CAST(SUM(delta) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS n_open
+FROM daily
+"""
+
+
+@_register("orders_open_backlog", _BACKLOG_ORACLE)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog as a step function — the interval-sweep idiom
+    (concurrency counting): each order is open from its order date
+    through its LAST shipment; emit +1/−1 boundary deltas, aggregate
+    per day, running-sum in date order.  One row per day the backlog
+    CHANGES (the step function's knots), so the output is
+    days-bounded, not order-bounded — the same sweep counts concurrent
+    sessions, active loans, or live connections.
+
+    Scale: the corpus-sized work is the per-order MAX(shipdate) rollup
+    (one shuffle on orderkey — co-partitioned with the orders join) and
+    the boundary aggregation on date keys (≤ a few thousand distinct
+    days regardless of row count).  The running-sum window then orders
+    only the days-sized aggregate — a deliberate single-partition
+    window over a provably bounded frame, not over data.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_day"))
+    )
+    deltas = span.select(
+        F.col("o_orderdate").cast("date").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        span.select(
+            F.date_add(F.col("close_day").cast("date"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "delta",
+        F.sum("delta").over(w).cast("bigint").alias("n_open"),
+    )

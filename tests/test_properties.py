@@ -118,3 +118,18 @@ def test_aoe_implies_main_equals_non(spark, n):
     adds to both counters, web_scraper.py:449-457)."""
     r = _parse_one(spark, [FX.groupN(n), FX.group1()])
     assert r.main_target_hp_attacks == r.non_target_hp_attacks == n + 1
+
+
+def test_backlog_sweep_conserves_orders(spark, sf_dir):
+    """Interval-sweep sanity: the backlog step function never goes
+    negative and returns to exactly zero after the last close (+1/−1
+    boundaries balance per order)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.plans.relational import orders_open_backlog
+
+    df = orders_open_backlog(spark, sf_dir)
+    assert df.where(F.col("n_open") < 0).count() == 0
+    last = df.orderBy(F.col("day").desc()).limit(1).collect()[0]
+    assert last.n_open == 0
+    assert df.agg(F.sum("delta")).collect()[0][0] == 0
