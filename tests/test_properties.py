@@ -133,3 +133,30 @@ def test_backlog_sweep_conserves_orders(spark, sf_dir):
     last = df.orderBy(F.col("day").desc()).limit(1).collect()[0]
     assert last.n_open == 0
     assert df.agg(F.sum("delta")).collect()[0][0] == 0
+
+
+@given(
+    sym=st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=12),
+    pair=st.sampled_from([("a", "b"), ("b", "a"), ("a", "a"), ("ab", "c")]),
+)
+@_settings
+def test_merge_adjacent_matches_sequential_fold(spark, sym, pair):
+    """The distributed higher-order fold must equal the sequential
+    leftmost-first non-overlapping merge for ANY symbol sequence —
+    including self-pairs like (a,a) over runs, the classic off-by-one
+    trap."""
+    from dffoo_data_pipeline_spark.operators.bpe import merge_adjacent
+    from pyspark.sql import functions as F
+
+    left, right = pair
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    df = spark.createDataFrame([(sym,)], "sym array<string>")
+    got = df.select(merge_adjacent(F.col("sym"), left, right).alias("m")).collect()[0].m
+    assert got == out

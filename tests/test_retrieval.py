@@ -155,3 +155,15 @@ def test_cdc_boundaries_survive_prefix_edit(spark, tmp_path_factory):
     assert len(h1) >= 2, "fixture must produce multiple chunks"
     tail = h1[1:]  # first chunk's start is the doc start => changed by the edit
     assert h2[-len(tail):] == tail
+
+
+def test_bm25_plan_broadcasts_query_probe(spark, sf_dir):
+    """The query-term dim must reach the corpus-sized tf table as a
+    broadcast — a shuffled or (worse) cartesian probe would turn the
+    retrieval into a corpus reshuffle per query set."""
+    plan = text_bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the two single-row stats
+    # broadcasts (avgdl / n_docs)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
