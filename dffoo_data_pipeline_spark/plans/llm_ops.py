@@ -1038,3 +1038,61 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_signatures(old, "doc_id", "text"), "doc_id"
     )
     return dedup.neardup_against_index(new, index, id_col="doc_id", text_col="text")
+
+
+@_register("similarity_ann_recall_report")  # rows-only: LSH/IVF are seed-specific
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured — not guessed — ANN quality: recall@5 of the LSH and IVF
+    indexes against exact brute force over the same embeddings, one
+    summary row per method (n_queries, mean/min/p10 recall).  This is
+    the audit you run after every index parameter change; the per-round
+    recall floors in tests/test_similarity_ivf.py pin regressions, this
+    query makes the number a first-class pipeline output.
+
+    Parameters deliberately MATCH the registered production queries
+    (similarity_lsh_topk / similarity_ivf_topk) — the audit measures the
+    path users run, not a tuned showcase.  On this synthetic corpus the
+    vectors are near-isotropic (no cluster structure), so absolute
+    recall is low — which is exactly what the report should say: these
+    embeddings need brute force or better index parameters, and the
+    mean/p10/min columns are the evidence.
+
+    Scale: the exact side is the broadcast-bounded brute-force path —
+    recall audits run on a SAMPLE at real scale (the operator caps via
+    IndexTooLargeError, so an oversized audit fails loudly rather than
+    OOMing); the ANN sides are the partitioned production paths being
+    audited.  The recall join is (query, neighbor)-keyed.
+    """
+    from dffoo_data_pipeline_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    exact = sim.cosine_topk_bruteforce(e, "vec_id", "embedding", k=k)
+    exact = exact.localCheckpoint(eager=False)  # feeds every method's join once
+
+    def recall_row(method: str, approx: DataFrame) -> DataFrame:
+        hits = exact.alias("x").join(
+            approx.alias("a"),
+            (F.col("x.query_id") == F.col("a.query_id"))
+            & (F.col("x.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        per_q = hits.groupBy("x.query_id").agg(
+            (F.count(F.col("a.neighbor_id")) / F.count(F.lit(1))).alias("recall")
+        )
+        return per_q.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.round(F.avg("recall"), 4).alias("mean_recall"),
+            F.round(F.expr("percentile(recall, 0.1)"), 4).alias("p10_recall"),
+            F.round(F.min("recall"), 4).alias("min_recall"),
+        )
+
+    lsh = recall_row(
+        "lsh", sim.lsh_topk(e, "vec_id", "embedding", k=k, planes=16, prefix_bits=6)
+    )
+    ivf = recall_row(
+        "ivf", sim.ivf_topk(e, "vec_id", "embedding", k=k, n_cells=16, n_probe=2)
+    )
+    return lsh.unionByName(ivf)

@@ -40,3 +40,21 @@ def test_more_probes_more_recall(spark, emb):
         )
         r[probes] = len(got & exact) / len(exact)
     assert r[4] >= r[1], r
+
+
+def test_ann_recall_report_contract(spark, sf_dir):
+    """The self-audit query must cover every corpus vector for every
+    method and report recalls in [0, 1] with p10 <= mean."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.llm_ops import similarity_ann_recall_report
+
+    n_vecs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    rows = {r.method: r for r in similarity_ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r.n_queries == n_vecs  # left join keeps empty-bucket queries
+        assert 0 <= r.min_recall <= r.p10_recall <= r.mean_recall <= 1
+        assert r.k == 5
