@@ -58,6 +58,10 @@ HEADLINE += [
     "curation_leakage_safe_split",   # pair graph → subgraph CC → cluster-hash split
     "dedup_duplicate_spans",         # stride-1 window-hash suffix-array relaxation
     "curation_dsir_resample",        # hashed-unigram LM weights + Gumbel top-k
+    "text_bm25_topk",                # inverted-index stats + broadcast query probe
+    "graph_pagerank_nations",        # iterative integer PageRank over q7-shaped join
+    "text_classifier_score",         # hashed features + broadcast weight dim
+    "text_cdc_chunks",               # content-defined chunking (window hash + islands)
 ]
 
 

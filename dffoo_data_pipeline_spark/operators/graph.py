@@ -206,7 +206,8 @@ def pagerank(
     nodes, node_ids = _tracked_checkpoint(sc, _sized(nodes))
     n_nodes = nodes.count()  # one scalar aggregate to the driver (bounded)
     if n_nodes == 0:
-        _unpersist_ids(sc, node_ids)
+        # the returned frame still reads the checkpointed blocks — do
+        # NOT unpersist them here (empty checkpoint, zero storage)
         return nodes.select(F.col("node"), F.lit(0).cast("bigint").alias("pr"))
     base = ((100 - damping_pct) * scale // 100) // n_nodes
 

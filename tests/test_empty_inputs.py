@@ -158,3 +158,30 @@ def test_semantic_dedup_empty(spark, monkeypatch):
     out = EM.QUERIES["dedup_semantic_int8"](spark, "ignored")
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster_id", "cluster_size", "is_semantic_dup"]
+
+
+def test_round3_closing_operators_empty(spark, empty_docs):
+    from dffoo_data_pipeline_spark.multimodal.assets import audio_activity_segments
+    from dffoo_data_pipeline_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+        neardup_against_index,
+    )
+    from dffoo_data_pipeline_spark.operators.graph import pagerank
+
+    empty_vocab = spark.createDataFrame([], "word string, freq long")
+    assert learn_bpe_merges(empty_vocab, n_merges=3) == []
+    assert apply_bpe_merges(empty_vocab, [(1, "a", "b", 2)]).count() == 0
+
+    empty_rms = spark.createDataFrame([], "asset_id long, window_no int, rms double")
+    seg = audio_activity_segments(empty_rms)
+    assert seg.count() == 0 and "start_window" in seg.columns
+
+    idx = band_signatures(minhash_signatures(empty_docs, "doc_id", "text"), "doc_id")
+    probe = neardup_against_index(empty_docs, idx, "doc_id", "text")
+    assert probe.count() == 0 and "novel" in probe.columns
+
+    nodes = spark.createDataFrame([], "node string")
+    edges = spark.createDataFrame([], "src string, dst string, w long")
+    assert pagerank(nodes, edges, iterations=2).count() == 0
