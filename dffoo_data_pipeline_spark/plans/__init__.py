@@ -92,7 +92,8 @@ _PRIORITY = [
     # graph_pagerank_nations, corpus_bpe_learn, events_lateness_audit,
     # curation_epoch_mix, multimodal_audio_segments,
     # profile_approx_quantiles_lineitem, dedup_incremental_neardup,
-    # corpus_bpe_encode, orders_open_backlog, similarity_ann_recall_report
+    # corpus_bpe_encode, orders_open_backlog, similarity_ann_recall_report,
+    # dedup_lsh_quality_report, corpus_data_card
 ]
 
 

@@ -1170,3 +1170,85 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("n_bpe_tokens") / F.col("n_words"), 4).alias("bpe_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card (one-row summary)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_TERM = "CAST(FLOOR(c * ln(c) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))"
+
+_DATA_CARD_ORACLE = rf"""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents),
+src AS (
+    SELECT CAST(SUM({_ENTROPY_TERM}) AS DOUBLE) AS slnl
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source)),
+lng AS (
+    SELECT CAST(SUM({_ENTROPY_TERM}) AS DOUBLE) AS llnl
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang))
+SELECT n_docs, n_tokens, n_sources, n_langs,
+       FLOOR((1.0 - n_unique * 1.0 / n_docs) * 1000000 + 0.5) / 1000000
+         AS exact_dup_rate,
+       FLOOR((n_tokens * 1.0 / n_docs) * 1000000 + 0.5) / 1000000
+         AS mean_tokens,
+       FLOOR((ln(n_docs) - slnl / n_docs) * 1000000 + 0.5) / 1000000
+         AS source_entropy,
+       FLOOR((ln(n_docs) - llnl / n_docs) * 1000000 + 0.5) / 1000000
+         AS lang_entropy
+FROM base CROSS JOIN src CROSS JOIN lng
+"""
+
+
+@_register("corpus_data_card", _DATA_CARD_ORACLE)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row data card a corpus release ships: sizes, exact-dup
+    rate, and the Shannon entropy (nats) of the source and language
+    mixes — the two numbers that say at a glance whether the corpus is
+    one source wearing ten names or a real mixture.
+
+    Scale: two corpus passes — one wide aggregate (counts + distinct
+    hash) and one grouping-sets-style pass for the per-source/per-lang
+    counts; entropy then runs on the dimension-sized count tables.
+    Determinism: each c·ln(c) term is floor-rounded at 1e-6 into
+    DECIMAL before summing (partition-order-exact), and H =
+    ln(N) − Σc·ln(c)/N is one IEEE subtract/divide of identical
+    operands on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens"),
+        F.count_distinct(F.md5(F.lower(F.trim("text")))).cast("bigint").alias("n_unique"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+    def _ent_sum(key: str, alias: str) -> DataFrame:
+        counts = d.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        term = round_det(F.col("c") * F.log("c"), 6).cast("decimal(28,6)")
+        return counts.agg(F.sum(term).cast("double").alias(alias))
+
+    ent = lambda lnl: round_det(  # noqa: E731
+        F.log("n_docs") - F.col(lnl) / F.col("n_docs"), 6
+    )
+    return (
+        base.crossJoin(F.broadcast(_ent_sum("source", "slnl")))
+        .crossJoin(F.broadcast(_ent_sum("lang", "llnl")))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "n_langs",
+            round_det(1.0 - F.col("n_unique") / F.col("n_docs"), 6).alias("exact_dup_rate"),
+            round_det(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_tokens"),
+            ent("slnl").alias("source_entropy"),
+            ent("llnl").alias("lang_entropy"),
+        )
+    )

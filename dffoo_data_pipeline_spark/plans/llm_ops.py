@@ -1096,3 +1096,50 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf", sim.ivf_topk(e, "vec_id", "embedding", k=k, n_cells=16, n_probe=2)
     )
     return lsh.unionByName(ivf)
+
+
+@_register("dedup_lsh_quality_report")  # rows-only: minhash is engine-specific
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup twin of the ANN recall audit: precision/recall of the
+    MinHash-LSH candidate pairs against exact n-gram Jaccard at the 0.5
+    similarity the 16×4 banding targets — one summary row
+    (candidate/truth/hit counts, precision, recall).  Run after any
+    banding-parameter change; the S-curve says ~50% capture at J=0.5,
+    this query says what you actually got on YOUR corpus.
+
+    Scale: both sides are the production linear-shuffle plans (posting
+    lists with the stop-shingle guard; banded LSH); the compare joins on
+    the (doc_a, doc_b) pair key.  At 100 TB you audit a deterministic
+    corpus slice — the md5-prefix sampling idiom of
+    curation_sample_stratified — not every pair.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+    cand = dedup.minhash_lsh_candidates(d, "doc_id", "text").select("doc_a", "doc_b")
+    truth = truth.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
+    hits = truth.join(cand, ["doc_a", "doc_b"], "semi")
+    n_truth = truth.select(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hits.select(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand")).otherwise(
+                    F.lit(1.0)
+                ),
+                4,
+            ).alias("precision"),
+            F.round(
+                F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")).otherwise(
+                    F.lit(1.0)
+                ),
+                4,
+            ).alias("recall"),
+        )
+    )

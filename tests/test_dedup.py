@@ -202,3 +202,13 @@ def test_neardup_against_index_matches_and_novel(spark):
     assert got[10].n_shared_bands == 16  # identical text: every band collides
     assert got[11].matched_id == 1 and got[11].novel == 0
     assert got[12].matched_id is None and got[12].novel == 1
+
+
+def test_lsh_quality_report_contract(spark, sf_dir):
+    from dffoo_data_pipeline_spark.plans.llm_ops import dedup_lsh_quality_report
+
+    r = dedup_lsh_quality_report(spark, sf_dir).collect()[0]
+    assert r.n_hit <= min(r.n_truth, r.n_cand)
+    assert 0 <= r.precision <= 1 and 0 <= r.recall <= 1
+    # fixture duplicates are heavy near-copies: banding must catch most
+    assert r.n_truth == 0 or r.recall >= 0.5
