@@ -880,3 +880,51 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_late",
         N.round_det(F.col("n_late") / F.col("n_total"), 6).alias("late_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct enrichment (feature-store join semantics)
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = f"""
+WITH dim AS ({_SCD2_SQL.strip()})
+SELECT d.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND d.valid_from <= e.ts
+          AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+WHERE e.event_type = 'purchase'
+GROUP BY d.tier
+"""
+
+
+@_register("events_pit_enrich", _PIT_SQL)
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment — the feature-store join: each
+    purchase is joined to the dimension row VALID AT ITS OWN EVENT TIME
+    (the SCD2 tier history), never to the current row.  Joining current
+    attributes onto historical events is the classic feature-leakage
+    bug in training-set construction; the half-open [valid_from,
+    valid_to) ranges make each event match exactly one row.
+
+    Scale: the SCD2 build shuffles once on user_id; the enrich is an
+    equi-join on user_id with the validity range as join-time filter
+    (co-partitioned sort-merge — dimension history rows per user are
+    few, so the per-key range scan is bounded).  The rollup aggregates
+    to |tiers| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_user_tier(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = purchases.alias("e").join(
+        dim.alias("d"),
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("d.valid_from") <= F.col("e.ts"))
+        & (F.col("d.valid_to").isNull() | (F.col("e.ts") < F.col("d.valid_to"))),
+    )
+    return joined.groupBy("d.tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(N.dec2("value")).cast("double").alias("total_value"),
+    )

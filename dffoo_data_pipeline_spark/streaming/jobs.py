@@ -36,7 +36,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dffoo_data_pipeline_spark.functions import numeric as N
-from dffoo_data_pipeline_spark.plans.events import SESSION_GAP_SECONDS, _SESSION_SQL
+from dffoo_data_pipeline_spark.plans.events import (
+    SESSION_GAP_SECONDS,
+    _PIT_SQL,
+    _SESSION_SQL,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -836,5 +840,38 @@ def streaming_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = stream_codes.select((-best["negseed"]).alias("cluster_id"))
     agg = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+@_register("streaming_pit_enrich", _PIT_SQL)
+def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static POINT-IN-TIME enrichment: each purchase in the
+    stream joins the SCD2 tier row valid at its own event time (user_id
+    equality + half-open validity-range predicate on the static side) —
+    the feature-store join of plans/events.py:events_pit_enrich run at
+    ingest, so features attach leakage-free as data arrives.  Shares
+    the batch twin's oracle: backfill and live stream cannot disagree.
+
+    Scale: stream-static joins are stateless (the dim is re-planned per
+    micro-batch, picking up dimension updates without restart); the
+    range predicate is a per-key filter after the user_id equi-match,
+    bounded by tier-change counts per user.  State is the |tiers|-row
+    aggregate only.
+    """
+    from dffoo_data_pipeline_spark.plans.events import scd2_user_tier
+
+    e = read_events_stream(spark, sf_dir)
+    dim = scd2_user_tier(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = purchases.alias("e").join(
+        dim.alias("d"),
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("d.valid_from") <= F.col("e.ts"))
+        & (F.col("d.valid_to").isNull() | (F.col("e.ts") < F.col("d.valid_to"))),
+    )
+    agg = joined.groupBy("d.tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(N.dec2("value")).cast("double").alias("total_value"),
     )
     return run_stream_to_table(agg, "complete")
