@@ -1252,3 +1252,37 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent("llnl").alias("lang_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (self-audit against labeled data)
+# ---------------------------------------------------------------------------
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANG_PREDICT_ORACLE.strip()})
+SELECT d.lang AS true_lang, p.predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.predicted_lang
+"""
+
+
+@_register("text_langid_confusion", _LANGID_CONFUSION_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier against the
+    corpus's ground-truth labels — the audit that says whether the
+    stopword heuristic is good enough to gate on, per language (the
+    synthetic corpus is heavily en-skewed, so the off-diagonal rows are
+    exactly the docs a real pipeline would mis-route).
+
+    Scale: the classifier is per-row codegen; the join is doc_id-keyed;
+    the matrix aggregate is |langs|² rows.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    pred = text_lang_predict(spark, sf_dir).select("doc_id", "predicted_lang")
+    return (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

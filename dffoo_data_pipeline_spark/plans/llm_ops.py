@@ -1143,3 +1143,108 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate overlap report (which filters are redundant?)
+# ---------------------------------------------------------------------------
+
+def _gate_overlap_oracle() -> str:
+    from dffoo_data_pipeline_spark.functions.text import quality_score_sql
+    from dffoo_data_pipeline_spark.plans.retrieval import _CLF_ORACLE
+
+    gates = ["quality", "length", "gopher", "clf"]
+    pairs = [(a, b) for i, a in enumerate(gates) for b in gates[i + 1 :]]
+    singles = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE g_{g}) AS BIGINT) AS n_{g}" for g in gates
+    )
+    boths = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE g_{a} AND g_{b}) AS BIGINT) AS b_{a}_{b}"
+        for a, b in pairs
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS gate_a, '{b}' AS gate_b, n_{a} AS n_a, n_{b} AS n_b,"
+        f" b_{a}_{b} AS n_both,"
+        f" CASE WHEN n_{a} + n_{b} - b_{a}_{b} = 0 THEN 1.0"
+        f" ELSE FLOOR(b_{a}_{b} * 1.0 / (n_{a} + n_{b} - b_{a}_{b}) * 1000000 + 0.5)"
+        f" / 1000000 END AS jaccard FROM agg"
+        for a, b in pairs
+    )
+    return rf"""
+WITH ql AS (
+    SELECT doc_id,
+           {quality_score_sql('text')} >= 0.5 AS g_quality,
+           len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 5000
+             AS g_length
+    FROM documents),
+gop AS (SELECT doc_id, passes_gopher AS g_gopher FROM ({_GOPHER_ORACLE})),
+clf AS (SELECT doc_id, keep_flag = 1 AS g_clf FROM ({_CLF_ORACLE})),
+f AS (
+    SELECT ql.doc_id, g_quality, g_length, g_gopher, g_clf
+    FROM ql JOIN gop USING (doc_id) JOIN clf USING (doc_id)),
+agg AS (
+    SELECT {singles},
+       {boths}
+    FROM f)
+{rows}
+"""
+
+
+@_register("curation_gate_overlap", _gate_overlap_oracle())
+def curation_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which quality gates are redundant?  Pairwise Jaccard overlap of
+    the pass-sets of four filters (heuristic quality ≥ 0.5, 50-5000-word
+    length, the Gopher battery, the hashed linear classifier) — high
+    overlap means one gate subsumes another and can be dropped from the
+    pipeline; low overlap means they encode different signals and stack.
+
+    Scale: the three projection gates fuse into per-row expressions; the
+    classifier contributes its two doc-keyed shuffles; ONE conditional
+    aggregation then computes all 4 singles + 6 pairwise counts in a
+    single pass over the joined flags, and the pair unpivot (stack) runs
+    on the one aggregate row.
+    """
+    from dffoo_data_pipeline_spark.functions.text import quality_score
+    from dffoo_data_pipeline_spark.plans.retrieval import text_classifier_score
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    staged = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    ql = staged.select(
+        "doc_id",
+        (quality_score("text", toks=F.col("__toks")) >= 0.5).alias("g_quality"),
+        F.size("__toks").between(50, 5000).alias("g_length"),
+    )
+    gop = gopher_rule_flags(d).select("doc_id", F.col("passes_gopher").alias("g_gopher"))
+    clf = text_classifier_score(spark, sf_dir).select(
+        "doc_id", (F.col("keep_flag") == 1).alias("g_clf")
+    )
+    f = ql.join(gop, "doc_id").join(clf, "doc_id")
+    gates = ["quality", "length", "gopher", "clf"]
+    pairs = [(a, b) for i, a in enumerate(gates) for b in gates[i + 1 :]]
+    agg = f.agg(
+        *[F.count(F.when(F.col(f"g_{g}"), 1)).alias(f"n_{g}") for g in gates],
+        *[
+            F.count(F.when(F.col(f"g_{a}") & F.col(f"g_{b}"), 1)).alias(f"b_{a}_{b}")
+            for a, b in pairs
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', CAST(n_{a} AS BIGINT), CAST(n_{b} AS BIGINT), CAST(b_{a}_{b} AS BIGINT)"
+        for a, b in pairs
+    )
+    unp = agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (gate_a, gate_b, n_a, n_b, n_both)"
+        )
+    )
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return unp.select(
+        "gate_a",
+        "gate_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(denom == 0, F.lit(1.0))
+        .otherwise(N.round_det(F.col("n_both") / denom, 6))
+        .alias("jaccard"),
+    )
