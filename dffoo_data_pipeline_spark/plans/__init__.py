@@ -94,7 +94,8 @@ _PRIORITY = [
     # profile_approx_quantiles_lineitem, dedup_incremental_neardup,
     # corpus_bpe_encode, orders_open_backlog, similarity_ann_recall_report,
     # dedup_lsh_quality_report, corpus_data_card, events_pit_enrich,
-    # streaming_pit_enrich, text_langid_confusion, curation_gate_overlap
+    # streaming_pit_enrich, text_langid_confusion, curation_gate_overlap,
+    # integrity_report
 ]
 
 

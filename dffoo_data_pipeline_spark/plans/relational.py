@@ -2268,3 +2268,93 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         F.sum("delta").over(w).cast("bigint").alias("n_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (the dbt-tests analog)
+# ---------------------------------------------------------------------------
+
+_INTEGRITY_ORACLE = """
+SELECT 'lineitem_orderkey_fk' AS rule,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_violations,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'customer_nationkey_fk',
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_quantity_not_null',
+       CAST((SELECT COUNT(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem)
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+"""
+
+
+@_register("integrity_report", _INTEGRITY_ORACLE)
+def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the dbt relationships/unique/
+    not_null test battery (the reference ships a dbt project whose
+    schema contracts this generalizes) consolidated into one typed
+    report: per rule, violation count and rows checked.
+
+    Scale: each FK rule is ONE pass over the child — a left join to the
+    parent's key projection with a conditional count (null parent key =
+    orphan), so the audit costs one co-partitioned join per declared
+    relationship; uniqueness is count-minus-distinct on the key;
+    not-null is a conditional count.  Nothing is collected; the report
+    is |rules| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def fk(child: DataFrame, ck: str, parent: DataFrame, pk: str, rule: str) -> DataFrame:
+        pkeys = parent.select(F.col(pk).alias("__pk")).distinct()
+        return (
+            child.join(pkeys, child[ck] == F.col("__pk"), "left")
+            .agg(
+                F.lit(rule).alias("rule"),
+                F.count(F.when(F.col("__pk").isNull(), 1)).cast("bigint").alias(
+                    "n_violations"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            )
+        )
+
+    unique = o.agg(
+        F.lit("orders_orderkey_unique").alias("rule"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).cast("bigint").alias(
+            "n_violations"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+    )
+    notnull = li.agg(
+        F.lit("lineitem_quantity_not_null").alias("rule"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).cast("bigint").alias(
+            "n_violations"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+    )
+    return (
+        fk(li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk")
+        .unionByName(fk(o, "o_custkey", c, "c_custkey", "orders_custkey_fk"))
+        .unionByName(fk(c, "c_nationkey", n, "n_nationkey", "customer_nationkey_fk"))
+        .unionByName(unique)
+        .unionByName(notnull)
+    )

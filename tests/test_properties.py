@@ -160,3 +160,33 @@ def test_merge_adjacent_matches_sequential_fold(spark, sym, pair):
     df = spark.createDataFrame([(sym,)], "sym array<string>")
     got = df.select(merge_adjacent(F.col("sym"), left, right).alias("m")).collect()[0].m
     assert got == out
+
+
+def test_integrity_report_detects_planted_violations(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.plans.relational import integrity_report
+
+    d = tmp_path_factory.mktemp("integrity")
+    spark.createDataFrame(
+        [(1, 10, 5.0), (2, 99, None), (2, 10, 1.0)],  # orderkey 99 is an orphan; one null qty
+        "l_linenumber long, l_orderkey long, l_quantity double",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, 100), (10, 100), (11, 999)],  # duplicate orderkey 10; custkey 999 orphan
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [(100, 0)], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "NATION_0")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(str(d / "nation.parquet"))
+    got = {r.rule: r.n_violations for r in integrity_report(spark, str(d)).collect()}
+    assert got == {
+        "lineitem_orderkey_fk": 1,
+        "orders_custkey_fk": 1,
+        "customer_nationkey_fk": 0,
+        "orders_orderkey_unique": 1,
+        "lineitem_quantity_not_null": 1,
+    }
