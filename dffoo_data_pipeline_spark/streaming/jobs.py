@@ -875,3 +875,85 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(N.dec2("value")).cast("double").alias("total_value"),
     )
     return run_stream_to_table(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC merge sink (changelog stream → keyed table)
+# ---------------------------------------------------------------------------
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """Apply one micro-batch of changelog rows (I/U/D + sequence number)
+    onto a keyed parquet table: latest op per key wins within the batch
+    (plans/events.py:cdc_apply_latest semantics), upserts replace,
+    deletes drop the key.  IDEMPOTENT by construction — re-applying the
+    same batch reproduces the same table, which is what makes the
+    foreachBatch runner below exactly-once under restart replay.
+    """
+    from pyspark.sql import Window
+
+    from dffoo_data_pipeline_spark.sources.writers import _swap_in
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.where(F.col(op_col) != "D").drop(op_col)
+    touched = latest.select(*key_cols).distinct()
+    try:
+        current = spark.read.parquet(path)
+    except Exception:
+        upserts.write.mode("overwrite").parquet(path)
+        return
+    kept = current.join(touched, key_cols, "left_anti")
+    staging = f"{path.rstrip('/')}.__staging__"
+    kept.unionByName(upserts).write.mode("overwrite").parquet(staging)
+    _swap_in(staging, path)
+
+
+def run_cdc_stream_to_table(
+    changes: DataFrame,
+    path: str,
+    ckpt_dir: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """Continuously merge a changelog STREAM into a keyed parquet table —
+    the streaming twin of the batch cdc_apply_latest + upsert_by_key
+    pair: each micro-batch collapses to latest-per-key and merges via
+    foreachBatch; the durable checkpoint records which source files are
+    done, so a restart re-sees at most the last batch, and the merge's
+    idempotence makes that replay harmless (end-to-end exactly-once
+    table state).
+
+    Scale: per batch, one window over the BATCH (small), one anti-join
+    against the table keyed on the merge key — with a bucketed/
+    partitioned table only matching files rewrite; this plain-parquet
+    form rewrites the table, which Delta/Iceberg MERGE INTO reduces to
+    file-level pruning with the identical logical plan.
+    """
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_cdc_batch(
+            batch_df.sparkSession, batch_df, path, key_cols, op_col, seq_col
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
