@@ -58,3 +58,55 @@ def test_cdc_batch_apply_is_idempotent(spark, tmp_path):
     first = _table(spark, table)
     apply_cdc_batch(spark, b, table, ["k"])  # replay: same result
     assert _table(spark, table) == first == {1: ("x", 1)}
+
+
+def test_incremental_rollup_converges_to_batch_aggregate(spark, tmp_path):
+    """Continuous-aggregate maintenance: after incrementally processing
+    the event files in two separate runs (durable checkpoint, second
+    run's windows arbitrarily 'late' relative to the first), the rollup
+    must equal the one-shot batch aggregate of ALL events — bit-exact,
+    because totals ride integer cents."""
+    from dffoo_data_pipeline_spark.functions import numeric as N
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+    from dffoo_data_pipeline_spark.streaming.jobs import (
+        read_rollup,
+        run_incremental_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = (
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+    )
+
+    def stream():
+        return spark.readStream.schema(ev.schema).format("parquet").load(src)
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_incremental_rollup(spark, stream(), rollup, ckpt)
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_incremental_rollup(spark, stream(), rollup, ckpt)
+    # a third run with nothing new must be a no-op
+    run_incremental_rollup(spark, stream(), rollup, ckpt)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum((N.dec2("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+        .collect()
+    }
+    assert got == expected

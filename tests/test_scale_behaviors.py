@@ -228,3 +228,15 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the join result only touches the two qualifying partitions
     assert j.count() == 2 * (20_000 // 8)
+
+
+def test_pit_enrich_plans_a_hash_or_merge_join(spark, sf_dir):
+    """The point-in-time join must keep its user_id equality as the join
+    key (range bounds as join-time filters) — losing the equality would
+    plan a nested-loop join, quadratic at scale."""
+    from dffoo_data_pipeline_spark.plans.events import events_pit_enrich
+
+    plan = events_pit_enrich(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
