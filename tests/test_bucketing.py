@@ -117,3 +117,44 @@ def test_bucketed_join_values_match_plain(spark, sf_dir, bucketed_tables):
         .collect()[0]
     )
     assert bucketed.n == plain.n and bucketed.sq == plain.sq
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files must have materially narrower per-file min/max
+    ranges on BOTH pruning columns than a layout sorted by only the
+    first column (where the second column's ranges span ~everything)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+    from dffoo_data_pipeline_spark.sources.writers import write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "single")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def avg_file_range(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("w"))
+        )
+        return per_file.agg(F.avg("w")).collect()[0][0]
+
+    full_b = li.agg(F.max("l_suppkey") - F.min("l_suppkey")).collect()[0][0]
+    # single-column layout: second column unpruned (file ranges ~ full span)
+    assert avg_file_range(spath, "l_suppkey") > 0.8 * full_b
+    # z-order: BOTH columns materially pruned vs the full span
+    full_a = li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    assert avg_file_range(zpath, "l_partkey") < 0.6 * full_a
+    assert avg_file_range(zpath, "l_suppkey") < 0.6 * full_b
+    # row counts preserved
+    assert spark.read.parquet(zpath).count() == li.count()
