@@ -58,6 +58,12 @@ FROM corrected WHERE cap_up_perc >= 60
 
 
 def flagship_pricing_under_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E2 operator chain (see module docstring) over the
+    synthetic lineitem fact: when-ladder classify → one-shuffle
+    conditional-sum rollup per entity → broadcast correction override →
+    uncapped 1→2 row split via explode → ordered projection.  This is
+    the driver's `entry()` smoke query and the headline benchmark
+    entry."""
     li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     # A3: when-ladder classification of each source line
     classified = li.select(

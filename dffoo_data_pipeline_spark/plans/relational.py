@@ -601,7 +601,10 @@ def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (gap §2d)."""
+    """ROLLUP hierarchy totals (gap §2d): (year, status) → (year) →
+    grand total in ONE aggregation — Spark expands the grouping sets
+    map-side, so the hierarchy costs one shuffle, not one per level;
+    money rides DECIMAL to the final rounded double."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus", "o_totalprice")
@@ -750,7 +753,10 @@ def explode_row_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function battery (F2-F5 + gaps)."""
+    """String function battery (F2-F5 + gaps): case mapping, substring,
+    split/element_at, concat_ws, translate, lpad, regexp extraction —
+    every expression JVM-codegen (no UDFs), mirrored 1:1 in the DuckDB
+    oracle so the function semantics themselves are what's checked."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",

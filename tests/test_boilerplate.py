@@ -49,3 +49,16 @@ def test_threshold_boundary_keeps_doubles(spark):
     assert out[1].clean_text == "twice seen"
     assert out[2].clean_text == "twice seen"
     assert out[3].clean_text == "solo line"
+
+
+def test_every_registered_query_is_documented():
+    """Each queries() entry must carry a real docstring — the per-operator
+    semantics + scale rationale live there, and an undocumented operator
+    is unreviewable."""
+    from dffoo_data_pipeline_spark.plans import all_queries
+
+    q, _ = all_queries()
+    undocumented = [
+        n for n, fn in q.items() if not (fn.__doc__ and len(fn.__doc__.strip()) > 40)
+    ]
+    assert not undocumented, undocumented
