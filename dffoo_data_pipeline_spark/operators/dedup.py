@@ -505,3 +505,46 @@ def shingle_containment_pairs(
     return directed.where(F.col("c") >= threshold).select(
         "contained", "container", F.round("c", 4).alias("containment")
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """THE production near-dup plan: MinHash-LSH candidate generation
+    (linear shuffle) followed by EXACT Jaccard verification computed
+    only on the candidates — never all pairs, never the full posting
+    lists.  Returns (doc_a, doc_b, jaccard) for candidates at or above
+    `threshold`; every emitted pair carries its true (not estimated)
+    similarity, and misses are exactly the LSH S-curve's misses
+    (measured by dedup_lsh_quality_report).
+
+    Scale: candidates are ≪ corpus² by banding; verification joins each
+    candidate to its two shingle SETS (doc-sized arrays move only for
+    candidate docs) and intersects per pair with array_intersect — cost
+    proportional to candidate count × doc length, the same work a
+    suffix-check pass does in production dedup.  Compare
+    `ngram_jaccard_pairs`, which is exact for ALL sharing pairs but
+    pays the posting-list fan-out; this path trades its guaranteed
+    recall for candidate-bounded cost.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands).select(
+        "doc_a", "doc_b"
+    )
+    sh = df.select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)  # feeds both sides of the verify join once
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    isect = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - isect
+    jac = isect / union
+    return joined.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )

@@ -1248,3 +1248,17 @@ def curation_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(N.round_det(F.col("n_both") / denom, 6))
         .alias("jaccard"),
     )
+
+
+@_register("dedup_lsh_verified")  # rows-only: minhash candidates are engine-specific
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-bounded exact near-dup: MinHash-LSH candidates verified
+    with true Jaccard on the candidate set only
+    (operators/dedup.py:lsh_verified_pairs) — the plan a 100 TB run
+    executes (linear candidates, per-candidate verification), where
+    dedup_ngram_jaccard_pairs is the all-sharing-pairs exact baseline.
+    Soundness (verified ⊆ exact, true similarities) pinned in
+    tests/test_dedup.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_verified_pairs(d, "doc_id", "text", threshold=0.5)

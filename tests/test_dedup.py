@@ -212,3 +212,25 @@ def test_lsh_quality_report_contract(spark, sf_dir):
     assert 0 <= r.precision <= 1 and 0 <= r.recall <= 1
     # fixture duplicates are heavy near-copies: banding must catch most
     assert r.n_truth == 0 or r.recall >= 0.5
+
+
+def test_lsh_verified_pairs_subset_of_exact_with_true_similarities(spark, sf_dir):
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_verified_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    # soundness: every verified pair is a true pair with the TRUE jaccard
+    for k, v in verified.items():
+        assert k in exact and v == exact[k]
+    # on this fixture the banding captures everything (see quality report)
+    assert set(verified) == set(exact)
