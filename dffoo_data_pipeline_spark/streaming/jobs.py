@@ -1073,3 +1073,30 @@ def read_rollup(spark: SparkSession, rollup_root: str) -> DataFrame:
         "n_events",
         (F.col("total_cents") / 100.0).alias("total_value"),
     )
+
+
+@_register(
+    "streaming_continuous_rollup",
+    # the maintained table must equal the batch tumbling aggregate exactly
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained continuous aggregate AS a queryable table: run the
+    incremental delta-merge rollup (run_incremental_rollup) over the
+    event files into a scratch table root, then read it back.  The
+    oracle is the one-shot batch aggregate — equality holds bit-for-bit
+    because partials ride integer cents (100·Σ is exact, and x/100.0 of
+    an exact sub-2^53 integer is the same double as the DECIMAL cast).
+    """
+    base = tempfile.mkdtemp(prefix="sg_rollup_")
+    rollup = f"{base}/rollup"
+    ckpt = f"{base}/ckpt"
+    run_incremental_rollup(spark, read_events_stream(spark, sf_dir), rollup, ckpt)
+    return read_rollup(spark, rollup)
