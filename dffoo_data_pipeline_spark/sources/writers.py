@@ -268,37 +268,40 @@ def write_sorted_corpus(
     )
 
 
-def zorder_value(a, b, bits: int = 16):
-    """Interleave the bits of two rank-normalized columns into one
-    Morton (Z-curve) key — locality in EITHER column maps to locality in
-    the key, which is what makes multi-column min/max pruning work."""
+def zorder_value(cols: list, bits: int = 16):
+    """Interleave the bits of N rank-normalized columns (round-robin)
+    into one Morton (Z-curve) key — locality in ANY column maps to
+    locality in the key, which is what makes multi-column min/max
+    pruning work.  N·bits must fit in 63 bits (e.g. 3 cols × 16 bits)."""
     from pyspark.sql import functions as F
 
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds the 63-bit key")
     z = F.lit(0).cast("bigint")
     for i in range(bits):
-        z = z.bitwiseOR(F.shiftleft(F.shiftrightunsigned(a, i) % 2, 2 * i)).bitwiseOR(
-            F.shiftleft(F.shiftrightunsigned(b, i) % 2, 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(F.shiftleft(F.shiftrightunsigned(c, i) % 2, k * i + j))
     return z
 
 
 def write_zordered(
-    df, path: str, col_a: str, col_b: str, n_files: int = 8, bits: int = 16
+    df, path: str, zorder_cols: list[str], n_files: int = 8, bits: int = 16
 ) -> None:
-    """Z-ordered parquet layout over two pruning columns — the
+    """Z-ordered parquet layout over N pruning columns — the
     Delta/Iceberg OPTIMIZE ZORDER technique on plain parquet: rank each
     column to a `bits`-bit integer (percent_rank, so skew in the raw
     values can't collapse the curve), interleave into a Morton key,
     range-partition + sort by it, write one file per range.
 
     Why: a single-column sort gives perfect min/max pruning on that
-    column and NONE on the second; the Z-curve gives ~sqrt pruning on
-    BOTH — at 100 TB this is the difference between reading 1/sqrt(F)
-    of the files for either predicate and scanning everything for one
-    of them.  Effectiveness is measured (not assumed) by the per-file
-    range-width test in tests/test_bucketing.py.
+    column and NONE on the others; the Z-curve gives ~F^(1/N) pruning
+    on ALL of them — at 100 TB this is the difference between reading a
+    root-fraction of the files for any predicate column and scanning
+    everything for all but one.  Effectiveness is measured (not
+    assumed) by the per-file range-width test in tests/test_bucketing.py.
 
-    The two global rank windows are acceptable at write time (layout
+    The global rank windows are acceptable at write time (layout
     optimization is an offline job); at extreme scale swap percent_rank
     for a fixed quantile-boundary lookup from profile_approx_quantiles.
     """
@@ -306,9 +309,11 @@ def write_zordered(
     from pyspark.sql import functions as F
 
     scale = (1 << bits) - 1
-    ra = F.floor(F.percent_rank().over(Window.orderBy(col_a)) * scale).cast("bigint")
-    rb = F.floor(F.percent_rank().over(Window.orderBy(col_b)) * scale).cast("bigint")
-    keyed = df.withColumn("__z", zorder_value(ra, rb, bits))
+    ranked = [
+        F.floor(F.percent_rank().over(Window.orderBy(c)) * scale).cast("bigint")
+        for c in zorder_cols
+    ]
+    keyed = df.withColumn("__z", zorder_value(ranked, bits))
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

@@ -133,7 +133,7 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     )
     zpath = str(tmp_path / "zorder")
     spath = str(tmp_path / "single")
-    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
     (
         li.repartitionByRange(8, "l_partkey")
         .sortWithinPartitions("l_partkey")
@@ -158,3 +158,27 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     assert avg_file_range(zpath, "l_suppkey") < 0.6 * full_b
     # row counts preserved
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+    from dffoo_data_pipeline_spark.sources.writers import write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    zpath = str(tmp_path / "z3")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey", "l_orderkey"], n_files=8)
+    rd = spark.read.parquet(zpath)
+    assert rd.count() == li.count()
+    for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+        full = li.agg(F.max(col) - F.min(col)).collect()[0][0]
+        per_file = (
+            rd.groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("w"))
+            .agg(F.avg("w"))
+            .collect()[0][0]
+        )
+        assert per_file < 0.85 * full, (col, per_file, full)  # all three pruned
