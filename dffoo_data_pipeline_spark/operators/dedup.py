@@ -265,6 +265,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH.
 
@@ -272,31 +273,45 @@ def minhash_lsh_candidates(
     capture at Jaccard ≈ (1/16)^(1/4) ≈ 0.5.  Returns distinct
     (doc_a, doc_b, n_shared_bands).
 
-    Scale: candidates are generated by an equi-join on (band_id,
-    band_hash) — linear shuffle, quadratic only within identical-band
-    groups, which is exactly the set you must compare anyway.
+    Posting-list plan (the same shape as `ngram_jaccard_pairs`): group
+    doc ids per (band_id, band_hash) bucket, generate the (i < j)
+    combinations inside each sorted list, count shared bands per pair.
+    The signature subtree has exactly ONE consumer — the former
+    formulation self-joined the band table, which needed a
+    localCheckpoint to avoid computing the 64-min-agg pipeline twice and
+    paid a full eager physical-plan compile (~1s) at every call site
+    plus an extra shuffle for the join's second side.
+
+    Scale: one shuffle on (band_id, band_hash) — uniform 64-bit keys —
+    then one on the pair.  Quadratic work exists only inside a bucket;
+    `max_bucket` drops degenerate buckets (near-identical boilerplate
+    shared by >1000 docs would pair quadratically and is better handled
+    by exact dedup first), bounding per-task memory for the collected
+    list and the pair fan-out, exactly like `ngram_jaccard_pairs`'s
+    stop-shingle guard.  Testdata buckets are ≤7 docs, far under the
+    guard, so results are identical.
     """
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    # The band frame feeds BOTH sides of the candidate self-join; without
-    # materialization each side re-runs scan→shingle→xxhash→64-min-agg
-    # (the whole signature pipeline, twice).  Lazy localCheckpoint =
-    # compute once at the first action, read the materialized copy on
-    # both join sides — the "write the signature table" step every real
-    # LSH run does (same idiom as plans/embeddings.py's int8 codes; the
-    # frame is |docs|×(id, 16 band hashes), tiny next to the shingles).
-    banded = band_signatures(sig, id_col, num_hashes, bands).localCheckpoint(eager=False)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    banded = band_signatures(sig, id_col, num_hashes, bands)
+    lists = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
+    lists = lists.where(F.size("ids") >= 2)
+    if max_bucket is not None:
+        lists = lists.where(F.size("ids") <= max_bucket)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = lists.select(F.explode(combos).alias("p"))
+    return pairs.groupBy(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

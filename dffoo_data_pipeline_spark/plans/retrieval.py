@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from dffoo_data_pipeline_spark.functions import text as TX
 from dffoo_data_pipeline_spark.functions.numeric import round_det
+from dffoo_data_pipeline_spark.operators import dedup
 from dffoo_data_pipeline_spark.sources.readers import load_table
 
 QUERIES: dict = {}
@@ -411,4 +412,190 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + dense fused with Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_SEEDS = (0, 100, 200, 300)
+_RRF_POOL = 50  # candidate depth per ranker
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+_RRF_TOP = 10
+
+_RRF_SEED_LIST = ", ".join(str(s) for s in _RRF_SEEDS)
+
+_HYBRID_RRF_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+seed_sh AS (
+    SELECT doc_id AS seed_id, shingle FROM shingles
+    WHERE doc_id IN ({_RRF_SEED_LIST})),
+inter AS (
+    SELECT s.seed_id, a.doc_id, COUNT(*) AS isect
+    FROM shingles a JOIN seed_sh s USING (shingle)
+    WHERE a.doc_id <> s.seed_id
+    GROUP BY s.seed_id, a.doc_id),
+lex AS (
+    SELECT i.seed_id, i.doc_id,
+           ROUND(i.isect * 1.0 / (ss.sz + sd.sz - i.isect), 4) AS jac
+    FROM inter i JOIN sizes ss ON i.seed_id = ss.doc_id
+                 JOIN sizes sd ON i.doc_id = sd.doc_id),
+lexk AS (
+    SELECT seed_id, doc_id, r FROM (
+        SELECT seed_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY seed_id
+                                  ORDER BY jac DESC, doc_id) AS r
+        FROM lex)
+    WHERE r <= {_RRF_POOL}),
+emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS sumsq
+    FROM embeddings),
+nz AS (SELECT * FROM emb WHERE sumsq > 0),
+seeds AS (
+    SELECT vec_id AS seed_id, e AS se, sumsq AS ssq FROM nz
+    WHERE vec_id IN ({_RRF_SEED_LIST})),
+cos AS (
+    SELECT s.seed_id, v.vec_id AS doc_id,
+           FLOOR(list_sum(list_transform(list_zip(v.e, s.se), x -> x[1] * x[2]))
+                 / (sqrt(v.sumsq) * sqrt(s.ssq)) * 1000000 + 0.5) / 1000000 AS cs
+    FROM nz v, seeds s
+    WHERE v.vec_id <> s.seed_id),
+densek AS (
+    SELECT seed_id, doc_id, r FROM (
+        SELECT seed_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY seed_id
+                                  ORDER BY cs DESC, doc_id) AS r
+        FROM cos)
+    WHERE r <= {_RRF_POOL}),
+fused AS (
+    SELECT COALESCE(l.seed_id, d.seed_id) AS seed_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.r AS lex_rank, d.r AS dense_rank,
+           FLOOR((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.r), 0)
+                  + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + d.r), 0))
+                 * 1000000 + 0.5) / 1000000 AS rrf
+    FROM lexk l FULL JOIN densek d
+      ON l.seed_id = d.seed_id AND l.doc_id = d.doc_id)
+SELECT seed_id, doc_id, rrf AS rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank,
+       CAST(rn AS INT) AS fused_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seed_id
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= {_RRF_TOP}
+"""
+
+
+@_register("retrieval_hybrid_rrf", _HYBRID_RRF_ORACLE)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: for each of 4 seed
+    documents, a lexical ranking (3-gram-shingle Jaccard, the posting-list
+    plan) and a dense ranking (embedding cosine against the seed's vector)
+    are each cut to their top-50, then fused with the standard
+    rrf = Σ 1/(60 + rank) and re-ranked — the fusion step every
+    production RAG / retrieval-based-dedup stack runs over its sparse and
+    dense retrievers (Cormack et al., SIGIR'09; reference analog: the
+    keep/drop gate joins of web_scraper.py's parse loop, lifted to ranked
+    retrieval).
+
+    Scale: the seed side of BOTH rankers is broadcast (4 shingle sets / 4
+    vectors), so the corpus is scored in map-side passes; the only
+    corpus-sized shuffles are the per-(seed, doc) intersection rollup and
+    the two per-seed top-k windows (two-phase top-k at real query
+    volume).  Fusion itself touches only 2 × 50 rows per seed.
+    Determinism: both rankers rank floor/half-up-rounded scores with
+    doc_id tiebreaks, the RRF terms are exact IEEE doubles of integer
+    ranks spelled identically in both engines, and the fused rank orders
+    the ROUNDED rrf — bit-identical inputs → identical order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup._shingle_rows(d, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    seed_sh = sh.where(F.col("doc_id").isin(*_RRF_SEEDS)).select(
+        F.col("doc_id").alias("seed_id"), "shingle"
+    )
+    inter = (
+        sh.join(F.broadcast(seed_sh), "shingle")
+        .where(F.col("doc_id") != F.col("seed_id"))
+        .groupBy("seed_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    seed_sizes = sizes.select(F.col("doc_id").alias("seed_id"), F.col("sz").alias("ssz"))
+    jac = F.col("isect") / (F.col("ssz") + F.col("sz") - F.col("isect"))
+    lex = (
+        inter.join(F.broadcast(seed_sizes), "seed_id")
+        .join(sizes, "doc_id")
+        .select("seed_id", "doc_id", F.round(jac, 4).alias("jac"))
+    )
+    wl = Window.partitionBy("seed_id").orderBy(F.desc("jac"), "doc_id")
+    lexk = (
+        lex.withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+        .where(F.col("lex_rank") <= _RRF_POOL)
+        .select("seed_id", "doc_id", "lex_rank")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nz = e.select("vec_id", "embedding", sumsq.alias("sumsq")).where(
+        F.col("sumsq") > 0
+    )
+    seeds = nz.where(F.col("vec_id").isin(*_RRF_SEEDS)).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("se"),
+        F.col("sumsq").alias("ssq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "se", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cs = dot / (F.sqrt("sumsq") * F.sqrt("ssq"))
+    cos = (
+        nz.join(F.broadcast(seeds))
+        .where(F.col("vec_id") != F.col("seed_id"))
+        .select(
+            "seed_id",
+            F.col("vec_id").alias("doc_id"),
+            round_det(cs, 6).alias("cs"),
+        )
+    )
+    wd = Window.partitionBy("seed_id").orderBy(F.desc("cs"), "doc_id")
+    densek = (
+        cos.withColumn("dense_rank", F.row_number().over(wd).cast("bigint"))
+        .where(F.col("dense_rank") <= _RRF_POOL)
+        .select("seed_id", "doc_id", "dense_rank")
+    )
+
+    fused = lexk.join(densek, ["seed_id", "doc_id"], "full_outer")
+    term = lambda r: F.coalesce(  # noqa: E731 — tiny local twin of the SQL COALESCE
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    scored = fused.select(
+        "seed_id",
+        "doc_id",
+        round_det(term("lex_rank") + term("dense_rank"), 6).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    wf = Window.partitionBy("seed_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select("seed_id", "doc_id", "rrf_score", "lex_rank", "dense_rank", "fused_rank")
     )
