@@ -96,7 +96,8 @@ _PRIORITY = [
     # dedup_lsh_quality_report, corpus_data_card, events_pit_enrich,
     # streaming_pit_enrich, text_langid_confusion, curation_gate_overlap,
     # integrity_report, dedup_lsh_verified, streaming_continuous_rollup,
-    # events_gapfill_interpolate, retrieval_hybrid_rrf
+    # events_gapfill_interpolate, retrieval_hybrid_rrf,
+    # graph_triangle_count, hierarchy_rollup_closure
 ]
 
 

@@ -143,3 +143,168 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rank = F.row_number().over(Window.orderBy(F.col("pr").desc(), "node"))
     return pr.select("node", "pr", rank.cast("bigint").alias("pr_rank"))
+
+
+_TRIANGLE_ORACLE = """
+WITH dedges AS (
+    SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri_nodes AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM tri_nodes GROUP BY node
+"""
+
+
+@_register("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the undirected nation trade graph —
+    the clustering-coefficient numerator used to score link-farm vs
+    organic neighborhoods in host-graph curation (and the classic
+    node-iterator graph benchmark).
+
+    Each triangle {x<y<z} is enumerated exactly once by orienting every
+    edge low→high and joining oriented 2-paths (x→y→z) against the
+    closing edge (x→z); per-node counts are the union of the three
+    corners.
+
+    Scale: triangle enumeration is the standard two-shuffle oriented
+    join — edge orientation caps each node's join fan-out by its
+    HIGHER-id neighbors (on a real host graph: orient by degree, which
+    bounds wedge fan-out by O(sqrt(|E|)) per node).  The trade-graph
+    edge list collapses from the lineitem join tree to ≤ 25×24/2 rows
+    and feeds three join sides, so it is checkpointed once (lazy — the
+    one-time plan compile is the price of not re-running the 5-way join
+    three times).
+    """
+    nat = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dedges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")),
+              F.col("s_nationkey") == F.col("sk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")),
+              F.col("c_nationkey") == F.col("ck"))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    und = (
+        dedges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+_HIER_MAX_DEPTH = 8
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE closure AS (
+    SELECT p_partkey // 10 AS anc, p_partkey AS des, 1 AS depth
+    FROM part WHERE p_partkey >= 10
+  UNION ALL
+    SELECT e.p_partkey // 10 AS anc, c.des, c.depth + 1
+    FROM closure c JOIN part e ON c.anc = e.p_partkey
+    WHERE e.p_partkey >= 10
+)
+SELECT anc AS ancestor_key,
+       CAST(COUNT(*) AS BIGINT) AS n_descendants,
+       CAST(MAX(depth) AS INT) AS max_depth,
+       CAST(SUM(CAST(pr.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS subtree_retail
+FROM closure JOIN part pr ON closure.des = pr.p_partkey
+GROUP BY anc
+"""
+
+
+@_register("hierarchy_rollup_closure", _HIERARCHY_ORACLE)
+def hierarchy_rollup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure hierarchy rollup — the BOM-explosion / org-chart
+    query engines express with WITH RECURSIVE, which Spark SQL lacks:
+    every part's parent is p_partkey div 10 (a deterministic decimal-trie
+    hierarchy over the real part table), and each ancestor aggregates its
+    FULL subtree — descendant count, deepest level, total retail value.
+    The oracle runs the genuine recursive CTE in DuckDB; the Spark side
+    unrolls the recursion as a fixed-depth iterative expansion, the
+    standard translation (same loop shape as operators/graph.py's
+    connected components).
+
+    Scale: each level is one equi-join of the previous frontier against
+    the edge list on the ancestor key, so a depth-d hierarchy costs d
+    co-keyed shuffles; the div-10 trie bounds d ≤ log10(max key)
+    (depth 5 at sf0.1), and levels past exhaustion are empty joins AQE
+    collapses at runtime.  The unroll depth of 8 covers keys < 10^8;
+    deeper-than-unroll data belongs to the checkpointed doubling loop of
+    the CC operator, not a longer union.  The rollup itself shuffles once
+    on the ancestor key with map-side partials; retail money stays
+    DECIMAL until the final DOUBLE cast.
+    """
+    part = load_table(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+    )
+    closure = edges.select(
+        F.col("parent").alias("anc"),
+        F.col("child").alias("des"),
+        F.lit(1).alias("depth"),
+    )
+    frontier = closure
+    for depth in range(2, _HIER_MAX_DEPTH + 1):
+        step = edges.select(
+            F.col("child").alias("step_child"), F.col("parent").alias("step_parent")
+        )
+        frontier = frontier.join(
+            step, frontier["anc"] == step["step_child"]
+        ).select(
+            F.col("step_parent").alias("anc"),
+            F.col("des"),
+            F.lit(depth).alias("depth"),
+        )
+        closure = closure.unionByName(frontier)
+    retail = part.select("p_partkey", F.col("p_retailprice").cast("decimal(12,2)").alias("pr"))
+    return (
+        closure.join(retail, closure["des"] == retail["p_partkey"])
+        .groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_descendants"),
+            F.max("depth").cast("int").alias("max_depth"),
+            F.sum("pr").cast("double").alias("subtree_retail"),
+        )
+        .withColumnRenamed("anc", "ancestor_key")
+    )
