@@ -62,6 +62,10 @@ HEADLINE += [
     "graph_pagerank_nations",        # iterative integer PageRank over q7-shaped join
     "text_classifier_score",         # hashed features + broadcast weight dim
     "text_cdc_chunks",               # content-defined chunking (window hash + islands)
+    "events_gapfill_interpolate",    # time-grid densify + LOCF/linear fill
+    "retrieval_hybrid_rrf",          # sparse+dense fusion (RRF) per seed doc
+    "graph_triangle_count",          # oriented 2-path + closing-edge join
+    "hierarchy_rollup_closure",      # unrolled recursive-CTE subtree rollup
 ]
 
 
