@@ -97,7 +97,8 @@ _PRIORITY = [
     # streaming_pit_enrich, text_langid_confusion, curation_gate_overlap,
     # integrity_report, dedup_lsh_verified, streaming_continuous_rollup,
     # events_gapfill_interpolate, retrieval_hybrid_rrf,
-    # graph_triangle_count, hierarchy_rollup_closure
+    # graph_triangle_count, hierarchy_rollup_closure,
+    # scalar_null_semantics, streaming_interval_join_outer
 ]
 
 

@@ -2364,3 +2364,91 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(unique)
         .unionByName(notnull)
     )
+
+
+_NULL_SEMANTICS_ORACLE = """
+WITH base AS (
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(NULLIF(l_linenumber % 3, 0) AS BIGINT) AS v1,
+           CAST(NULLIF(l_partkey % 3, 0) AS BIGINT) AS v2
+    FROM lineitem),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY v1 ASC NULLS FIRST,
+                                       l_orderkey, l_linenumber) AS rnf,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY v1 ASC NULLS LAST,
+                                       l_orderkey, l_linenumber) AS rnl
+    FROM base)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(v1) AS BIGINT) AS n_v1,
+       CAST(COUNT(DISTINCT v1) AS BIGINT) AS n_v1_distinct,
+       CAST(SUM(v1) AS BIGINT) AS sum_v1,
+       CAST(SUM(CASE WHEN v1 IS NULL AND v2 IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both_null,
+       CAST(SUM(CASE WHEN v1 IS NOT DISTINCT FROM v2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq,
+       CAST(SUM(COALESCE(v1, v2, -1)) AS BIGINT) AS sum_first_non_null,
+       MAX(CASE WHEN rnf = 1 THEN l_orderkey END) AS first_okey_nulls_first,
+       MAX(CASE WHEN rnl = 1 THEN l_orderkey END) AS first_okey_nulls_last
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+@_register("scalar_null_semantics", _NULL_SEMANTICS_ORACLE)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity battery: null-safe equality (`<=>` /
+    IS NOT DISTINCT FROM), null-ignoring COUNT/SUM/COUNT DISTINCT vs
+    COUNT(*), COALESCE fallback chains, and NULLS FIRST vs NULLS LAST
+    window ordering — the SQL semantics corners where engines silently
+    disagree.  Nulls are synthesized deterministically (NULLIF of a
+    modulus) because the testdata ships none.
+
+    Scale: one window shuffle on l_returnflag (bounded cardinality — at
+    real scale the partition key would be higher-cardinality or the
+    first-row-per-ordering picks replaced by min_by/max_by single-agg
+    forms), then the same-keyed aggregation reuses the exchange; all
+    expressions are codegen arithmetic, output is |returnflag| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(NULLIF(l_linenumber % 3, 0) AS BIGINT)").alias("v1"),
+        F.expr("CAST(NULLIF(l_partkey % 3, 0) AS BIGINT)").alias("v2"),
+    )
+    wf = Window.partitionBy("l_returnflag").orderBy(
+        F.col("v1").asc_nulls_first(), "l_orderkey", "l_linenumber"
+    )
+    wl = Window.partitionBy("l_returnflag").orderBy(
+        F.col("v1").asc_nulls_last(), "l_orderkey", "l_linenumber"
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(wf).alias("rnf"),
+        F.row_number().over(wl).alias("rnl"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("v1").cast("bigint").alias("n_v1"),
+        F.count_distinct("v1").cast("bigint").alias("n_v1_distinct"),
+        F.sum("v1").cast("bigint").alias("sum_v1"),
+        F.sum(
+            F.when(F.col("v1").isNull() & F.col("v2").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_both_null"),
+        F.sum(F.when(F.col("v1").eqNullSafe(F.col("v2")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe_eq"),
+        F.sum(F.coalesce("v1", "v2", F.lit(-1))).cast("bigint").alias(
+            "sum_first_non_null"
+        ),
+        F.max(F.when(F.col("rnf") == 1, F.col("l_orderkey"))).alias(
+            "first_okey_nulls_first"
+        ),
+        F.max(F.when(F.col("rnl") == 1, F.col("l_orderkey"))).alias(
+            "first_okey_nulls_last"
+        ),
+    )

@@ -1100,3 +1100,78 @@ def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{base}/ckpt"
     run_incremental_rollup(spark, read_events_stream(spark, sf_dir), rollup, ckpt)
     return read_rollup(spark, rollup)
+
+
+@_register(
+    "streaming_interval_join_outer",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           p.event_id AS purchase_id,
+           (p.event_id IS NOT NULL) AS converted,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_to_purchase
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+      AND c.ts < TIMESTAMP '2024-01-29 00:00:00'
+    """,
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the abandonment detector:
+    every click is emitted, matched to same-user purchases within 30
+    minutes when they exist, or with NULL purchase columns once the
+    watermark proves no match can still arrive.  The outer side is the
+    part plain batch joins get for free but streams must earn: a null
+    row may only be emitted when state eviction GUARANTEES no future
+    match, so emission is driven by the watermark, not arrival.
+
+    The click side is bounded to ts < Jan 29 (the testdata spans Jan
+    1-30 at every SF): the final watermark of an availableNow run is
+    max_event_time − 1h, so every click before the cutoff has provably
+    passed its eviction horizon (cutoff + 30 min ≪ Jan 30 ~23:00 − 1h)
+    and its outer row is deterministically flushed in the trailing
+    no-data micro-batch — without the cutoff, trailing clicks would be
+    withheld in state at termination and the batch oracle could never
+    match.
+
+    Scale: state is bounded exactly as the inner variant (watermark +
+    30 min per side, keyed by user); the outer emission adds no state —
+    it changes only what eviction writes out.
+    """
+    # Watermark BEFORE the click filter: the global watermark is the MIN
+    # across both sides' watermark operators, and a watermark computed
+    # after `ts < Jan 29` would freeze at Jan 28 ~23:00, permanently
+    # withholding the last ~90 min of outer rows.  Anchoring both
+    # watermarks on the unfiltered stream tracks the true max event time
+    # (the filter then prunes rows above the watermark node).
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    clicks = e.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp"))
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1_000_000
+        ).cast("long").alias("secs_to_purchase"),
+    )
+    return run_stream_to_table(joined, "append")
