@@ -98,7 +98,8 @@ _PRIORITY = [
     # integrity_report, dedup_lsh_verified, streaming_continuous_rollup,
     # events_gapfill_interpolate, retrieval_hybrid_rrf,
     # graph_triangle_count, hierarchy_rollup_closure,
-    # scalar_null_semantics, streaming_interval_join_outer
+    # scalar_null_semantics, streaming_interval_join_outer,
+    # linkage_blocked_match, events_sketch_rollup
 ]
 
 
@@ -113,6 +114,7 @@ def all_queries():
         events,
         flagship,
         job,
+        linkage,
         linkgraph,
         llm_ops,
         profile,
@@ -123,7 +125,7 @@ def all_queries():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph, linkage):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

@@ -1,0 +1,174 @@
+"""Record linkage and mergeable-sketch rollups (SURVEY.md §2k surface).
+
+Two operators a large-scale data platform runs constantly that were not
+yet first-class here:
+
+* ``linkage_blocked_match`` — fuzzy record linkage with BLOCKING: a
+  deterministic dirty feed (one character deleted from ``c_name`` at a
+  key-derived position) is linked back to the customer master by an
+  equality join on unperturbed blocking attributes
+  ``(c_nationkey, c_mktsegment)`` followed by Levenshtein verification
+  and a best-match window.  This is the candidate→verify discipline of
+  every entity-resolution system (same shape as the repo's LSH → exact
+  Jaccard near-dup): the quadratic comparison only ever happens INSIDE
+  a block, never corpus × corpus.  Reference analog: the
+  correction-table override join of web_scraper.py's enrichment step,
+  generalized to non-exact keys.
+
+* ``events_sketch_rollup`` — per-day HyperLogLog sketches of distinct
+  users (Apache DataSketches via ``hll_sketch_agg``) merged upward with
+  ``hll_union_agg``.  The point is MERGEABILITY: the daily sketch table
+  is tiny and answers any date-range distinct-count by unioning
+  sketches — no rescan of the raw events.  At 100 TB this turns an
+  O(corpus) COUNT(DISTINCT) per dashboard query into O(days) sketch
+  merges against a table that fits in one executor.
+
+Cross-engine determinism: the linkage query is exact (integer edit
+distances, deterministic tie-breaks) and fully oracled; the sketch
+rollup's estimates are engine-specific (DataSketches HLL vs DuckDB's
+approx_count_distinct) so it registers rows-only, with the error bound
+asserted against exact counts in tests/test_linkage.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Deletion position is derived from the key so the perturbation is
+# reproducible on both engines: 1-based pos in [1, len].
+_DIRTY_NAME = (
+    "concat(substring(c_name, 1, 1 + c_custkey % length(c_name) - 1),"
+    " substring(c_name, 1 + c_custkey % length(c_name) + 1, 100))"
+)
+
+_LINKAGE_ORACLE = f"""
+WITH dirty AS (
+    SELECT c_custkey AS dirty_id,
+           concat(substr(c_name, 1, 1 + c_custkey % length(c_name) - 1),
+                  substr(c_name, 1 + c_custkey % length(c_name) + 1, 100))
+               AS dirty_name,
+           c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+),
+cand AS (
+    SELECT d.dirty_id, d.dirty_name, c.c_custkey AS matched_id,
+           levenshtein(d.dirty_name, c.c_name) AS dist,
+           COUNT(*) OVER (PARTITION BY d.dirty_id) AS n_candidates
+    FROM dirty d
+    JOIN customer c
+      ON d.c_nationkey = c.c_nationkey AND d.c_mktsegment = c.c_mktsegment
+),
+best AS (
+    SELECT dirty_id, matched_id,
+           CAST(dist AS BIGINT) AS edit_dist,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           ROW_NUMBER() OVER (PARTITION BY dirty_id
+                              ORDER BY dist, matched_id) AS rn
+    FROM cand WHERE dist <= 2
+)
+SELECT dirty_id, matched_id, edit_dist, n_candidates
+FROM best WHERE rn = 1
+"""
+
+
+@_register("linkage_blocked_match", _LINKAGE_ORACLE)
+def linkage_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: dirty feed → blocking join →
+    Levenshtein verify → best match per dirty record.
+
+    Scale: the only join is an equality hash join on the blocking key —
+    one shuffle, candidate volume = Σ per-block |dirty|·|clean|, bounded
+    by block granularity (add more blocking attributes, or union several
+    blocking passes, to shrink blocks; recall survives any perturbation
+    that leaves at least one pass's key intact).  The O(len²) edit
+    distance runs only on blocked candidates, codegen'd JVM-side.
+    ``levenshtein``'s threshold form (early-exit at >2) is the
+    production variant; the plain form keeps the DuckDB oracle
+    bit-identical at test scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    dirty = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("dirty_id"),
+            F.expr(_DIRTY_NAME).alias("dirty_name"),
+            "c_nationkey",
+            "c_mktsegment",
+        )
+    )
+    cand = dirty.join(c, ["c_nationkey", "c_mktsegment"]).select(
+        "dirty_id",
+        F.col("c_custkey").alias("matched_id"),
+        F.levenshtein("dirty_name", "c_name").alias("dist"),
+    )
+    cand = cand.withColumn(
+        "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("dirty_id"))
+    )
+    w = Window.partitionBy("dirty_id").orderBy("dist", "matched_id")
+    return (
+        cand.where(F.col("dist") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            "matched_id",
+            F.col("dist").cast("bigint").alias("edit_dist"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+    )
+
+
+@_register("events_sketch_rollup")  # rows-only: HLL estimates are engine-specific
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup: one HLL sketch per day, day rows
+    estimated from their own sketch, the total row estimated from the
+    UNION of the daily sketches — never from a rescan of raw events.
+
+    Scale: pass 1 is a map-side-combined groupBy(day) producing |days|
+    sketch blobs (~KB each); every coarser grain (week, month, lifetime,
+    arbitrary dashboard ranges) is an ``hll_union_agg`` over that tiny
+    table.  This is the standard pre-aggregation contract for distinct
+    counts at 100 TB: sketches commute with union, exact counts don't.
+    Accuracy (~2% for lgConfigK=12) is asserted against exact
+    COUNT(DISTINCT) in tests/test_linkage.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("period")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    day_rows = daily.select(
+        F.lit("day").alias("scope"),
+        "period",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    total_row = daily.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_events").alias("n_events"),
+    ).select(
+        F.lit("total").alias("scope"),
+        F.lit(None).cast("date").alias("period"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return day_rows.unionByName(total_row).orderBy(
+        "scope", F.col("period").asc_nulls_last()
+    )

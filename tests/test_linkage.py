@@ -1,0 +1,79 @@
+"""Blocked record linkage + mergeable HLL sketch rollup (plans/linkage.py).
+
+Oracle parity for linkage_blocked_match runs in test_oracle.py like every
+registered query; here we assert the operator-level CONTRACTS the oracle
+can't express: linkage recall, blocking bounds, and the sketch error
+bound against exact distinct counts.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dffoo_data_pipeline_spark.plans.linkage import (
+    events_sketch_rollup,
+    linkage_blocked_match,
+)
+
+
+@pytest.fixture(scope="module")
+def linked(spark, sf_dir):
+    return linkage_blocked_match(spark, sf_dir).collect()
+
+
+def test_linkage_links_every_dirty_record(linked, sf_dir):
+    # blocking attributes are unperturbed and the true source sits at
+    # edit distance 1, so recall through the block join is complete
+    n_dirty = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/customer.parquet') "
+        "WHERE c_custkey % 10 = 0"
+    ).fetchone()[0]
+    assert len(linked) == n_dirty
+
+
+def test_linkage_resolves_to_true_source(linked):
+    # the source row is at distance exactly 1; another customer can only
+    # beat it at distance 0/1 in rare digit-collision cases — the
+    # overwhelming majority must resolve to their origin
+    back = sum(1 for r in linked if r.matched_id == r.dirty_id)
+    assert back >= 0.95 * len(linked)
+    assert all(r.edit_dist <= 2 for r in linked)
+    assert all(r.edit_dist >= 1 for r in linked)  # deletion always changes the name
+
+
+def test_linkage_blocks_bound_candidates(linked, sf_dir):
+    # no candidate set may approach corpus size: the blocking join caps
+    # comparisons at the largest (nationkey, mktsegment) block
+    max_block = duckdb.sql(
+        f"SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM "
+        f"read_parquet('{sf_dir}/customer.parquet') "
+        "GROUP BY c_nationkey, c_mktsegment)"
+    ).fetchone()[0]
+    assert max(r.n_candidates for r in linked) <= max_block
+
+
+def test_sketch_rollup_error_bound(spark, sf_dir):
+    rows = {(r.scope, r.period): r for r in events_sketch_rollup(spark, sf_dir).collect()}
+    exact_total = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    total = rows[("total", None)]
+    # lgConfigK=12 → ~1.6% standard error; 5% is a generous 3σ gate
+    assert abs(total.est_users - exact_total) <= max(3, 0.05 * exact_total)
+    day_rows = [r for (s, _), r in rows.items() if s == "day"]
+    assert day_rows, "expected at least one day row"
+    exact_days = dict(
+        duckdb.sql(
+            "SELECT CAST(ts AS DATE), COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for r in day_rows:
+        exact = exact_days[r.period]
+        assert abs(r.est_users - exact) <= max(3, 0.05 * exact)
+    # the total row must come from sketch UNION, not a rescan: merged
+    # estimate can never be below the largest single-day estimate
+    assert total.est_users >= max(r.est_users for r in day_rows)
+    assert total.n_events == sum(r.n_events for r in day_rows)
