@@ -285,12 +285,37 @@ def zorder_value(cols: list, bits: int = 16):
     return z
 
 
+def _quantile_bucketize(bounds):
+    """Arrow-batched equal-frequency bucketizer: value → rank bucket via
+    binary search over precomputed quantile boundaries (the boundaries
+    array rides in the UDF closure — ≤0.5 MB for 16 bits)."""
+    import numpy as np
+    import pandas
+
+    arr = np.asarray(bounds, dtype="float64")
+
+    def bucketize(v: pandas.Series) -> pandas.Series:
+        return pandas.Series(
+            np.searchsorted(arr, v.to_numpy(dtype="float64"), side="right"),
+            dtype="int64",
+        )
+
+    bucketize.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(bucketize, "long")
+
+
 def write_zordered(
-    df, path: str, zorder_cols: list[str], n_files: int = 8, bits: int = 16
+    df,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    exact_ranks: bool = False,
+    relative_error: float = 1e-3,
 ) -> None:
     """Z-ordered parquet layout over N pruning columns — the
     Delta/Iceberg OPTIMIZE ZORDER technique on plain parquet: rank each
-    column to a `bits`-bit integer (percent_rank, so skew in the raw
+    column to a `bits`-bit integer (equal-frequency, so skew in the raw
     values can't collapse the curve), interleave into a Morton key,
     range-partition + sort by it, write one file per range.
 
@@ -301,18 +326,36 @@ def write_zordered(
     everything for all but one.  Effectiveness is measured (not
     assumed) by the per-file range-width test in tests/test_bucketing.py.
 
-    The global rank windows are acceptable at write time (layout
-    optimization is an offline job); at extreme scale swap percent_rank
-    for a fixed quantile-boundary lookup from profile_approx_quantiles.
+    Rank normalization (the scale-critical choice): the default path
+    computes per-column quantile boundaries with ONE Greenwald-Khanna
+    sketch pass (`approxQuantile`, all columns together, driver result
+    ≤0.5 MB per column) and bucketizes values by vectorized binary
+    search — no global sort anywhere; the only total order in the plan
+    is the final sampled `repartitionByRange` on the already-computed
+    key.  `exact_ranks=True` instead uses a `percent_rank` over an
+    unpartitioned window — a single-partition sort of the whole input,
+    acceptable only for small reference layouts or exactness tests.
+    Rank error from the sketch (`relative_error`) only nudges bucket
+    edges; Z-curve locality — and therefore pruning — is preserved.
+    Columns are ranked through float64, exact for integer keys < 2^53.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     scale = (1 << bits) - 1
-    ranked = [
-        F.floor(F.percent_rank().over(Window.orderBy(c)) * scale).cast("bigint")
-        for c in zorder_cols
-    ]
+    if exact_ranks:
+        ranked = [
+            F.floor(F.percent_rank().over(Window.orderBy(c)) * scale).cast("bigint")
+            for c in zorder_cols
+        ]
+    else:
+        n_bounds = scale  # 2^bits - 1 interior boundaries
+        probs = [i / (n_bounds + 1) for i in range(1, n_bounds + 1)]
+        all_bounds = df.approxQuantile(list(zorder_cols), probs, relative_error)
+        ranked = [
+            _quantile_bucketize(bounds)(F.col(c).cast("double"))
+            for c, bounds in zip(zorder_cols, all_bounds)
+        ]
     keyed = df.withColumn("__z", zorder_value(ranked, bits))
     (
         keyed.repartitionByRange(n_files, "__z")
