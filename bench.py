@@ -66,6 +66,8 @@ HEADLINE += [
     "retrieval_hybrid_rrf",          # sparse+dense fusion (RRF) per seed doc
     "graph_triangle_count",          # oriented 2-path + closing-edge join
     "hierarchy_rollup_closure",      # unrolled recursive-CTE subtree rollup
+    "linkage_blocked_match",         # blocked fuzzy record linkage
+    "events_sketch_rollup",          # mergeable HLL distinct rollup
 ]
 
 
