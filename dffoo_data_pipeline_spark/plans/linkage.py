@@ -154,21 +154,34 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    day_rows = daily.select(
-        F.lit("day").alias("scope"),
-        "period",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
-        F.col("n_events").cast("bigint").alias("n_events"),
+    # ONE scan of events: both grains re-aggregate the |days|-row sketch
+    # table (each daily row tagged into its own group AND the total
+    # group), never the raw input — a naive day_rows UNION daily.agg()
+    # compiles to two full scans because the shared subtree isn't reused.
+    tagged = daily.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("day").alias("scope"), F.col("period").alias("period")),
+                F.struct(
+                    F.lit("total").alias("scope"),
+                    F.lit(None).cast("date").alias("period"),
+                ),
+            )
+        ).alias("g"),
+        "sk",
+        "n_events",
     )
-    total_row = daily.agg(
-        F.hll_union_agg("sk").alias("sk"),
-        F.sum("n_events").alias("n_events"),
-    ).select(
-        F.lit("total").alias("scope"),
-        F.lit(None).cast("date").alias("period"),
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
-        F.col("n_events").cast("bigint").alias("n_events"),
-    )
-    return day_rows.unionByName(total_row).orderBy(
-        "scope", F.col("period").asc_nulls_last()
+    return (
+        tagged.groupBy(F.col("g.scope").alias("scope"), F.col("g.period").alias("period"))
+        .agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "scope",
+            "period",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("scope", F.col("period").asc_nulls_last())
     )
