@@ -123,43 +123,67 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying click — sequential pattern matching, not mere membership
     (which curation_funnel's stage counts already cover for documents).
 
-    Scale: three per-user min aggregations joined on user_id — every
-    shuffle shares the user_id key, so the exchanges line up (co-
-    partitioned joins, no re-shuffle between steps); state per user is
-    one timestamp per step, never the event list.
+    Scale: ONE scan and ONE shuffle.  Two stacked running-conditional-min
+    windows (same user_id partition + ts order, so one sort serves both)
+    derive each event's "earliest view before me" and "earliest
+    qualifying click before me"; a per-user agg then takes the step
+    minima.  The previous form (three per-user min aggs chained by
+    joins, each step also counted in the output union) compiled to SIX
+    scans of events; the window form is tie-for-tie identical because
+    every test is a VALUE-strict `>` — an equal-timestamp predecessor
+    can never satisfy it whether or not the tiebreak places it in the
+    preceding row frame, and any strictly-earlier timestamp is always
+    in the frame.  State per user is one timestamp per step, never the
+    event list.
     """
     e = load_table(spark, sf_dir, "events")
-    s1 = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    s2 = (
-        e.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    is_view = F.col("event_type") == "view"
+    is_purchase = F.col("event_type") == "purchase"
+    click_qual = F.when(
+        (F.col("event_type") == "click")
+        & (F.col("ts") > F.min(F.when(is_view, F.col("ts"))).over(w)),
+        F.col("ts"),
     )
-    s3 = (
-        e.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    staged = e.select(
+        "user_id",
+        "ts",
+        is_view.alias("is_view"),
+        is_purchase.alias("is_purchase"),
+        click_qual.alias("click_qual_ts"),
+    ).select(
+        "*",
+        F.min("click_qual_ts").over(w).alias("first_click_before"),
     )
-    def _count(df, step, name):
-        return df.agg(
-            F.lit(step).alias("step"),
-            F.lit(name).alias("name"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-
-    return (
-        _count(s1, 1, "view")
-        .unionByName(_count(s2, 2, "view>click"))
-        .unionByName(_count(s3, 3, "view>click>purchase"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("is_view"), F.col("ts"))).alias("t1"),
+        F.min("click_qual_ts").alias("t2"),
+        F.min(
+            F.when(
+                F.col("is_purchase") & (F.col("ts") > F.col("first_click_before")),
+                F.col("ts"),
+            )
+        ).alias("t3"),
     )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("view").alias("name"), F.col("n1").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("view>click").alias("name"), F.col("n2").alias("n_users")),
+        F.struct(
+            F.lit(3).alias("step"),
+            F.lit("view>click>purchase").alias("name"),
+            F.col("n3").alias("n_users"),
+        ),
+    )
+    return counts.select(F.explode(steps).alias("s")).select("s.step", "s.name", "s.n_users")
 
 
 _MAX_GAP_SQL = """
