@@ -747,37 +747,43 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users, trailing-7-day weekly active users, and the
     DAU/WAU stickiness ratio — THE engagement dashboard triple.  A
     trailing-window COUNT DISTINCT cannot be a plain window aggregate
-    (distinct isn't decomposable over sliding frames), so the WAU side
-    joins the deduplicated (day, user) activity table to the day grid
-    within a 7-day range and re-counts distinct per day.
+    (distinct isn't decomposable over sliding frames), so each
+    deduplicated (day, user) activity row is EXPLODED into the ≤7 grid
+    days whose trailing window it serves (day ∈ [grid−6, grid] ⟺
+    grid ∈ [day, day+6]); one grouped aggregation then counts WAU over
+    all contributions and DAU over the own-day contribution.  Grid days
+    with no own-day activity (the 6 days after the last observed day,
+    holes in the calendar) drop via the dau ≥ 1 filter, matching the
+    observed-day grid.
 
-    Scale: the corpus-sized work is the FIRST dedup shuffle — everything
-    after runs on (days × active users), which 100 TB of events still
-    collapses to (the day grid is |days| rows, broadcast to the range
-    join).  At extreme user counts the exact distinct swaps for HLL
-    sketch unions (approx_count_distinct partials merge across days for
-    free), same plan shape.
+    Scale: ONE scan — the corpus-sized work is the dedup shuffle, done
+    once (the former day-grid + range-join + separate-DAU form had three
+    consumers of that subtree and recompiled it into three full scans);
+    the ×7 explode multiplies only the already-collapsed (days × active
+    users) table.  At extreme user counts the exact distinct swaps for
+    HLL sketch unions (events_sketch_rollup's pattern), same shape.
     """
     e = load_table(spark, sf_dir, "events")
     day_users = e.select(
         F.col("ts").cast("date").alias("day"), "user_id"
     ).distinct()
-    days = day_users.select("day").distinct()
-    wau = (
-        day_users.alias("u")
-        .join(
-            F.broadcast(days.alias("d")),
-            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
-            & (F.col("u.day") <= F.col("d.day")),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.count_distinct("u.user_id").alias("wau"))
+    contrib = day_users.select(
+        "day",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("grid_day"),
     )
-    dau = day_users.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    per_day = contrib.groupBy("grid_day").agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count_distinct(
+            F.when(F.col("day") == F.col("grid_day"), F.col("user_id"))
+        ).alias("dau"),
+    )
     return (
-        dau.join(wau, "day")
+        per_day.where(F.col("dau") >= 1)
         .select(
-            F.col("day").cast("string").alias("day"),
+            F.col("grid_day").cast("string").alias("day"),
             "dau",
             "wau",
             N.round_det(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
