@@ -1016,13 +1016,18 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets.  This is the standard pre-processing step before
     forecasting / anomaly models that require a regular time series.
 
-    Scale: the raw aggregation shuffles once on (type, hour); the grid is
-    |types| × |hours| rows built from a broadcast one-row bounds aggregate
-    (BroadcastNestedLoopJoin over two tiny sides — the sanctioned global
-    shape), so the dense frame never touches the raw-event volume.  The
-    fill windows partition on event_type; for a high-cardinality series
-    (per user / per sensor) the same plan partitions on the series key,
-    which is the realistic 100 TB layout — per-partition state is the two
+    Scale: ONE scan — the raw aggregation shuffles once on (type, hour)
+    and every grid row is generated FROM that aggregated frame: each
+    observed row explodes into itself plus its gap hours up to the next
+    observation (and, for a type's first row, the lead-in hours from the
+    global grid start), so the dense frame never touches the raw-event
+    volume and the former bounds/types subtrees (two extra full scans of
+    events in the compiled plan) disappear.  The global lo/hi come from
+    an unpartitioned window over the aggregate — dimension-sized, the
+    same argument as supplier_revenue_pareto.  The fill windows
+    partition on event_type; for a high-cardinality series (per user /
+    per sensor) the same plan partitions on the series key, which is
+    the realistic 100 TB layout — per-partition state is the two
     neighbor scalars, never the series.  Determinism: observed sums stay
     DECIMAL until the final cast; the interpolation's division is spelled
     identically in both engines over exact inputs (bigint hour offsets,
@@ -1035,16 +1040,45 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(N.dec2("value")).alias("obs_dec"),
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    wt = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy()
+    one_h = F.expr("interval 1 hour")
+    h2 = hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        "obs_dec",
+        F.row_number().over(wt).alias("rn"),
+        F.lead("bucket").over(wt).alias("nxt"),
+        F.min("bucket").over(wall).alias("lo"),
+        F.max("bucket").over(wall).alias("hi"),
     )
-    grid = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket")
+    empty = F.array().cast("array<timestamp>")
+    lead_in = F.when(
+        (F.col("rn") == 1) & (F.col("bucket") > F.col("lo")),
+        F.sequence(F.col("lo"), F.col("bucket") - one_h, one_h),
+    ).otherwise(empty)
+    gap_end = F.coalesce(F.col("nxt") - one_h, F.col("hi"))
+    gap = F.when(
+        gap_end >= F.col("bucket") + one_h,
+        F.sequence(F.col("bucket") + one_h, gap_end, one_h),
+    ).otherwise(empty)
+    tag = lambda seq: F.transform(  # noqa: E731
+        seq, lambda b: F.struct(b.alias("bucket"), F.lit(False).alias("obs"))
     )
-    types = e.select("event_type").distinct()
-    dense = types.crossJoin(F.broadcast(grid))
-    j = dense.join(hourly, ["event_type", "bucket"], "left")
+    cells = F.concat(
+        tag(lead_in),
+        F.array(F.struct(F.col("bucket").alias("bucket"), F.lit(True).alias("obs"))),
+        tag(gap),
+    )
+    j = h2.select(
+        "event_type", "n", "obs_dec", F.explode(cells).alias("c")
+    ).select(
+        "event_type",
+        F.col("c.bucket").alias("bucket"),
+        F.when(F.col("c.obs"), F.col("n")).alias("n"),
+        F.when(F.col("c.obs"), F.col("obs_dec")).alias("obs_dec"),
+    )
 
     w = Window.partitionBy("event_type").orderBy("bucket")
     before = w.rowsBetween(Window.unboundedPreceding, -1)
