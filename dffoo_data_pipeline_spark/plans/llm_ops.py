@@ -902,10 +902,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rule_flags(d).drop("source")
 
 
-def gopher_rule_flags(d: DataFrame) -> DataFrame:
+def gopher_rule_flags(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Per-doc Gopher metrics + rule flags for any frame with
     (doc_id, source, text) — pure projections, so it applies unchanged to
-    a STREAMING DataFrame (streaming/jobs.py:streaming_quality_gate)."""
+    a STREAMING DataFrame (streaming/jobs.py:streaming_quality_gate).
+
+    ``extra_cols``: input columns carried through to the output, letting
+    a caller fuse further per-row derivations (e.g. the quality/length
+    gates of curation_gate_overlap) into the SAME projection — one scan
+    instead of a join of two scans of the corpus."""
     toks = d.select(
         "doc_id",
         "source",
@@ -928,6 +933,7 @@ def gopher_rule_flags(d: DataFrame) -> DataFrame:
     m = toks.select(
         "doc_id",
         "source",
+        *extra_cols,
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_word_ratio"),
@@ -1198,27 +1204,30 @@ def curation_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap means one gate subsumes another and can be dropped from the
     pipeline; low overlap means they encode different signals and stack.
 
-    Scale: the three projection gates fuse into per-row expressions; the
-    classifier contributes its two doc-keyed shuffles; ONE conditional
-    aggregation then computes all 4 singles + 6 pairwise counts in a
-    single pass over the joined flags, and the pair unpivot (stack) runs
-    on the one aggregate row.
+    Scale: the three projection gates fuse into ONE per-row projection of
+    the corpus (quality/length flags ride `gopher_rule_flags`'s
+    `extra_cols` pass-through — one scan, no flag-vs-flag join); the
+    classifier inherently needs its own token-explode pipeline, joined
+    back on doc_id (scan two); ONE conditional aggregation then computes
+    all 4 singles + 6 pairwise counts in a single pass over the joined
+    flags, and the pair unpivot (stack) runs on the one aggregate row.
     """
     from dffoo_data_pipeline_spark.functions.text import quality_score
     from dffoo_data_pipeline_spark.plans.retrieval import text_classifier_score
 
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    staged = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
-    ql = staged.select(
+    g = gopher_rule_flags(d, extra_cols=("text",))
+    toks = TX.tokens("text")
+    flags = g.select(
         "doc_id",
-        (quality_score("text", toks=F.col("__toks")) >= 0.5).alias("g_quality"),
-        F.size("__toks").between(50, 5000).alias("g_length"),
+        (quality_score("text", toks=toks) >= 0.5).alias("g_quality"),
+        F.size(toks).between(50, 5000).alias("g_length"),
+        F.col("passes_gopher").alias("g_gopher"),
     )
-    gop = gopher_rule_flags(d).select("doc_id", F.col("passes_gopher").alias("g_gopher"))
     clf = text_classifier_score(spark, sf_dir).select(
         "doc_id", (F.col("keep_flag") == 1).alias("g_clf")
     )
-    f = ql.join(gop, "doc_id").join(clf, "doc_id")
+    f = flags.join(clf, "doc_id")
     gates = ["quality", "length", "gopher", "clf"]
     pairs = [(a, b) for i, a in enumerate(gates) for b in gates[i + 1 :]]
     agg = f.agg(
