@@ -240,3 +240,30 @@ def test_pit_enrich_plans_a_hash_or_merge_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_single_scan_rollup_queries(spark, sf_dir):
+    """The round-3 shared-subtree fixes must hold: a DataFrame whose
+    day/total (or grid/fill, or funnel-step) grains both derive from one
+    aggregated frame must compile to exactly ONE scan of its base table —
+    a second scan means a consumer re-expanded the shared subtree into a
+    full re-read of the corpus (the regression these queries were
+    rewritten to remove)."""
+    import collections
+
+    from dffoo_data_pipeline_spark.plans import all_queries
+
+    q, _ = all_queries()
+    expected = {
+        "events_sketch_rollup": ("events", 1),
+        "events_ordered_funnel": ("events", 1),
+        "events_dau_wau": ("events", 1),
+        "events_gapfill_interpolate": ("events", 1),
+        "curation_gate_overlap": ("documents", 2),  # flags pass + classifier pass
+    }
+    for name, (table, max_scans) in expected.items():
+        plan = q[name](spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        scans = collections.Counter(re.findall(r"(\w+)\.parquet", plan))
+        assert scans[table] <= max_scans, (name, dict(scans))
