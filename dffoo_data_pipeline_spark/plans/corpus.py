@@ -1037,9 +1037,13 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables unchanged).  Docs need ≥2 tokens to have a bigram.
 
     Scale: doc bigram term frequencies shuffle once on (doc, bigram);
-    the corpus LM is three count aggregations (bigram, left-word,
-    unigram) that reuse the tf frame or the token explode, joined into a
-    per-BIGRAM logprob dim — sized by distinct corpus bigrams, NOT doc
+    the corpus LM is two count aggregations (bigram, unigram) whose
+    left-word and corpus-total rollups are WINDOWS over the vocab-sized
+    count frames (not separate consumers of the corpus subtree — that
+    form compiled to five full scans; this one needs three: tf build,
+    tf re-read for scoring, unigram counts, the first two collapsing to
+    one with the staged-table remedy of corpus_ppl_buckets), joined into
+    a per-BIGRAM logprob dim — sized by distinct corpus bigrams, NOT doc
     count — and scoring joins tf⋈lp on the bigram key (AQE splits any
     hot bigram).  Determinism: corpus counts are exact int64 cast to
     double (exact < 2^53), the interpolation is a fixed IEEE expression
@@ -1059,16 +1063,23 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_bi = tf_bi.groupBy("bigram").agg(F.sum("tf").cast("bigint").alias("cb"))
     w_prev = F.split(F.col("bigram"), " ")[0]
     w_cur = F.split(F.col("bigram"), " ")[1]
-    c_prev = c_bi.groupBy(w_prev.alias("w_prev")).agg(
-        F.sum("cb").cast("bigint").alias("cp")
+    # left-word totals as a WINDOW over the bigram-vocab frame, and the
+    # corpus token total as a window over the unigram-vocab frame: both
+    # rollups were separate consumers of their count subtree, which
+    # recompiled the doc tokenization into two extra full corpus scans
+    # (the frames under the windows are vocab-sized — the pareto
+    # argument — so the windows cost nothing at any scale)
+    c_bi = c_bi.withColumn(
+        "cp",
+        F.sum("cb").over(Window.partitionBy(w_prev)).cast("bigint"),
     )
     uni = staged.select(F.explode("t").alias("w"))
     c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
-    n_tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    c_uni = c_uni.withColumn(
+        "nn", F.sum("cu").over(Window.partitionBy()).cast("bigint")
+    )
     lp = (
-        c_bi.join(c_prev, w_prev == F.col("w_prev"))
-        .join(c_uni, w_cur == F.col("w"))
-        .crossJoin(F.broadcast(n_tot))
+        c_bi.join(c_uni, w_cur == F.col("w"))
         .select(
             "bigram",
             round_det(
