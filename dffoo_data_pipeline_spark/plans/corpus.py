@@ -782,8 +782,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins every pair of a stop-word token into one unsplittable task,
     while a skewed join partition is what AQE skew-join splits (same
     decision as operators/boilerplate.py).  The total-token denominator
-    comes from a second LIGHT scan of documents (a per-row array size,
-    no explode) broadcast as one row.  Determinism: each ln() is rounded
+    is the SUM of the vocab counts — a window over the vocab-sized freq
+    frame, not another scan of documents.  Determinism: each ln() is rounded
     at 1e-6 (`round_det`'s floor form is mode-independent for negatives
     too) then carried as DECIMAL(18,6); tf·lp stays in DECIMAL, so the
     per-doc sum is exact under any partition order.
@@ -794,10 +794,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     freq = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cnt"))
-    n_total = d.agg(
-        F.sum(F.size(TX.tokens(TX.normalized_text("text")))).cast("bigint").alias("n")
+    freq = freq.withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
     )
-    logp = freq.crossJoin(F.broadcast(n_total)).select(
+    logp = freq.select(
         "tok",
         round_det(F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
         .cast("decimal(18,6)")

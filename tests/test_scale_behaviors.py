@@ -261,6 +261,7 @@ def test_single_scan_rollup_queries(spark, sf_dir):
         "events_gapfill_interpolate": ("events", 1),
         "curation_gate_overlap": ("documents", 2),  # flags pass + classifier pass
         "corpus_bigram_logprob": ("documents", 3),  # tf build, tf rescore, unigrams
+        "text_unigram_logprob": ("documents", 2),  # tf build + freq-side recompute
     }
     for name, (table, max_scans) in expected.items():
         plan = q[name](spark, sf_dir)._jdf.queryExecution().explainString(
