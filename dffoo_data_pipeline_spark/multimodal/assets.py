@@ -434,10 +434,17 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
 
     Banded candidate generation (LSH on the hash itself): split the 64
     bits into 8 byte-bands; two hashes within Hamming distance 6 agree
-    on ≥2 whole bands (pigeonhole), so a join keyed on (band_idx,
-    band_value) finds every true pair while touching only
-    bucket-colliding candidates — never assets².  Candidates are then
-    verified exactly with bit_count(xor) in the JVM.
+    on ≥2 whole bands (pigeonhole), so grouping assets per (band_idx,
+    band_value) bucket finds every true pair while touching only
+    bucket-colliding candidates — never assets².  Candidate pairs are
+    generated combinatorially INSIDE each sorted posting list (the same
+    single-consumer plan as operators/dedup.py's MinHash stage — the
+    former band-table self-join recomputed the Python decode subtree
+    for its second side), then verified exactly with bit_count(xor) in
+    the JVM.  The exact-dup group size stays a groupBy+join rather than
+    a phash window: a boilerplate image repeated millions of times is a
+    skewed JOIN key (AQE splits it), but an unsplittable window
+    partition.
 
     Output: asset_id, phash, n_same_hash (exact-dup group size),
     near_dup_of (lowest-id asset within max_hamming, null when none —
@@ -460,18 +467,32 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
             )
         ).alias("b"),
     ).select("asset_id", "phash", "b.band_idx", "b.band_val")
-    a = bands.select(
-        F.col("band_idx"), F.col("band_val"),
-        F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash"),
+    lists = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("asset_id"), F.col("phash")))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
     )
-    b = bands.select(
-        F.col("band_idx"), F.col("band_val"),
-        F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash"),
+    combos = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(
+                    x["asset_id"].alias("a_id"),
+                    y["asset_id"].alias("b_id"),
+                    x["phash"].alias("a_hash"),
+                    y["phash"].alias("b_hash"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_hash", "b_hash")
+        lists.select(F.explode(combos).alias("p"))
+        .select("p.a_id", "p.b_id", "p.a_hash", "p.b_hash")
         .distinct()
         .where(
             F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))) <= max_hamming

@@ -262,6 +262,7 @@ def test_single_scan_rollup_queries(spark, sf_dir):
         "curation_gate_overlap": ("documents", 2),  # flags pass + classifier pass
         "corpus_bigram_logprob": ("documents", 3),  # tf build, tf rescore, unigrams
         "text_unigram_logprob": ("documents", 2),  # tf build + freq-side recompute
+        "multimodal_phash_neardup": ("documents", 3),  # posting-list pairs + sizes + final
     }
     for name, (table, max_scans) in expected.items():
         plan = q[name](spark, sf_dir)._jdf.queryExecution().explainString(
