@@ -68,6 +68,8 @@ HEADLINE += [
     "hierarchy_rollup_closure",      # unrolled recursive-CTE subtree rollup
     "linkage_blocked_match",         # blocked fuzzy record linkage
     "events_sketch_rollup",          # mergeable HLL distinct rollup
+    "similarity_pq_topk",            # product-quantization ADC ANN
+    "events_hist_quantile_rollup",   # mergeable histogram quantiles
 ]
 
 

@@ -99,7 +99,8 @@ _PRIORITY = [
     # events_gapfill_interpolate, retrieval_hybrid_rrf,
     # graph_triangle_count, hierarchy_rollup_closure,
     # scalar_null_semantics, streaming_interval_join_outer,
-    # linkage_blocked_match, events_sketch_rollup
+    # linkage_blocked_match, events_sketch_rollup,
+    # similarity_pq_topk, events_hist_quantile_rollup
 ]
 
 

@@ -631,3 +631,142 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_id").isNotNull().alias("is_semantic_dup"),
         )
     )
+
+
+_PQ_M = 8        # subspaces (64-dim vectors -> 8 sub-vectors of 8 dims)
+_PQ_SUB = 8      # dims per subspace
+_PQ_K = 16       # codebook entries per subspace (vec_id < 16, deterministic)
+_PQ_N_INDEX = 64 # indexed vectors (vec_id < 64)
+_PQ_TOPK = 3
+
+_PQ_TOPK_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sub AS (
+    SELECT vec_id, u.m,
+           list_slice(emb, u.m * {_PQ_SUB} + 1, u.m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+    FROM base, unnest(range(0, {_PQ_M})) AS u(m)),
+cb AS (SELECT vec_id AS cid, m, sub AS cvec FROM sub WHERE vec_id < {_PQ_K}),
+d2 AS (
+    SELECT s.vec_id, s.m, c.cid,
+           FLOOR(list_sum(list_transform(list_zip(s.sub, c.cvec),
+                                         z -> (z[1] - z[2]) * (z[1] - z[2])))
+                 * 1000000000 + 0.5) / 1000000000 AS d2
+    FROM sub s JOIN cb c USING (m)),
+codes AS (
+    SELECT vec_id AS index_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rn
+        FROM d2 WHERE vec_id < {_PQ_N_INDEX})
+    WHERE rn = 1),
+lut AS (
+    SELECT vec_id, m, cid,
+           CAST(FLOOR(d2 * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pd
+    FROM d2),
+adc AS (
+    SELECT l.vec_id, k.index_id, SUM(l.pd) AS adist
+    FROM lut l JOIN codes k ON l.m = k.m AND l.cid = k.cid
+    GROUP BY l.vec_id, k.index_id)
+SELECT vec_id, index_id, CAST(adist AS DOUBLE) AS approx_dist,
+       CAST(rn AS INT) AS rank
+FROM (SELECT vec_id, index_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY adist, index_id) AS rn
+      FROM adc)
+WHERE rn <= {_PQ_TOPK}
+"""
+
+
+def _pq_subspaces(df: DataFrame, id_alias: str) -> DataFrame:
+    """Explode each vector into its _PQ_M sub-vectors (double elements)."""
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        "embedding",
+    ).select(
+        id_alias,
+        "m",
+        F.transform(
+            F.slice(F.col("embedding"), F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)),
+            lambda x: x.cast("double"),
+        ).alias("sub"),
+    )
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 distance as a left fold over zip_with (double elements)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@_register("similarity_pq_topk", _PQ_TOPK_ORACLE)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (top-3 by asymmetric distance): 64-dim
+    vectors split into 8 sub-vectors; each indexed vector is stored as 8
+    one-byte codes (nearest codebook entry per subspace); a probe scores
+    the whole index by building a per-subspace lookup table of partial
+    squared-L2 distances to every codebook entry, then summing table hits
+    along each index vector's codes (ADC — Jégou et al., PQ for nearest
+    neighbor search).  Codebook = sub-vectors of vec_id < 16 (a
+    deterministic sampled codebook, same discipline as
+    embedding_nearest_seed's fixed seeds — k-means refinement would make
+    it engine-specific and this query is the oracled contract).
+
+    Scale: PQ codes are M bytes per vector — 32× smaller than the float
+    vectors, so the broadcastable-index ceiling of cosine_topk_auto moves
+    32× up; the codebook (M·K sub-vectors) and the code table are the
+    broadcast sides, the probe corpus is never shuffled (LUT build is a
+    map-side broadcast join), and the ADC sum is one groupBy
+    (probe, index) with map-side partial aggregation.  At larger index
+    sizes the same plan runs with the codes as a shuffle join on (m, cid)
+    — nothing here holds the float index in memory.  The three
+    embeddings scans (codebook / index / probes) are pushed-down
+    vec_id-filtered reads of the same tiny dimension pattern as
+    similarity_int8_topk.  Determinism: partial distances are floor-
+    rounded (1e-9 for code argmin with cid tiebreak; 1e-6 into
+    DECIMAL(18,6) for the LUT) so the decimal ADC sum is exact and
+    partition-order-independent; ranks tiebreak on index_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
+        "cid", "m", F.col("sub").alias("cvec")
+    )
+    idx_sub = _pq_subspaces(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
+    d2 = N.round_det(_l2sq(F.col("sub"), F.col("cvec")), 9)
+    wcode = Window.partitionBy("index_id", "m").orderBy("d2", "cid")
+    codes = (
+        idx_sub.join(F.broadcast(cb), "m")
+        .select("index_id", "m", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wcode))
+        .where(F.col("rn") == 1)
+        .select("index_id", "m", "cid")
+    )
+    lut = (
+        _pq_subspaces(e, "vec_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            N.round_det(d2, 6).cast("decimal(18,6)").alias("pd"),
+        )
+    )
+    adc = (
+        lut.join(F.broadcast(codes), ["m", "cid"])
+        .groupBy("vec_id", "index_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    wrank = Window.partitionBy("vec_id").orderBy("adist", "index_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select(
+            "vec_id",
+            "index_id",
+            F.col("adist").cast("double").alias("approx_dist"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

@@ -185,3 +185,137 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope", F.col("period").asc_nulls_last())
     )
+
+
+_HIST_W = 20.0   # fixed bin width over events.value (range ~[0, 600))
+_HIST_B = 64     # bins; top bin clamps the tail
+
+_HIST_QUANTILE_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS period,
+           LEAST(CAST(FLOOR(value / {_HIST_W}) AS BIGINT), {_HIST_B - 1}) AS bin,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2),
+tagged AS (
+    SELECT 'day' AS scope, period, bin, cnt FROM daily
+    UNION ALL
+    SELECT 'total' AS scope, CAST(NULL AS DATE) AS period, bin, cnt FROM daily),
+hist AS (
+    SELECT scope, period, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM tagged GROUP BY scope, period, bin),
+cum AS (
+    SELECT scope, period, bin, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY scope, period ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER (PARTITION BY scope, period) AS BIGINT) AS n
+    FROM hist),
+cand AS (
+    SELECT scope, period, bin, cnt, cum, n,
+           CAST(FLOOR((n + 1) / 2.0) AS BIGINT) AS r50,
+           CAST(FLOOR((19 * n + 19) / 20.0) AS BIGINT) AS r95
+    FROM cum)
+SELECT scope, CAST(period AS VARCHAR) AS period, MAX(n) AS n_events,
+       MAX(CASE WHEN cum >= r50 AND cum - cnt < r50 THEN
+           FLOOR((bin * {_HIST_W} + (r50 - (cum - cnt)) / CAST(cnt AS DOUBLE)
+                  * {_HIST_W}) * 1000000 + 0.5) / 1000000 END) AS p50_est,
+       MAX(CASE WHEN cum >= r95 AND cum - cnt < r95 THEN
+           FLOOR((bin * {_HIST_W} + (r95 - (cum - cnt)) / CAST(cnt AS DOUBLE)
+                  * {_HIST_W}) * 1000000 + 0.5) / 1000000 END) AS p95_est
+FROM cand GROUP BY scope, period
+"""
+
+
+@_register("events_hist_quantile_rollup", _HIST_QUANTILE_ORACLE)
+def events_hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the numeric twin of
+    events_sketch_rollup: per-day fixed-bin histograms of ``value``
+    (width 20, 64 bins), every coarser grain derived by summing bin
+    counts, p50/p95 estimated from the merged histogram's cumulative
+    counts with linear interpolation inside the hit bin.
+
+    Scale: histograms commute with union the way HLL sketches do — the
+    daily (day, bin) table is ≤ |days|·64 rows, so any date-range
+    quantile is O(bins) bin-sums over that tiny table instead of an
+    O(corpus) exact percentile (an exact distributed percentile needs a
+    global sort or multi-pass select).  Pass 1 is the only events scan
+    (map-side-combined groupBy); both grains re-aggregate the daily
+    histogram via the tagged-explode idiom (ONE scan — a day-rows UNION
+    total-agg plan recompiles the shared subtree into two scans).
+    Accuracy is bounded by bin width (≤ W/2 for interior bins), asserted
+    against exact percentiles in tests/test_linkage.py.
+
+    Determinism: bins and ranks are integer-exact (ceil via the
+    floor((a+b-1)/b) idiom over doubles whose quotients are exact or
+    ≥ 0.05 from an integer); the interpolation arithmetic is the same
+    IEEE expression on both engines, floor-rounded at 1e-6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("period"),
+        F.least(
+            F.floor(F.col("value") / F.lit(_HIST_W)), F.lit(_HIST_B - 1).cast("bigint")
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tagged = daily.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("day").alias("scope"), F.col("period").alias("period")),
+                F.struct(
+                    F.lit("total").alias("scope"),
+                    F.lit(None).cast("date").alias("period"),
+                ),
+            )
+        ).alias("g"),
+        "bin",
+        "cnt",
+    )
+    hist = tagged.groupBy(
+        F.col("g.scope").alias("scope"), F.col("g.period").alias("period"), F.col("bin")
+    ).agg(F.sum("cnt").alias("cnt"))
+    grp = Window.partitionBy("scope", "period")
+    wcum = grp.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "scope",
+        "period",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(grp).cast("bigint").alias("n"),
+    )
+    cand = cum.select(
+        "scope",
+        "period",
+        "bin",
+        "cnt",
+        "cum",
+        "n",
+        F.floor((F.col("n") + 1) / 2.0).alias("r50"),
+        F.floor((19 * F.col("n") + 19) / 20.0).alias("r95"),
+    )
+
+    def _est(rank):
+        hit = (F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank)
+        est = F.col("bin") * _HIST_W + (
+            rank - (F.col("cum") - F.col("cnt"))
+        ) / F.col("cnt").cast("double") * _HIST_W
+        return F.max(F.when(hit, F.floor(est * 1000000 + F.lit(0.5)) / 1000000))
+
+    return (
+        cand.groupBy("scope", "period")
+        .agg(
+            F.max("n").alias("n_events"),
+            _est(F.col("r50")).alias("p50_est"),
+            _est(F.col("r95")).alias("p95_est"),
+        )
+        # string period: a nullable DATE round-trips through pandas as
+        # datetime64-with-NaT on one engine and object-of-date on the
+        # other — the hash compare needs one common representation
+        .select(
+            "scope",
+            F.col("period").cast("string").alias("period"),
+            "n_events",
+            "p50_est",
+            "p95_est",
+        )
+    )

@@ -77,3 +77,46 @@ def test_sketch_rollup_error_bound(spark, sf_dir):
     # estimate can never be below the largest single-day estimate
     assert total.est_users >= max(r.est_users for r in day_rows)
     assert total.n_events == sum(r.n_events for r in day_rows)
+
+
+def test_hist_quantile_rollup_bounds(spark, sf_dir):
+    """Histogram-quantile contract: the interpolated estimate lands in
+    the same bin as the rank-matched exact order statistic (error ≤ one
+    bin width), and the total row is merged from daily bins (never a
+    rescan) — so total n_events must equal the sum of day n_events."""
+    from dffoo_data_pipeline_spark.plans.linkage import events_hist_quantile_rollup
+
+    rows = {(r.scope, r.period): r for r in events_hist_quantile_rollup(spark, sf_dir).collect()}
+    total = rows[("total", None)]
+    day_rows = [r for (s, _), r in rows.items() if s == "day"]
+    assert total.n_events == sum(r.n_events for r in day_rows)
+
+    # exact order statistics at the SAME ranks the histogram targets
+    # (r50 = ceil(n/2), r95 = ceil(0.95n)) — quantile_cont uses a
+    # different rank definition, which in a sparse tail differs by a
+    # whole order statistic, so it is not the right yardstick
+    exact = {
+        (g if g is not None else None): (x50, x95)
+        for g, x50, x95 in duckdb.sql(
+            f"""WITH o AS (
+                SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS g, value,
+                       ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                          ORDER BY value) AS rn,
+                       COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
+                FROM read_parquet('{sf_dir}/events.parquet')),
+            t AS (
+                SELECT NULL AS g, value,
+                       ROW_NUMBER() OVER (ORDER BY value) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM read_parquet('{sf_dir}/events.parquet')),
+            u AS (SELECT * FROM o UNION ALL SELECT * FROM t)
+            SELECT g,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS x50,
+                   MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS x95
+            FROM u GROUP BY g"""
+        ).fetchall()
+    }
+    for r in [total] + day_rows:
+        x50, x95 = exact[r.period]
+        assert abs(r.p50_est - x50) <= 20.0, (r.period, r.p50_est, x50)
+        assert abs(r.p95_est - x95) <= 20.0, (r.period, r.p95_est, x95)

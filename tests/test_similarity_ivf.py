@@ -58,3 +58,45 @@ def test_ann_recall_report_contract(spark, sf_dir):
         assert r.n_queries == n_vecs  # left join keeps empty-bucket queries
         assert 0 <= r.min_recall <= r.p10_recall <= r.mean_recall <= 1
         assert r.k == 5
+
+
+def test_pq_topk_contracts(spark, sf_dir):
+    """PQ ADC quality floor: every indexed probe self-matches at rank 1
+    (its codes ARE the per-subspace argmins), and the true L2 nearest
+    indexed vector lands in the PQ top-3 far above the 3/64 random
+    baseline.  Uniform-random embeddings are the PQ-ADVERSARIAL case (no
+    cluster structure for the codebook to exploit), so the floor is set
+    from the measured 42% at sf0.01, not from clustered-data folklore."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.embeddings import similarity_pq_topk
+
+    rows = similarity_pq_topk(spark, sf_dir).collect()
+    indexed = {r.vec_id for r in rows if r.vec_id < 64}
+    self_hits = {r.vec_id for r in rows if r.vec_id < 64 and r.index_id == r.vec_id and r.rank == 1}
+    assert self_hits == indexed
+    # true-NN capture vs exact L2 over the same 64-vector index
+    exact = dict(
+        duckdb.sql(
+            f"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                              FROM read_parquet('{sf_dir}/embeddings.parquet')),
+            idx AS (SELECT vec_id AS index_id, emb AS iemb FROM base WHERE vec_id < 64),
+            d AS (SELECT b.vec_id, i.index_id,
+                    list_sum(list_transform(list_zip(b.emb, i.iemb),
+                                            z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+                  FROM base b, idx i)
+            SELECT vec_id, index_id FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, index_id) = 1"""
+        ).fetchall()
+    )
+    got = {(r.vec_id, r.index_id) for r in rows}
+    captured = sum(1 for v, i in exact.items() if (v, i) in got)
+    assert captured / len(exact) >= 0.25, captured / len(exact)  # random baseline ~0.047
+    # exactly 3 ranked neighbors per probe, ranks 1..3, ascending distance
+    by_probe: dict = {}
+    for r in rows:
+        by_probe.setdefault(r.vec_id, []).append(r)
+    for v, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].approx_dist <= rs[1].approx_dist <= rs[2].approx_dist
