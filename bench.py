@@ -70,6 +70,7 @@ HEADLINE += [
     "events_sketch_rollup",          # mergeable HLL distinct rollup
     "similarity_pq_topk",            # product-quantization ADC ANN
     "events_hist_quantile_rollup",   # mergeable histogram quantiles
+    "dedup_prefix_filter_pairs",     # lossless prefix-filtered all-pairs
 ]
 
 

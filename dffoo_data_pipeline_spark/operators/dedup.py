@@ -563,3 +563,82 @@ def lsh_verified_pairs(
     return joined.where(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs similarity join with PREFIX FILTERING (Chaudhuri et al.
+    2006; Bayardo et al. 2007 "Scaling Up All Pairs"): order every
+    document's shingles by ascending global document frequency (rarest
+    first, ties on the shingle string — a total order both engines
+    agree on) and index only the first ``|x| − ⌈t·|x|⌉ + 1`` of them.
+    Any pair with Jaccard ≥ t must overlap in ≥ ⌈t·|x|⌉ shingles, so it
+    cannot avoid the indexed prefix — the candidate set is provably
+    LOSSLESS for the threshold, unlike LSH banding (probabilistic) or a
+    df stop-shingle cap (loses pairs that only share hot shingles).
+    Candidates are then verified with exact Jaccard over the full
+    shingle sets (the lsh_verified_pairs verify join).
+
+    Scale: the posting lists that generate pairs hold PREFIX entries
+    only — for t=0.5 about half of each document's shingles, and the
+    rarest half, so the hot shingles that make posting-list pair
+    generation quadratic never enter a list.  Cost: one df aggregation
+    (map-side combined), one per-doc row_number shuffle to rank the
+    prefix, one posting-list shuffle over ~(1−t)·corpus shingle rows,
+    then the candidate-bounded verify.  The shingle relation feeds the
+    rank stage and both verify sides once (lazy localCheckpoint).
+
+    Keep ``threshold`` a dyadic rational (0.5, 0.25, 0.75) if oracle
+    parity matters: ``ceil(t·sz)`` is then exact in IEEE arithmetic on
+    both engines.
+    """
+    sh = df.select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)
+    posts = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("sh").alias("sz"),
+        F.explode("sh").alias("shingle"),
+    )
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        posts.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= plen)
+    )
+    lists = (
+        prefix.select(F.struct("id", "sz").alias("d"), "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        lists.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a.id").alias("doc_a"), F.col("p.b.id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    isect = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - isect
+    jac = isect / union
+    return joined.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )

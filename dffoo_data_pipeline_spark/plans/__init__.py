@@ -100,7 +100,9 @@ _PRIORITY = [
     # graph_triangle_count, hierarchy_rollup_closure,
     # scalar_null_semantics, streaming_interval_join_outer,
     # linkage_blocked_match, events_sketch_rollup,
-    # similarity_pq_topk, events_hist_quantile_rollup
+    # similarity_pq_topk, events_hist_quantile_rollup,
+    # events_countmin_topk, dedup_prefix_filter_pairs,
+    # curation_contrastive_negatives
 ]
 
 

@@ -844,3 +844,113 @@ def curation_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"least(ideal_tokens, {MAX_EPOCHS} * avail_tokens) * 1000 div avail_tokens"
         ).alias("epochs_milli"),
     )
+
+
+_NEG_K = 4       # negatives kept per anchor
+_NEG_DRAWS = 8   # seeded draws per anchor (extras absorb rejections)
+
+_NEG_ORACLE = f"""
+WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+anchors AS (
+    SELECT doc_id AS anchor_id, source AS anchor_source, m.m
+    FROM documents CROSS JOIN m WHERE doc_id % 10 = 0),
+draws AS (
+    SELECT a.anchor_id, a.anchor_source, u.j,
+           (('0x' || substr(md5('neg:' || CAST(a.anchor_id AS VARCHAR)
+                                 || ':' || CAST(u.j AS VARCHAR)), 1, 8))::BIGINT)
+             % a.m AS cand
+    FROM anchors a, unnest(range(1, {_NEG_DRAWS + 1})) AS u(j)),
+valid AS (
+    SELECT d.anchor_id, d.anchor_source, d.j,
+           i.doc_id AS neg_id, i.source AS neg_source
+    FROM draws d JOIN documents i ON i.doc_id = d.cand
+    WHERE i.source <> d.anchor_source AND i.doc_id <> d.anchor_id),
+ranked AS (
+    SELECT anchor_id, anchor_source, neg_id, neg_source,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY j) AS k
+    FROM valid)
+SELECT anchor_id, anchor_source, CAST(k AS INT) AS k, neg_id, neg_source
+FROM ranked WHERE k <= {_NEG_K}
+"""
+
+
+@_register("curation_contrastive_negatives", _NEG_ORACLE)
+def curation_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    anchor document (doc_id % 10 = 0 here; in production the batch being
+    trained on) gets up to 4 negatives drawn uniformly from the corpus by
+    seeded md5 draws, REJECTING same-source and self candidates — the
+    hard-negative hygiene rule that keeps in-batch negatives from being
+    accidental positives.  8 draws absorb rejections; survivors are
+    ranked by draw order so the same (anchor, k) always names the same
+    negative — the reproducibility every ablation needs.
+
+    Scale: no global windows and no positional index — candidates are
+    drawn directly in id space (md5-uniform mod max_id+1, the 1-row max
+    aggregate broadcast to anchors) and resolved by an equi-join on
+    doc_id; draws that miss a hole in the id space simply reject, identically
+    in both engines.  Work is |anchors|·8 join probes against the corpus
+    (one shuffle) and a per-anchor window over ≤ 8 rows.  Determinism:
+    the draw is the seeded md5-prefix integer idiom verified
+    cross-engine in plans/selection.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + 1).alias("m"))
+    anchors = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source"))
+        .crossJoin(F.broadcast(m))
+    )
+    draws = anchors.select(
+        "anchor_id",
+        "anchor_source",
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))).alias("j"),
+        "m",
+    ).select(
+        "anchor_id",
+        "anchor_source",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("anchor_id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("m")
+        ).alias("cand"),
+    )
+    valid = (
+        draws.join(
+            docs.select(
+                F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+            ),
+            draws.cand == F.col("neg_id"),
+        )
+        .where(
+            (F.col("neg_source") != F.col("anchor_source"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("j")
+    return (
+        valid.withColumn("k", F.row_number().over(w))
+        .where(F.col("k") <= _NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_source",
+            F.col("k").cast("int").alias("k"),
+            "neg_id",
+            "neg_source",
+        )
+    )

@@ -319,3 +319,105 @@ def events_hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_est",
         )
     )
+
+
+_CM_D = 4     # independent hash rows
+_CM_W = 512   # buckets per row
+_CM_TOP = 10  # probe set: exact top-N users
+
+_CM_HASH_SQL = (
+    "(('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' || CAST({u} AS VARCHAR)), 1, 8))"
+    f"::BIGINT) % {_CM_W}"
+)
+
+_COUNTMIN_ORACLE = f"""
+WITH probes AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id LIMIT {_CM_TOP}),
+exploded AS (
+    SELECT CAST(e.ts AS DATE) AS day, u.d,
+           {_CM_HASH_SQL.format(d="u.d", u="e.user_id")} AS bucket
+    FROM events e, unnest(range(0, {_CM_D})) AS u(d)),
+daily AS (
+    SELECT day, d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM exploded GROUP BY day, d, bucket),
+merged AS (
+    SELECT d, bucket, CAST(SUM(c) AS BIGINT) AS c
+    FROM daily GROUP BY d, bucket),
+pb AS (
+    SELECT p.user_id, p.exact_cnt, u.d,
+           {_CM_HASH_SQL.format(d="u.d", u="p.user_id")} AS bucket
+    FROM probes p, unnest(range(0, {_CM_D})) AS u(d)),
+est AS (
+    SELECT pb.user_id, pb.exact_cnt, CAST(MIN(m.c) AS BIGINT) AS cm_est
+    FROM pb JOIN merged m USING (d, bucket)
+    GROUP BY pb.user_id, pb.exact_cnt)
+SELECT user_id, exact_cnt, cm_est, cm_est - exact_cnt AS overestimate
+FROM est
+"""
+
+
+def _cm_bucket(d_col, u_col) -> F.Column:
+    """Cross-engine count-min bucket: md5 hex prefix as integer, mod W
+    (the md5-uniform idiom verified identical Spark↔DuckDB in
+    plans/selection.py)."""
+    key = F.concat(d_col.cast("string"), F.lit(":"), u_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _CM_W
+
+
+@_register("events_countmin_topk", _COUNTMIN_ORACLE)
+def events_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch rollup — the FREQUENCY member of the mergeable-
+    sketch trio (distinct = events_sketch_rollup's HLL, quantile =
+    events_hist_quantile_rollup's histogram): per-day D×W counter grids
+    (D=4 seeded md5 hash rows, W=512 buckets) merged upward by
+    elementwise sum; a key's count estimate at any grain is the MIN of
+    its D bucket counters (Cormode & Muthukrishnan 2005).  The query
+    reports the exact top-10 users alongside their estimate from the
+    merged sketch plus the overestimate (count-min NEVER underestimates
+    — pinned in tests/test_linkage.py).
+
+    Scale: the sketch table is |days|·D·W rows regardless of key
+    cardinality — at billions of users a day's frequency state is 2048
+    counters, and any date-range heavy-hitter check is O(D·W) sums over
+    that tiny table.  At test scale the sketch is BIGGER than the exact
+    count table (~1.5k users) — the break-even is keys ≫ D·W, which is
+    exactly the 100 TB regime.  The exact probe side exists to measure
+    the sketch and is the inherent second corpus pass (stats + probe,
+    per the PERF.md two-pass policy); production probes arrive from the
+    application.  Determinism: buckets are md5-uniform integers, all
+    counters BIGINT — no floats anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ds = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("d")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id", ds)
+        .select("day", "d", _cm_bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .groupBy("day", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = daily.groupBy("d", "bucket").agg(F.sum("c").cast("bigint").alias("c"))
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(_CM_TOP)
+    )
+    pb = probes.select("user_id", "exact_cnt", ds).select(
+        "user_id",
+        "exact_cnt",
+        "d",
+        _cm_bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        pb.join(merged, ["d", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).alias("overestimate"),
+    )

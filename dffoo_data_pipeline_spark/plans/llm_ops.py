@@ -456,6 +456,32 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.2)
 
 
+# the exhaustive exact computation at t=0.5 — hash-equality against it
+# IS the losslessness proof for the prefix filter
+_PREFIX_PAIRS_ORACLE = _JACCARD_ORACLE.replace(">= 0.2", ">= 0.5")
+
+
+@_register("dedup_prefix_filter_pairs", _PREFIX_PAIRS_ORACLE)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Jaccard ≥ 0.5 via PREFIX FILTERING
+    (operators/dedup.py:prefix_filter_pairs, after Bayardo et al. 2007):
+    shingles ranked rarest-first, only the first |x| − ⌈t·|x|⌉ + 1 per
+    doc enter posting lists, candidates verified with exact Jaccard.
+    The oracle is the EXHAUSTIVE all-sharing-pairs computation — value
+    equality against it is the filter's losslessness proof, per round.
+
+    Scale: the threshold-aware lossless alternative to the df
+    stop-shingle cap — hot shingles never generate pairs because they
+    rank last and fall outside every prefix; posting-list volume drops
+    to ~(1−t) of the corpus shingles, and pair fan-out concentrates in
+    RARE shingles whose lists are short by definition.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+
+
 _SURVIVOR_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id,

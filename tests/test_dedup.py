@@ -234,3 +234,50 @@ def test_lsh_verified_pairs_subset_of_exact_with_true_similarities(spark, sf_dir
         assert k in exact and v == exact[k]
     # on this fixture the banding captures everything (see quality report)
     assert set(verified) == set(exact)
+
+
+def test_prefix_filter_lossless_and_hot_shingle_safe(spark, sf_dir):
+    """Prefix filtering must equal the exhaustive computation (lossless
+    at the threshold) AND stay correct when a boilerplate shingle is
+    shared corpus-wide — the case the df stop-shingle cap silently
+    drops pairs for."""
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.5, max_doc_frequency=None
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pref == exact  # lossless, with true similarities
+
+    # constructed corpus: every doc shares one hot boilerplate shingle
+    # (so naive posting lists would pair everything); only 1&2 are near-dups
+    boiler = "click here to subscribe"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon"),
+            (2, f"{boiler} alpha beta gamma delta zeta"),
+            (3, f"{boiler} one two three four five"),
+            (4, f"{boiler} six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc_a, r.doc_b) for r in prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_doc_frequency=None
+        ).collect()
+    }
+    assert got == want
+    assert (1, 2) in got
+    assert (3, 4) not in got

@@ -120,3 +120,21 @@ def test_hist_quantile_rollup_bounds(spark, sf_dir):
         x50, x95 = exact[r.period]
         assert abs(r.p50_est - x50) <= 20.0, (r.period, r.p50_est, x50)
         assert abs(r.p95_est - x95) <= 20.0, (r.period, r.p95_est, x95)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The count-min hard guarantee: every estimate >= the exact count
+    (hash collisions only ADD); and the min-over-D rows keeps the
+    overestimate within the standard e*N/W bound's neighborhood."""
+    from dffoo_data_pipeline_spark.plans.linkage import events_countmin_topk
+
+    rows = events_countmin_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    for r in rows:
+        assert r.cm_est >= r.exact_cnt  # CM never underestimates
+        assert r.overestimate == r.cm_est - r.exact_cnt
+        # e*N/W ≈ 2.7*N/512; 10x headroom for the min-over-4-rows draw
+        assert r.overestimate <= max(10, 0.06 * total), (r.user_id, r.overestimate)
