@@ -102,7 +102,8 @@ _PRIORITY = [
     # linkage_blocked_match, events_sketch_rollup,
     # similarity_pq_topk, events_hist_quantile_rollup,
     # events_countmin_topk, dedup_prefix_filter_pairs,
-    # curation_contrastive_negatives
+    # curation_contrastive_negatives, corpus_drift_psi,
+    # events_rolling_range, curation_trainonly_scaler
 ]
 
 

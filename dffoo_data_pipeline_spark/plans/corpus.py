@@ -1297,3 +1297,106 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+_PSI_BIN_W = 100  # n_chars drift bins
+
+_DRIFT_PSI_ORACLE = f"""
+WITH u AS (
+    SELECT doc_id % 2 AS is_new, 'n_chars' AS feature,
+           CAST(CAST(FLOOR(n_chars / {_PSI_BIN_W}.0) AS BIGINT) AS VARCHAR) AS bucket
+    FROM documents
+    UNION ALL
+    SELECT doc_id % 2, 'lang', lang FROM documents),
+cnt AS (
+    SELECT feature, bucket,
+           CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+           CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+    FROM u GROUP BY feature, bucket),
+tot AS (
+    SELECT feature, c_old, c_new,
+           CAST(SUM(c_old) OVER (PARTITION BY feature) AS BIGINT) AS n_old,
+           CAST(SUM(c_new) OVER (PARTITION BY feature) AS BIGINT) AS n_new,
+           CAST(COUNT(*) OVER (PARTITION BY feature) AS BIGINT) AS b
+    FROM cnt),
+terms AS (
+    SELECT feature, b,
+           (CAST(c_new + 1 AS DOUBLE) / (n_new + b)
+            - CAST(c_old + 1 AS DOUBLE) / (n_old + b)) AS dp,
+           FLOOR(ln((CAST(c_new + 1 AS DOUBLE) / (n_new + b))
+                    / (CAST(c_old + 1 AS DOUBLE) / (n_old + b)))
+                 * 1000000 + 0.5) / 1000000 AS lr
+    FROM tot)
+SELECT feature, MAX(b) AS n_buckets,
+       FLOOR(CAST(SUM(CAST(FLOOR(dp * lr * 1000000000 + 0.5) / 1000000000
+                           AS DECIMAL(18,9))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS psi
+FROM terms GROUP BY feature
+"""
+
+
+@_register("corpus_drift_psi", _DRIFT_PSI_ORACLE)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots (proxied here by doc_id parity; production passes the
+    previous and current crawl): PSI = Σ_buckets (p_new − p_old) ·
+    ln(p_new/p_old) with add-one smoothing, over the length histogram
+    (100-char bins) and the language mix.  PSI < 0.1 is the standard
+    "no action" gate; > 0.25 means the mixture moved enough to re-tune
+    curation thresholds — the monitor that catches a crawl source going
+    dark or a boilerplate explosion BEFORE a model trains on it.
+
+    Scale: ONE corpus scan (both features exploded from each row into a
+    tagged struct), one map-side-combined (feature, bucket) aggregation
+    — bucket cardinality is |bins| + |langs| — and windows over that
+    tiny frame.  Determinism: counts stay BIGINT; each probability is a
+    quotient of exact integers (identical doubles cross-engine); ln is
+    rounded at 1e-6 immediately (module ln discipline), terms at 1e-9
+    into DECIMAL(18,9) so the per-feature sum is partition-order-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        (F.col("doc_id") % 2).alias("is_new"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_chars").alias("feature"),
+                    F.floor(F.col("n_chars") / float(_PSI_BIN_W))
+                    .cast("bigint")
+                    .cast("string")
+                    .alias("bucket"),
+                ),
+                F.struct(F.lit("lang").alias("feature"), F.col("lang").alias("bucket")),
+            )
+        ).alias("f"),
+    ).select("is_new", "f.feature", "f.bucket")
+    cnt = u.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0)).cast("bigint").alias("c_old"),
+        F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0)).cast("bigint").alias("c_new"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = cnt.select(
+        "feature",
+        "c_old",
+        "c_new",
+        F.sum("c_old").over(wf).cast("bigint").alias("n_old"),
+        F.sum("c_new").over(wf).cast("bigint").alias("n_new"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("b"),
+    )
+    p_new = (F.col("c_new") + 1).cast("double") / (F.col("n_new") + F.col("b"))
+    p_old = (F.col("c_old") + 1).cast("double") / (F.col("n_old") + F.col("b"))
+    terms = tot.select(
+        "feature",
+        "b",
+        (p_new - p_old).alias("dp"),
+        round_det(F.log(p_new / p_old), 6).alias("lr"),
+    )
+    return terms.groupBy("feature").agg(
+        F.max("b").alias("n_buckets"),
+        round_det(
+            F.sum(
+                round_det(F.col("dp") * F.col("lr"), 9).cast("decimal(18,9)")
+            ).cast("double"),
+            6,
+        ).alias("psi"),
+    )

@@ -954,3 +954,70 @@ def curation_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFram
             "neg_source",
         )
     )
+
+
+_SCALER_ORACLE = """
+WITH assigned AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS s1,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+    FROM assigned WHERE split = 'train')
+SELECT a.doc_id, a.split, a.n_chars,
+       FLOOR((a.n_chars - CAST(s.s1 AS DOUBLE) / s.n)
+             / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                    / (CAST(s.n AS DOUBLE) * s.n))
+             * 1000000 + 0.5) / 1000000 AS z
+FROM assigned a CROSS JOIN stats s
+"""
+
+
+@_register("curation_trainonly_scaler", _SCALER_ORACLE)
+def curation_trainonly_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature scaling: z-score every document's length
+    using mean/std fitted on the TRAIN split ONLY (the md5 split rule of
+    curation_split_assign), then applied to all splits — the
+    preprocessing twin of curation_leakage_safe_split.  Fitting a scaler
+    on the full corpus leaks val/test statistics into training; fitting
+    per split makes splits incomparable.  Train-only fit is the rule.
+
+    Scale: the fit is a 1-row aggregate over a filtered pass (map-side
+    combined), broadcast to the apply projection — the inherent
+    stats-then-apply two-pass (PERF.md policy); at 100 TB the 1-row
+    stats frame is persisted alongside the model, not recomputed.
+    Determinism: n_chars is integer, so Σx and Σx² are EXACT BIGINTs;
+    mean and population variance are computed as quotients of exact
+    integers ((n·Σx² − (Σx)²)/n² avoids the catastrophic cancellation of
+    mean-of-squares in floating point); sqrt is IEEE-correctly-rounded;
+    the z is floor-rounded at 1e-6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(_doc_hash(), 1, 1)
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").alias("split"),
+    )
+    stats = (
+        assigned.where(F.col("split") == "train")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return assigned.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "split",
+        "n_chars",
+        N.round_det((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("z"),
+    )

@@ -1116,3 +1116,47 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("interp_value"),
     )
+
+
+_ROLLING_RANGE_SQL = """
+WITH e AS (
+    SELECT event_id, user_id, value,
+           CAST(extract(epoch FROM ts) AS BIGINT) AS sec
+    FROM events)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS val_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("events_rolling_range", _ROLLING_RANGE_SQL)
+def events_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME rolling features: at every event, the count and value
+    sum of that user's trailing hour — a RANGE frame over epoch seconds,
+    not a ROWS frame (window_rolling_frame covers those).  Rows frames
+    count a fixed number of events; range frames honor wall-clock gaps,
+    which is what a feature store ships to a model ("activity in the
+    last hour at prediction time").  A frame bound in seconds also means
+    peers at the same second contribute to each other symmetrically —
+    engine-identical with no ordering tiebreak needed.
+
+    Scale: one shuffle on user_id, then a per-partition ordered scan
+    with a sliding two-pointer frame — Spark evaluates RANGE frames
+    without re-summing the window per row.  The value sum is carried as
+    DECIMAL(12,2) (exact, order-independent) and cast to double last.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
+        F.sum(N.dec2("value")).over(w).cast("double").alias("val_1h"),
+    )
