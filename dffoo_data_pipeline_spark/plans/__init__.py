@@ -103,7 +103,8 @@ _PRIORITY = [
     # similarity_pq_topk, events_hist_quantile_rollup,
     # events_countmin_topk, dedup_prefix_filter_pairs,
     # curation_contrastive_negatives, corpus_drift_psi,
-    # events_rolling_range, curation_trainonly_scaler
+    # events_rolling_range, curation_trainonly_scaler,
+    # events_ab_wilson, profile_sample_estimate
 ]
 
 

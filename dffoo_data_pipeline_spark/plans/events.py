@@ -1160,3 +1160,85 @@ def events_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
         F.sum(N.dec2("value")).over(w).cast("double").alias("val_1h"),
     )
+
+
+_AB_WILSON_SQL = """
+WITH per_user AS (
+    SELECT user_id % 2 AS arm,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+    FROM events GROUP BY user_id),
+arms AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_conv
+    FROM per_user WHERE first_view IS NOT NULL GROUP BY arm),
+wilson AS (
+    SELECT arm, n_users, n_conv,
+           CAST(n_conv AS DOUBLE) / n_users AS p,
+           1.96 * 1.96 AS z2
+    FROM arms)
+SELECT arm, n_users, n_conv,
+       FLOOR(p * 1000000 + 0.5) / 1000000 AS rate,
+       FLOOR((p + z2 / (2 * n_users)
+              - 1.96 * sqrt(p * (1 - p) / n_users
+                            + z2 / (4.0 * n_users * n_users)))
+             / (1 + z2 / n_users) * 1000000 + 0.5) / 1000000 AS ci_lo,
+       FLOOR((p + z2 / (2 * n_users)
+              + 1.96 * sqrt(p * (1 - p) / n_users
+                            + z2 / (4.0 * n_users * n_users)))
+             / (1 + z2 / n_users) * 1000000 + 0.5) / 1000000 AS ci_hi
+FROM wilson
+"""
+
+
+@_register("events_ab_wilson", _AB_WILSON_SQL)
+def events_ab_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: per-arm view→purchase conversion rate
+    with the Wilson 95% score interval (arm proxied by user_id parity;
+    production joins an assignment table).  A user converts when their
+    last purchase follows their first view; only view-exposed users
+    enter the denominator.  Wilson instead of the normal approximation
+    because arms with few conversions put ±z√(pq/n) below 0 — the
+    standard fix every experimentation platform ships.
+
+    Scale: one scan → per-user min/max conditional agg (map-side
+    combined, shuffle on user_id) → |arms| rows; the interval math runs
+    on the 2-row frame.  Determinism: n and c are exact BIGINTs, p is a
+    quotient of exact integers, and the identical IEEE expression (same
+    1.96 literal) runs on both engines, floor-rounded at 1e-6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    arms = (
+        per_user.where(F.col("first_view").isNotNull())
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(F.col("last_purchase") > F.col("first_view"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_conv"),
+        )
+    )
+    n = F.col("n_users")
+    p = F.col("n_conv").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (2 * n)
+    margin = F.lit(1.96) * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    denom = 1 + z2 / n
+    return arms.select(
+        "arm",
+        "n_users",
+        "n_conv",
+        N.round_det(p, 6).alias("rate"),
+        N.round_det((center - margin) / denom, 6).alias("ci_lo"),
+        N.round_det((center + margin) / denom, 6).alias("ci_hi"),
+    )

@@ -278,3 +278,117 @@ def profile_approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataF
 
 
 QUERIES["profile_approx_quantiles_lineitem"] = profile_approx_quantiles_lineitem
+
+
+_SAMPLE_EST_ORACLE = """
+WITH agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_total,
+           CAST(SUM(CASE WHEN substr(md5('samp:' || CAST(l_orderkey AS VARCHAR)
+                                     || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                              = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+           CAST(SUM(CASE WHEN substr(md5('samp:' || CAST(l_orderkey AS VARCHAR)
+                                     || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                              = '0' THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN substr(md5('samp:' || CAST(l_orderkey AS VARCHAR)
+                                     || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                              = '0' THEN CAST(l_quantity AS BIGINT)
+                                         * CAST(l_quantity AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS s2
+    FROM lineitem),
+calc AS (
+    SELECT n_total, n_s,
+           CAST(s1 AS DOUBLE) / n_s AS est_mean,
+           sqrt(CAST(n_s * s2 - s1 * s1 AS DOUBLE)
+                / (CAST(n_s AS DOUBLE) * (n_s - 1)) / n_s
+                * (CAST(n_total - n_s AS DOUBLE) / (n_total - 1))) AS se,
+           CAST(sum_total AS DOUBLE) / n_total AS exact_mean
+    FROM agg)
+SELECT n_total, n_s AS n_sample,
+       FLOOR(est_mean * 1000000 + 0.5) / 1000000 AS est_mean,
+       FLOOR(se * 1000000 + 0.5) / 1000000 AS se,
+       FLOOR((est_mean - 1.96 * se) * 1000000 + 0.5) / 1000000 AS ci95_lo,
+       FLOOR((est_mean + 1.96 * se) * 1000000 + 0.5) / 1000000 AS ci95_hi,
+       FLOOR(exact_mean * 1000000 + 0.5) / 1000000 AS exact_mean,
+       (FLOOR((est_mean - 1.96 * se) * 1000000 + 0.5) / 1000000
+          <= FLOOR(exact_mean * 1000000 + 0.5) / 1000000
+        AND FLOOR(exact_mean * 1000000 + 0.5) / 1000000
+          <= FLOOR((est_mean + 1.96 * se) * 1000000 + 0.5) / 1000000) AS covered95,
+       (FLOOR((est_mean - 2.576 * se) * 1000000 + 0.5) / 1000000
+          <= FLOOR(exact_mean * 1000000 + 0.5) / 1000000
+        AND FLOOR(exact_mean * 1000000 + 0.5) / 1000000
+          <= FLOOR((est_mean + 2.576 * se) * 1000000 + 0.5) / 1000000) AS covered99
+FROM calc
+"""
+
+
+def profile_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-with-error-bar audit: the mean of l_quantity estimated
+    from a deterministic 1/16 sample (md5 first hex digit of the row
+    key) with its standard error, finite-population-corrected 95%/99%
+    CIs, and the exact mean beside it plus coverage verdicts — the
+    "measure cheaply and KNOW the error" discipline; at 100 TB most
+    profiling questions should be answered this way, with the exact
+    pass reserved for when the CI is too wide.  The fixture honestly
+    shows calibration in action: this particular md5 draw lands ~2.2 SE
+    high at sf0.01 (a 1-in-30 draw), so covered95 is FALSE there while
+    covered99 is TRUE — which is exactly what a 95% interval is allowed
+    to do and what the audit exists to surface.
+
+    Scale: ONE scan — sample membership is a per-row hash predicate, so
+    sample and exact moments are conditional aggregates in the same
+    map-side-combined pass (no second read, no shuffle beyond the 1-row
+    agg).  Determinism: quantities are integral, so all moments are
+    exact BIGINTs; the estimator ((nΣx²−(Σx)²)/(n(n−1)), fpc
+    (N−n)/(N−1)) is the identical IEEE expression on both engines;
+    `covered` compares the 1e-6-rounded bounds so the boolean can't
+    straddle an ulp.
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.lit("samp:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    in_s = F.substring(F.md5(key), 1, 1) == "0"
+    q = F.col("l_quantity").cast("bigint")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(q).cast("bigint").alias("sum_total"),
+        F.sum(F.when(in_s, 1).otherwise(0)).cast("bigint").alias("n_s"),
+        F.sum(F.when(in_s, q).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(in_s, q * q).otherwise(0)).cast("bigint").alias("s2"),
+    )
+    n_total, n_s = F.col("n_total"), F.col("n_s")
+    est = F.col("s1").cast("double") / n_s
+    se = F.sqrt(
+        (n_s * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (n_s.cast("double") * (n_s - 1))
+        / n_s
+        * ((n_total - n_s).cast("double") / (n_total - 1))
+    )
+    exact = F.col("sum_total").cast("double") / n_total
+    lo95, hi95 = round_det(est - 1.96 * se, 6), round_det(est + 1.96 * se, 6)
+    lo99, hi99 = round_det(est - 2.576 * se, 6), round_det(est + 2.576 * se, 6)
+    ex = round_det(exact, 6)
+    return agg.select(
+        "n_total",
+        n_s.alias("n_sample"),
+        round_det(est, 6).alias("est_mean"),
+        round_det(se, 6).alias("se"),
+        lo95.alias("ci95_lo"),
+        hi95.alias("ci95_hi"),
+        ex.alias("exact_mean"),
+        ((lo95 <= ex) & (ex <= hi95)).alias("covered95"),
+        ((lo99 <= ex) & (ex <= hi99)).alias("covered99"),
+    )
+
+
+QUERIES["profile_sample_estimate"] = profile_sample_estimate
+ORACLES["profile_sample_estimate"] = _SAMPLE_EST_ORACLE

@@ -175,6 +175,33 @@ def upsert_by_key(
     _swap_in(staging, path)
 
 
+def delete_by_key(
+    spark: SparkSession, path: str, key_col: str, keys: DataFrame
+) -> int:
+    """Right-to-be-forgotten delete: rewrite a keyed parquet table
+    WITHOUT every row whose ``key_col`` appears in ``keys`` (a 1-column
+    DataFrame), atomically.  Returns the number of rows removed.
+    Idempotent — re-running with the same keys is a no-op rewrite — and
+    the anti-join is the same logical plan a Delta/Iceberg DELETE
+    compiles to, so the sink swap is one line there too.
+
+    Scale: the deletion-key set is broadcast when small (the common
+    GDPR batch) or shuffle-joined when not; only surviving rows are
+    rewritten.  At 100 TB pair this with partition/file pruning on the
+    key's hash range so the rewrite touches only affected files — the
+    plain-parquet form rewrites the table, which is the honest cost
+    floor without a table format's file index.
+    """
+    current = spark.read.parquet(path)
+    k = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    kept = current.join(k, [key_col], "left_anti")
+    removed = current.count() - kept.count()
+    staging = f"{path.rstrip('/')}.__staging__"
+    kept.write.mode("overwrite").parquet(staging)
+    _swap_in(staging, path)
+    return removed
+
+
 def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Small-files compaction: rewrite a parquet directory into
     ceil(total_bytes / target) files.  Streaming sinks and per-batch

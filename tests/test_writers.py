@@ -205,3 +205,26 @@ def test_sorted_corpus_ranges_disjoint(spark, tmp_path):
     # file sizes balanced within 3× despite the modular key pattern
     rows = sorted(r.rows for r in manifest)
     assert rows[-1] <= 3 * rows[0], rows
+
+
+def test_delete_by_key_is_atomic_and_idempotent(spark, tmp_path):
+    """GDPR delete: targeted keys vanish, others are untouched, and a
+    re-run with the same keys removes nothing."""
+    from dffoo_data_pipeline_spark.sources.writers import delete_by_key
+
+    p = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(i, f"u{i}", i * 10.0) for i in range(20)], "user_id long, name string, v double"
+    ).write.parquet(p)
+    doomed = spark.createDataFrame([(3,), (7,), (999,)], "user_id long")
+
+    removed = delete_by_key(spark, p, "user_id", doomed)
+    assert removed == 2  # 999 never existed
+    left = {r.user_id for r in spark.read.parquet(p).collect()}
+    assert left == set(range(20)) - {3, 7}
+    # survivors keep their full rows
+    r5 = spark.read.parquet(p).where("user_id = 5").collect()[0]
+    assert (r5.name, r5.v) == ("u5", 50.0)
+
+    assert delete_by_key(spark, p, "user_id", doomed) == 0  # idempotent
+    assert {r.user_id for r in spark.read.parquet(p).collect()} == left
