@@ -104,7 +104,8 @@ _PRIORITY = [
     # events_countmin_topk, dedup_prefix_filter_pairs,
     # curation_contrastive_negatives, corpus_drift_psi,
     # events_rolling_range, curation_trainonly_scaler,
-    # events_ab_wilson, profile_sample_estimate
+    # events_ab_wilson, profile_sample_estimate,
+    # abilities_from_pysource
 ]
 
 

@@ -479,8 +479,32 @@ def abilities_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def abilities_from_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME parse fed by the custom Python DataSource
+    (sources/pysource.py: `spark.read.format("charwiki")` — the
+    reference's scraper loop as a partition-per-character DataSource V2
+    connector with char_name filter pushdown).  Shares abilities_parse's
+    oracle, so the driver hash-checks the whole connector path: source
+    enumeration → partitioned read → parse → identical 57 rows.
+    """
+    from dffoo_data_pipeline_spark.sources import pysource
+
+    pysource.register(spark)
+    lines = spark.read.format("charwiki").load()
+    return parse_ability_lines(lines).select(
+        "char_name",
+        "ability_name",
+        "ability_id",
+        "main_target_hp_attacks",
+        "non_target_hp_attacks",
+        "hp_dmg_cap_up_perc",
+        "game_version",
+    )
+
+
 QUERIES["abilities_parse"] = abilities_parse
 QUERIES["abilities_full_pipeline"] = abilities_full_pipeline
+QUERIES["abilities_from_pysource"] = abilities_from_pysource
 
 
 # ---------------------------------------------------------------------------
@@ -616,6 +640,9 @@ ORACLES["abilities_parse"] = (
     + _PARSE_SQL_BODY
     + "\nSELECT * FROM parsed"
 )
+# the connector path must produce byte-identical results to the fixture
+# path — same oracle checks both
+ORACLES["abilities_from_pysource"] = ORACLES["abilities_parse"]
 
 _CORRECTIONS_SQL = """
 fix(char_name, ability_name, fixed_cap) AS (VALUES

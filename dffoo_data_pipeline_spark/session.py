@@ -44,6 +44,9 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.ansi.enabled", "false")
+        # Python DataSource filter pushdown (sources/pysource.py prunes
+        # charwiki partitions on pushed char_name equality)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
