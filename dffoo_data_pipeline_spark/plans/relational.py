@@ -857,6 +857,30 @@ def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scalar_variant_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+    FROM events
+    """,
+)
+def scalar_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path (§2h, the modern form of
+    scalar_json_extraction): `parse_json` turns the JSON string into the
+    binary VARIANT encoding once, then `variant_get` does typed path
+    extraction — at 100 TB this is the storage/addressing win over
+    per-query string re-parsing (get_json_object re-tokenizes the string
+    for every path it touches; a VARIANT column parses once at write
+    time and serves any path from the binary form).  Oracle extracts the
+    same paths from the JSON text.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return e.select("event_id", k.alias("k_value"), (k % 10).alias("k_mod"))
+
+
+@_register(
     "array_functions_agg",
     """
     SELECT o_custkey,
