@@ -105,7 +105,8 @@ _PRIORITY = [
     # curation_contrastive_negatives, corpus_drift_psi,
     # events_rolling_range, curation_trainonly_scaler,
     # events_ab_wilson, profile_sample_estimate,
-    # abilities_from_pysource, scalar_variant_extraction
+    # abilities_from_pysource, scalar_variant_extraction,
+    # text_classifier_train
 ]
 
 

@@ -610,3 +610,188 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= _RRF_TOP)
         .select("seed_id", "doc_id", "rrf_score", "lex_rank", "dense_rank", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature classifier TRAINING (full-batch GD, unrolled + oracled)
+# ---------------------------------------------------------------------------
+
+N_TRAIN_BUCKETS = 64
+_TRAIN_ROUNDS = 3
+_TRAIN_LR = "1.0"  # literal, spelled identically in both engines
+_R9 = "1000000000"
+
+
+def _rnd9(e: str) -> str:
+    return f"FLOOR(({e}) * {_R9} + 0.5) / {_R9}"
+
+
+def _train_oracle() -> str:
+    common = f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+           unnest({_SQL_TOKS}) AS tok FROM documents),
+feat AS MATERIALIZED (
+    SELECT doc_id, y, (('0x' || substr(md5(tok), 1, 8))::BIGINT) % {N_TRAIN_BUCKETS} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, y, bucket),
+nd AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM feat),
+mu AS MATERIALIZED (
+    SELECT bucket, CAST(SUM(tf) AS BIGINT) AS s FROM feat GROUP BY bucket),
+featx AS MATERIALIZED (
+    SELECT f.doc_id, f.y, f.bucket,
+           {_rnd9('CAST(f.tf AS DOUBLE) - CAST(m.s AS DOUBLE) / (SELECT n FROM nd)')} AS x
+    FROM feat f JOIN mu m USING (bucket)),
+w0 AS MATERIALIZED (
+    SELECT CAST(r.range AS BIGINT) AS bucket, CAST(0 AS DOUBLE) AS w
+    FROM range({N_TRAIN_BUCKETS}) r),
+b0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS b)"""
+    rounds = ""
+    for t in range(1, _TRAIN_ROUNDS + 1):
+        p = t - 1
+        rounds += f""",
+m{t} AS MATERIALIZED (
+    SELECT f.doc_id, f.y,
+           CAST(SUM(CAST({_rnd9('w.w * f.x')} AS DECIMAL(24,9))) AS DOUBLE)
+             + (SELECT b FROM b{p}) AS margin
+    FROM featx f JOIN w{p} w USING (bucket) GROUP BY f.doc_id, f.y),
+r{t} AS MATERIALIZED (
+    SELECT doc_id, y, y - {_rnd9('1.0 / (1.0 + exp(-margin))')} AS resid FROM m{t}),
+g{t} AS MATERIALIZED (
+    SELECT f.bucket,
+           CAST(SUM(CAST({_rnd9('r.resid * f.x')} AS DECIMAL(24,9))) AS DOUBLE) AS g
+    FROM featx f JOIN r{t} r USING (doc_id) GROUP BY f.bucket),
+w{t} AS MATERIALIZED (
+    SELECT w.bucket,
+           {_rnd9(f'w.w + {_TRAIN_LR} * COALESCE(g.g, 0) / (SELECT n FROM nd)')} AS w
+    FROM w{p} w LEFT JOIN g{t} g USING (bucket)),
+b{t} AS MATERIALIZED (
+    SELECT {_rnd9(f'(SELECT b FROM b{p}) + {_TRAIN_LR} * '
+                  f'(SELECT CAST(SUM(CAST(resid AS DECIMAL(24,9))) AS DOUBLE) FROM r{t})'
+                  f' / (SELECT n FROM nd)')} AS b)"""
+    final = (
+        f"\nSELECT bucket, w FROM w{_TRAIN_ROUNDS} "
+        f"UNION ALL SELECT CAST(-1 AS BIGINT), (SELECT b FROM b{_TRAIN_ROUNDS})"
+    )
+    return common + rounds + final
+
+
+_TRAIN_ORACLE = _train_oracle()
+
+
+@_register("text_classifier_train", _TRAIN_ORACLE)
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier in the engine: 3 unrolled rounds of
+    full-batch logistic-regression gradient descent over mean-centered
+    hashed-unigram count features, label = the length-quality gate
+    (n_chars ≥ 300) — the learned replacement for Gopher's hand-set
+    word-count rule, and the missing half of text_classifier_score
+    (which applies a weight table this query produces).  Output is the
+    model itself: 64 (bucket, w) rows plus the bias as bucket −1.
+    Reaches 93.6% train accuracy vs the 51.2% majority baseline at
+    sf0.01 (pinned in tests/test_retrieval.py).  Note the corpus offers
+    no LEXICAL signal to learn — all five languages share one synthetic
+    vocabulary (text_langid_confusion documents this) — so the
+    learnable label is the frequency-profile one.
+
+    Scale: the iterative-fixpoint discipline of operators/graph.py's
+    PageRank applied to learning — per round one broadcast join of the
+    64-row weight table (a 2M-bucket fastText dim still broadcasts),
+    one doc-keyed margin aggregation, one doc-keyed residual join and
+    one 64-key gradient aggregation with map-side partials; the feature
+    relation is computed once (lazy localCheckpoint) and re-read per
+    round.  Full-batch GD is the deterministic choice — production SGD
+    samples batches, same plan per step.  Determinism: the pagerank
+    trick transplanted to floats — every per-row term is floor-rounded
+    at 1e-9 and summed as DECIMAL(24,9) (partition-order-exact), the
+    sigmoid's exp runs on identical doubles in both engines, and
+    weights/bias are re-rounded every round, so the whole training
+    trajectory is bit-identical and the driver hash-checks the final
+    MODEL.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    feat = (
+        d.select(
+            "doc_id",
+            (F.col("n_chars") >= 300).cast("int").alias("y"),
+            F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % N_TRAIN_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    nd = feat.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    mu = feat.groupBy("bucket").agg(F.sum("tf").cast("bigint").alias("s"))
+    featx = (
+        feat.join(F.broadcast(mu), "bucket")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "y",
+            "bucket",
+            round_det(
+                F.col("tf").cast("double") - F.col("s").cast("double") / F.col("n"), 9
+            ).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lr = float(_TRAIN_LR)
+    w = spark.range(N_TRAIN_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket"), F.lit(0.0).alias("w")
+    )
+    b = spark.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(_TRAIN_ROUNDS):
+        m = (
+            featx.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum(round_det(F.col("w") * F.col("x"), 9).cast("decimal(24,9)"))
+                .cast("double")
+                .alias("s")
+            )
+            .crossJoin(F.broadcast(b))
+            .select("doc_id", "y", (F.col("s") + F.col("b")).alias("margin"))
+        )
+        r = m.select(
+            "doc_id",
+            (
+                F.col("y")
+                - round_det(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9)
+            ).alias("resid"),
+        )
+        g = (
+            featx.join(r, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(round_det(F.col("resid") * F.col("x"), 9).cast("decimal(24,9)"))
+                .cast("double")
+                .alias("g")
+            )
+        )
+        gb = r.agg(F.sum(F.col("resid").cast("decimal(24,9)")).cast("double").alias("gs"))
+        w = (
+            w.join(g, "bucket", "left")
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "bucket",
+                round_det(
+                    F.col("w") + lr * F.coalesce(F.col("g"), F.lit(0.0)) / F.col("n"), 9
+                ).alias("w"),
+            )
+        )
+        b = (
+            b.crossJoin(F.broadcast(gb))
+            .crossJoin(F.broadcast(nd))
+            .select(round_det(F.col("b") + lr * F.col("gs") / F.col("n"), 9).alias("b"))
+        )
+    return w.unionByName(
+        b.select(F.lit(-1).cast("bigint").alias("bucket"), F.col("b").alias("w"))
+    )

@@ -167,3 +167,57 @@ def test_bm25_plan_broadcasts_query_probe(spark, sf_dir):
     # the only nested-loop joins allowed are the two single-row stats
     # broadcasts (avgdl / n_docs)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_classifier_train_learns_past_majority(spark):
+    """The trained model must actually separate: scoring the training
+    corpus with the returned weights beats the majority-class baseline
+    by a wide margin (0.936 vs 0.512 measured at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions import text as TX
+    from dffoo_data_pipeline_spark.plans.retrieval import (
+        N_TRAIN_BUCKETS,
+        text_classifier_train,
+    )
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    model = {r.bucket: r.w for r in text_classifier_train(spark, sf_dir).collect()}
+    bias = model.pop(-1)
+    assert len(model) == N_TRAIN_BUCKETS
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = (
+        d.select(
+            "doc_id",
+            (F.col("n_chars") >= 300).cast("int").alias("y"),
+            F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % N_TRAIN_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    win_s = feat.groupBy("bucket").agg(F.sum("tf").alias("s"))
+    n_docs = feat.select("doc_id").distinct().count()
+    warr = F.array(*[F.lit(model[i]) for i in range(N_TRAIN_BUCKETS)])
+    scored = (
+        feat.join(win_s, "bucket")
+        .withColumn("x", F.col("tf") - F.col("s") / F.lit(n_docs))
+        .withColumn("wx", F.element_at(warr, F.col("bucket").cast("int") + 1) * F.col("x"))
+        .groupBy("doc_id", "y")
+        .agg((F.sum("wx") + F.lit(bias)).alias("margin"))
+    )
+    acc_row = scored.select(
+        F.avg(((F.col("margin") >= 0) == (F.col("y") == 1)).cast("double")).alias("acc"),
+        F.avg(F.col("y").cast("double")).alias("base"),
+    ).collect()[0]
+    assert acc_row.acc >= 0.9, acc_row
+    assert acc_row.acc >= acc_row.base + 0.3
