@@ -100,3 +100,37 @@ def test_pq_topk_contracts(spark, sf_dir):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].approx_dist <= rs[1].approx_dist <= rs[2].approx_dist
+
+
+def test_kmeans_train_moves_assignments_and_balances(spark, sf_dir):
+    """The oracled Lloyd loop must exhibit real iteration dynamics:
+    a nontrivial share of vectors change cluster between the first and
+    final round (else the oracle equality would only cover a static
+    nearest-seed assignment), and no cluster collapses empty."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.embeddings import (
+        _KM_K,
+        _KMEANS_ORACLE,
+        embedding_kmeans_train,
+    )
+
+    rows = embedding_kmeans_train(spark, sf_dir).collect()
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    assert len(sizes) == _KM_K  # every cluster survives
+    assert min(sizes.values()) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    moved = con.execute(
+        _KMEANS_ORACLE.replace(
+            "\nSELECT vec_id, cid AS cluster_id, d2 FROM a3",
+            "\nSELECT COUNT(*) FROM a1 JOIN a3 USING (vec_id) WHERE a1.cid <> a3.cid",
+        )
+    ).fetchone()[0]
+    assert moved > 0.05 * len(rows), moved
+    con.close()
