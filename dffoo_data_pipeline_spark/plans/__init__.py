@@ -106,7 +106,8 @@ _PRIORITY = [
     # events_rolling_range, curation_trainonly_scaler,
     # events_ab_wilson, profile_sample_estimate,
     # abilities_from_pysource, scalar_variant_extraction,
-    # text_classifier_train, embedding_kmeans_train
+    # text_classifier_train, embedding_kmeans_train,
+    # streaming_countmin_topk
 ]
 
 

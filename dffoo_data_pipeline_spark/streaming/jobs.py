@@ -1175,3 +1175,70 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         ).cast("long").alias("secs_to_purchase"),
     )
     return run_stream_to_table(joined, "append")
+
+
+def streaming_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY THE INGEST STREAM: every event
+    increments its D hashed counters as it lands, so the streaming state
+    is exactly the sketch — D·W BIGINT cells, BOUNDED regardless of how
+    many distinct users ever appear (a naive streaming per-user count's
+    state grows with cardinality forever; the sketch is the
+    fixed-memory alternative every stream processor reaches for).  The
+    heavy-hitter dashboard then reads the maintained sketch: the exact
+    top-10 probes are evaluated batch-side against the streamed
+    counters, and the output — and therefore the ORACLE — is identical
+    to the batch twin events_countmin_topk, so one oracle checks that
+    stream-maintained and batch-built sketches agree cell-for-cell
+    (counts commute with micro-batching).
+    """
+    from dffoo_data_pipeline_spark.plans.linkage import (
+        _CM_D,
+        _CM_TOP,
+        _cm_bucket,
+    )
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    ds = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("d")
+    sk = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", ds)
+        .select("d", _cm_bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sketch = run_stream_to_table(sk, "complete")
+
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(_CM_TOP)
+    )
+    pb = probes.select("user_id", "exact_cnt", ds).select(
+        "user_id",
+        "exact_cnt",
+        "d",
+        _cm_bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        pb.join(sketch, ["d", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).alias("overestimate"),
+    )
+
+
+def _register_countmin_stream() -> None:
+    from dffoo_data_pipeline_spark.plans.linkage import _COUNTMIN_ORACLE
+
+    QUERIES["streaming_countmin_topk"] = streaming_countmin_topk
+    ORACLES["streaming_countmin_topk"] = _COUNTMIN_ORACLE
+
+
+_register_countmin_stream()
