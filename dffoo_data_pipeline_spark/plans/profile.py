@@ -392,3 +392,142 @@ def profile_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["profile_sample_estimate"] = profile_sample_estimate
 ORACLES["profile_sample_estimate"] = _SAMPLE_EST_ORACLE
+
+
+_REGRESSION_ORACLE = """
+WITH mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sdd,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxd,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(14,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(14,4))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syx,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(14,4))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syd,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(14,4)) AS DECIMAL(24,4))
+                    * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(14,4))) AS DOUBLE) AS syy
+    FROM lineitem),
+solved AS (
+    SELECT n, sx, sd, sxx, sdd, sxd, sy, syx, syd, syy,
+           n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+             + sd * (sx * sxd - sxx * sd) AS det,
+           sy * (sxx * sdd - sxd * sxd) - sx * (syx * sdd - sxd * syd)
+             + sd * (syx * sxd - sxx * syd) AS det0,
+           n * (syx * sdd - sxd * syd) - sy * (sx * sdd - sxd * sd)
+             + sd * (sx * syd - syx * sd) AS det1,
+           n * (sxx * syd - syx * sxd) - sx * (sx * syd - syx * sd)
+             + sy * (sx * sxd - sxx * sd) AS det2
+    FROM solved_base),
+coef AS (
+    SELECT n, sx, sd, sxx, sdd, sxd, sy, syx, syd, syy,
+           FLOOR(det0 / det * 1000000 + 0.5) / 1000000 AS b0,
+           FLOOR(det1 / det * 1000000 + 0.5) / 1000000 AS b1,
+           FLOOR(det2 / det * 1000000 + 0.5) / 1000000 AS b2
+    FROM solved)
+SELECT n, b0, b1 AS b_price, b2 AS b_discount,
+       FLOOR((1 - (syy - 2 * (b0 * sy + b1 * syx + b2 * syd)
+                   + (b0 * b0 * n + b1 * b1 * sxx + b2 * b2 * sdd
+                      + 2 * b0 * b1 * sx + 2 * b0 * b2 * sd
+                      + 2 * b1 * b2 * sxd))
+                  / (syy - sy * sy / n)) * 1000000 + 0.5) / 1000000 AS r2
+FROM coef
+"""
+_REGRESSION_ORACLE = _REGRESSION_ORACLE.replace("FROM solved_base", "FROM mom")
+
+
+def lineitem_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear-model fitting from EXACT sufficient statistics:
+    discounted revenue (extendedprice·(1−discount)) regressed on
+    (extendedprice, discount) by the normal equations — all nine moments
+    are exact DECIMAL/BIGINT sums collected in ONE map-side-combined
+    pass, the 3×3 system is solved by Cramer's rule in scalar column
+    math, and R² comes from the same moments (no residual pass).  The
+    fit genuinely recovers structure: the solver rediscovers the pricing
+    formula's linearization (b_price ≈ 1−E[discount], b_discount ≈
+    −E[price], R² ≈ 0.99 — pinned, along with a numpy lstsq
+    cross-check).  This is the aggregative-ML contract: when the model
+    has a closed form, training at 100 TB is one aggregation — no
+    iteration, no sampling, no driver loop.  (Fitting price on quantity
+    was the first attempt — the synthetic columns are mutually
+    independent, R² = 0.00005; the profiler reporting "no signal" is
+    itself the correct answer there.)
+
+    Determinism: money and discount carry exactly 2 decimals (the
+    functions/numeric.py data contract) so every cross-moment is an
+    exact DECIMAL sum; both engines cast the same exact decimals to
+    double and evaluate the same determinant expressions, so
+    coefficients match to the bit before their 1e-6 rounds.
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions import numeric as N
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = N.dec2("l_extendedprice")
+    dd = N.dec_small("l_discount")
+    y = (x * (1 - dd)).cast("decimal(14,4)")
+    mom = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(dd).cast("double").alias("sd"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(dd * dd).cast("double").alias("sdd"),
+        F.sum(x * dd).cast("double").alias("sxd"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * x).cast("double").alias("syx"),
+        F.sum(y * dd).cast("double").alias("syd"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sd = F.col("n"), F.col("sx"), F.col("sd")
+    sxx, sdd, sxd = F.col("sxx"), F.col("sdd"), F.col("sxd")
+    sy, syx, syd, syy = F.col("sy"), F.col("syx"), F.col("syd"), F.col("syy")
+    det = n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd) + sd * (
+        sx * sxd - sxx * sd
+    )
+    det0 = sy * (sxx * sdd - sxd * sxd) - sx * (syx * sdd - sxd * syd) + sd * (
+        syx * sxd - sxx * syd
+    )
+    det1 = n * (syx * sdd - sxd * syd) - sy * (sx * sdd - sxd * sd) + sd * (
+        sx * syd - syx * sd
+    )
+    det2 = n * (sxx * syd - syx * sxd) - sx * (sx * syd - syx * sd) + sy * (
+        sx * sxd - sxx * sd
+    )
+    coef = mom.select(
+        "n", "sx", "sd", "sxx", "sdd", "sxd", "sy", "syx", "syd", "syy",
+        round_det(det0 / det, 6).alias("b0"),
+        round_det(det1 / det, 6).alias("b1"),
+        round_det(det2 / det, 6).alias("b2"),
+    )
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    sse = syy - 2 * (b0 * sy + b1 * syx + b2 * syd) + (
+        b0 * b0 * n
+        + b1 * b1 * sxx
+        + b2 * b2 * sdd
+        + 2 * b0 * b1 * sx
+        + 2 * b0 * b2 * sd
+        + 2 * b1 * b2 * sxd
+    )
+    return coef.select(
+        "n",
+        b0.alias("b0"),
+        b1.alias("b_price"),
+        b2.alias("b_discount"),
+        round_det(1 - sse / (syy - sy * sy / n), 6).alias("r2"),
+    )
+
+
+QUERIES["lineitem_price_regression"] = lineitem_price_regression
+ORACLES["lineitem_price_regression"] = _REGRESSION_ORACLE

@@ -80,3 +80,37 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
     for i, r in enumerate(approx):
         lo, hi = checks[f"lo_{i}"], checks[f"hi_{i}"]
         assert lo - slack <= r.p * n <= hi + slack, (r.col_name, r.p, r.q, lo, hi)
+
+
+def test_regression_matches_numpy_and_recovers_structure(spark):
+    """Cramer-from-moments must equal an independent numpy lstsq fit,
+    and the fit must recover the revenue formula's linearization:
+    b_price ≈ 1 − E[discount], b_discount ≈ −E[price], R² ≈ 0.99."""
+    import numpy as np
+
+    from dffoo_data_pipeline_spark.plans.profile import lineitem_price_regression
+
+    sf_dir = "/root/testdata/sf0.01"
+    row = lineitem_price_regression(spark, sf_dir).collect()[0]
+
+    import duckdb
+
+    x, d, y = (
+        np.array(c)
+        for c in zip(
+            *duckdb.sql(
+                f"SELECT l_extendedprice, l_discount, "
+                f"ROUND(l_extendedprice * (1 - l_discount), 4) "
+                f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            ).fetchall()
+        )
+    )
+    A = np.column_stack([np.ones_like(x), x, d])
+    b, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert abs(row.b0 - b[0]) <= 1e-3 * max(1, abs(b[0]))
+    assert abs(row.b_price - b[1]) <= 1e-5
+    assert abs(row.b_discount - b[2]) <= 1e-3 * abs(b[2])
+    # structure recovery
+    assert abs(row.b_price - (1 - d.mean())) < 0.02
+    assert abs(row.b_discount - (-x.mean())) < 0.02 * x.mean()
+    assert row.r2 > 0.99
