@@ -263,6 +263,14 @@ def test_single_scan_rollup_queries(spark, sf_dir):
         "corpus_bigram_logprob": ("documents", 3),  # tf build, tf rescore, unigrams
         "text_unigram_logprob": ("documents", 2),  # tf build + freq-side recompute
         "multimodal_phash_neardup": ("documents", 3),  # posting-list pairs + sizes + final
+        # later round-3 additions designed one-scan from the start
+        "events_hist_quantile_rollup": ("events", 1),
+        "corpus_drift_psi": ("documents", 1),
+        "events_ab_wilson": ("events", 1),
+        "profile_sample_estimate": ("lineitem", 1),
+        "lineitem_price_regression": ("lineitem", 1),
+        "events_rolling_range": ("events", 1),
+        "events_countmin_topk": ("events", 2),  # sketch pass + exact-probe pass
     }
     for name, (table, max_scans) in expected.items():
         plan = q[name](spark, sf_dir)._jdf.queryExecution().explainString(
