@@ -107,7 +107,9 @@ _PRIORITY = [
     # events_ab_wilson, profile_sample_estimate,
     # abilities_from_pysource, scalar_variant_extraction,
     # text_classifier_train, embedding_kmeans_train,
-    # streaming_countmin_topk, lineitem_price_regression
+    # streaming_countmin_topk, lineitem_price_regression,
+    # orders_market_basket, events_kaplan_meier,
+    # embedding_covariance, embedding_pca_project
 ]
 
 

@@ -900,3 +900,125 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return assign
+
+
+_COV_ORACLE = """
+WITH ex AS (
+    SELECT vec_id, u.pos,
+           CAST(FLOOR(embedding[u.pos]::DOUBLE * 1000000 + 0.5) / 1000000
+                AS DECIMAL(12,6)) AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)),
+n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM ex),
+pairs AS (
+    SELECT a.pos AS i, b.pos AS j,
+           CAST(SUM(a.x * b.x) AS DOUBLE) AS sxy,
+           CAST(SUM(a.x) AS DOUBLE) AS sx,
+           CAST(SUM(b.x) AS DOUBLE) AS sy
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY a.pos, b.pos)
+SELECT i, j,
+       FLOOR((sxy - sx * sy / (SELECT n FROM n)) / ((SELECT n FROM n) - 1)
+             * 1000000000 + 0.5) / 1000000000 AS cov
+FROM pairs
+"""
+
+
+@_register("embedding_covariance", _COV_ORACLE)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gram/covariance aggregation that starts every distributed PCA:
+    the upper triangle of the 64×64 sample covariance of the embedding
+    corpus, as (i, j, cov) rows — d(d+1)/2 = 2080 cells regardless of
+    corpus size, which is the whole point: PCA's data-sized work is ONE
+    aggregation; the eigendecomposition happens on this model-sized
+    result (embedding_pca_project).
+
+    Scale: per-vector pair explode is d²/2 rows per row of input,
+    map-side combined into the fixed 2080 (i, j) cells — no shuffle
+    grows with the corpus.  (For very large d, switch to the blocked
+    Gram form; the cell-keyed plan is the same.)  Determinism: elements
+    floor-rounded at 1e-6 into DECIMAL(12,6), so Σx·y, Σx, Σy are exact
+    decimal sums; the moment formula (Sxy − SxSy/n)/(n−1) runs on
+    identical doubles in both engines, rounded at 1e-9.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: N.round_det(x.cast("double"), 6).cast("decimal(12,6)"),
+            )
+        ).alias("pos", "x"),
+    )
+    n = ex.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
+    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+            F.sum("xa").cast("double").alias("sx"),
+            F.sum("xb").cast("double").alias("sy"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    # 1-based oracle pos vs 0-based posexplode: shift for identical keys
+    return pairs.select(
+        (F.col("i") + 1).alias("i"),
+        (F.col("j") + 1).alias("j"),
+        N.round_det(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1),
+            9,
+        ).alias("cov"),
+    )
+
+
+@_register("embedding_pca_project")  # rows-only: eigendecomposition is driver math
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to 2 components: the covariance cells from
+    embedding_covariance are collected (2080 rows — the MODEL, not the
+    data; same bounded-collect contract as the similarity index),
+    eigendecomposed with numpy on the driver, and the top-2 eigenvectors
+    are broadcast back as literal arrays for a pure-JVM projection of
+    every vector.  Sign-fixed (largest-|loading| coordinate positive) so
+    the output is deterministic despite eigenvector sign ambiguity.
+    Projection variance ≈ eigenvalues is pinned in
+    tests/test_similarity_ivf.py.
+
+    Scale: data-sized work is one covariance aggregation + one map-side
+    projection; the driver holds d² floats.  Registered rows-only — the
+    eigensolve is not SQL-expressible (DuckDB has no eigh), which is
+    the honest boundary; the covariance INPUT is the oracled half.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r.j for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i - 1, r.j - 1] = r.cov
+        C[r.j - 1, r.i - 1] = r.cov
+    vals, vecs = np.linalg.eigh(C)
+    comps = []
+    for k in (d - 1, d - 2):  # top-2 eigenvectors
+        v = vecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    e = load_table(spark, sf_dir, "embeddings")
+    arrs = [F.array(*[F.lit(float(c)) for c in comp]) for comp in comps]
+    proj = [
+        N.round_det(
+            F.aggregate(
+                F.zip_with("embedding", arr, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        for arr in arrs
+    ]
+    return e.select("vec_id", proj[0].alias("pc1"), proj[1].alias("pc2"))

@@ -1242,3 +1242,118 @@ def events_ab_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.round_det((center - margin) / denom, 6).alias("ci_lo"),
         N.round_det((center + margin) / denom, 6).alias("ci_hi"),
     )
+
+
+_KM_CENSOR_DAYS = 3  # users active in the last 3 days are censored, not churned
+
+_KM_SQL = f"""
+WITH users AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS first_d, CAST(MAX(ts) AS DATE) AS last_d
+    FROM events GROUP BY user_id),
+bound AS (SELECT MAX(last_d) AS end_d FROM users),
+lifes AS (
+    SELECT datediff('day', first_d, last_d) AS dur,
+           CASE WHEN datediff('day', last_d, (SELECT end_d FROM bound))
+                     < {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS censored
+    FROM users),
+grouped AS (
+    SELECT dur,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(1 - censored) AS BIGINT) AS n_deaths
+    FROM lifes GROUP BY dur),
+risk AS (
+    SELECT dur, n_deaths,
+           CAST(SUM(n_total) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_risk
+    FROM grouped),
+factors AS (
+    SELECT dur, n_deaths, n_risk,
+           CASE WHEN n_deaths = n_risk THEN NULL
+                ELSE CAST(FLOOR(ln(1 - CAST(n_deaths AS DOUBLE) / n_risk)
+                                * 1000000000 + 0.5) / 1000000000
+                          AS DECIMAL(20,9)) END AS lf,
+           CASE WHEN n_deaths = n_risk THEN 1 ELSE 0 END AS dead_end
+    FROM risk),
+curve AS (
+    SELECT dur, n_deaths, n_risk,
+           CAST(SUM(lf) OVER w AS DOUBLE) AS cum_lf,
+           CAST(SUM(dead_end) OVER w AS BIGINT) AS any_dead_end
+    FROM factors
+    WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT dur AS lifespan_days, n_risk, n_deaths,
+       CASE WHEN any_dead_end > 0 THEN 0.0
+            ELSE FLOOR(exp(cum_lf) * 1000000 + 0.5) / 1000000 END AS survival
+FROM curve WHERE n_deaths > 0
+"""
+
+
+@_register("events_kaplan_meier", _KM_SQL)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (first event → last
+    event, in days), with users active in the corpus's final 3 days
+    treated as CENSORED — the estimator that makes retention curves
+    honest when observation windows cut users off mid-life (a naive
+    "avg lifetime" mistakes every still-active user for a churner).
+    S(d) = Π_{d'≤d} (1 − deaths(d')/at_risk(d')) over distinct churn
+    durations.
+
+    Scale: one scan → per-user min/max agg (the only corpus shuffle) →
+    a durations frame of ≤ |corpus days| rows; at-risk counts are a
+    descending cumulative window and the product is exp(Σ ln factors)
+    over that tiny frame.  Determinism: death/at-risk counts are exact
+    BIGINTs; each ln factor is floor-rounded at 1e-9 and summed as
+    DECIMAL (order-exact), exp runs on identical doubles, survival is
+    rounded at 1e-6; the all-deaths boundary (ln 0) short-circuits to
+    exactly 0 in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_d"),
+        F.to_date(F.max("ts")).alias("last_d"),
+    ).localCheckpoint(eager=False)
+    bound = users.agg(F.max("last_d").alias("end_d"))
+    lifes = users.crossJoin(F.broadcast(bound)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(
+            F.datediff("end_d", "last_d") < _KM_CENSOR_DAYS, F.lit(1)
+        ).otherwise(F.lit(0)).alias("censored"),
+    )
+    grouped = lifes.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_deaths"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grouped.select(
+        "dur",
+        "n_deaths",
+        F.sum("n_total").over(wdesc).cast("bigint").alias("n_risk"),
+    )
+    lf = F.when(
+        F.col("n_deaths") == F.col("n_risk"), F.lit(None)
+    ).otherwise(
+        N.round_det(
+            F.log(1 - F.col("n_deaths").cast("double") / F.col("n_risk")), 9
+        ).cast("decimal(20,9)")
+    )
+    dead_end = F.when(F.col("n_deaths") == F.col("n_risk"), 1).otherwise(0)
+    wasc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = risk.select(
+        "dur",
+        "n_deaths",
+        "n_risk",
+        F.sum(lf).over(wasc).cast("double").alias("cum_lf"),
+        F.sum(dead_end).over(wasc).cast("bigint").alias("any_dead_end"),
+    )
+    return curve.where(F.col("n_deaths") > 0).select(
+        F.col("dur").alias("lifespan_days"),
+        "n_risk",
+        "n_deaths",
+        F.when(F.col("any_dead_end") > 0, F.lit(0.0))
+        .otherwise(N.round_det(F.exp("cum_lf"), 6))
+        .alias("survival"),
+    )

@@ -2476,3 +2476,112 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_okey_nulls_last"
         ),
     )
+
+
+_BASKET_MIN_SUPPORT = 3
+_BASKET_TOPK = 20
+
+_BASKET_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM li GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}),
+scored AS (
+    SELECT p.part_a, p.part_b, p.n_ab,
+           FLOOR(CAST(p.n_ab AS DOUBLE) / o.n * 1000000 + 0.5) / 1000000 AS support,
+           FLOOR(CAST(p.n_ab AS DOUBLE) / pa.n_part * 1000000 + 0.5) / 1000000
+             AS confidence,
+           FLOOR(CAST(p.n_ab AS DOUBLE) * o.n / (pa.n_part * pb.n_part)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM pairs p
+    JOIN pc pa ON pa.l_partkey = p.part_a
+    JOIN pc pb ON pb.l_partkey = p.part_b
+    CROSS JOIN n_orders o)
+SELECT part_a, part_b, n_ab, support, confidence, lift,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b) AS rn
+      FROM scored)
+WHERE rn <= {_BASKET_TOPK}
+"""
+
+
+@_register("orders_market_basket", _BASKET_ORACLE)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: top-20 part pairs by
+    LIFT (= P(a,b)/(P(a)P(b))) with support and confidence, min support
+    3 co-orders — the classic market-basket report, and the co-occurrence
+    primitive behind 'frequently bought together'.
+
+    Scale: pair generation avoids the naive self-join — baskets are
+    collected per order (≤7 parts each in TPC-H shape) and pairs explode
+    COMBINATORIALLY inside each basket (the posting-list idiom from
+    operators/dedup.py), so fan-out is Σ C(|basket|,2) with no join-key
+    skew; part counts and the order total are derived from the SAME
+    basket relation (lazy localCheckpoint → ONE lineitem scan feeding
+    all three consumers).  Global top-k plans as TakeOrderedAndProject
+    via the rank filter over a support-thresholded pair set.
+    Determinism: all three metrics are quotients of exact integers,
+    floor-rounded at 1e-6; ranking tiebreaks on (part_a, part_b).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pc = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_part"))
+    combos = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    scored = (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            N.round_det(F.col("n_ab").cast("double") / F.col("n"), 6).alias("support"),
+            N.round_det(F.col("n_ab").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            N.round_det(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "part_a", "part_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BASKET_TOPK)
+        .select(
+            "part_a", "part_b", "n_ab", "support", "confidence", "lift",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

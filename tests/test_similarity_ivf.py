@@ -134,3 +134,32 @@ def test_kmeans_train_moves_assignments_and_balances(spark, sf_dir):
     ).fetchone()[0]
     assert moved > 0.05 * len(rows), moved
     con.close()
+
+
+def test_pca_projection_variance_matches_eigenvalues(spark, sf_dir):
+    """The projected coordinates' sample variances must equal the top-2
+    eigenvalues of the covariance (the defining property of PCA), and
+    pc1 must carry at least as much variance as pc2."""
+    import numpy as np
+
+    from dffoo_data_pipeline_spark.plans.embeddings import (
+        embedding_covariance,
+        embedding_pca_project,
+    )
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r.j for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov
+    vals = np.sort(np.linalg.eigvalsh(C))[::-1]
+
+    proj = np.array(
+        [(r.pc1, r.pc2) for r in embedding_pca_project(spark, sf_dir).collect()]
+    )
+    v1, v2 = proj[:, 0].var(ddof=1), proj[:, 1].var(ddof=1)
+    assert abs(v1 - vals[0]) <= 0.01 * vals[0], (v1, vals[0])
+    assert abs(v2 - vals[1]) <= 0.01 * vals[1], (v2, vals[1])
+    assert v1 >= v2
+    # symmetric upper triangle: d(d+1)/2 cells, nothing missing
+    assert len(cov_rows) == d * (d + 1) // 2
