@@ -109,7 +109,8 @@ _PRIORITY = [
     # text_classifier_train, embedding_kmeans_train,
     # streaming_countmin_topk, lineitem_price_regression,
     # orders_market_basket, events_kaplan_meier,
-    # embedding_covariance, embedding_pca_project
+    # embedding_covariance, embedding_pca_project,
+    # events_exp_smoothing
 ]
 
 

@@ -1357,3 +1357,88 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(N.round_det(F.exp("cum_lf"), 6))
         .alias("survival"),
     )
+
+
+_EWMA_ALPHA = "0.3"  # literal, spelled identically in both engines
+
+_EWMA_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1),
+idx AS (
+    SELECT day, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily),
+sm AS (
+    SELECT a.day, a.n, a.t,
+           CAST(SUM(CASE WHEN b.t = 1
+                         THEN CAST(FLOOR(pow(1 - {_EWMA_ALPHA}, a.t - 1) * b.n
+                                         * 1000000000 + 0.5) / 1000000000
+                                   AS DECIMAL(24,9))
+                         ELSE CAST(FLOOR({_EWMA_ALPHA} * pow(1 - {_EWMA_ALPHA}, a.t - b.t)
+                                         * b.n * 1000000000 + 0.5) / 1000000000
+                                   AS DECIMAL(24,9)) END) AS DOUBLE) AS s
+    FROM idx a JOIN idx b ON b.t <= a.t AND b.t >= 2 OR (b.t = 1 AND a.t >= 1)
+    GROUP BY a.day, a.n, a.t)
+SELECT CAST(day AS VARCHAR) AS day, n AS n_events,
+       FLOOR(s * 1000000 + 0.5) / 1000000 AS ewma,
+       FLOOR((n - s) * 1000000 + 0.5) / 1000000 AS forecast_err
+FROM sm
+"""
+
+
+@_register("events_exp_smoothing", _EWMA_SQL)
+def events_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing of the daily event volume (α=0.3) with the
+    one-step forecast error — the recurrence s_t = αx_t + (1−α)s_{t−1}
+    evaluated via its CLOSED FORM s_t = (1−α)^{t−1}x_1 +
+    αΣ_{i=2..t}(1−α)^{t−i}x_i, which turns a sequential scan into a
+    set-based triangular aggregation a SQL engine can parallelize —
+    recurrences don't distribute, closed forms do.  Forecast error
+    (n − ewma of the same day; the t−1 smoothed value plus αe_t
+    reconstruction is one lag away) is the EWMA control-chart signal.
+
+    Scale: the corpus collapses to a |days|-row series first (one
+    map-side-combined scan); the triangular self-join is |days|²/2 ~
+    500 cells per year — the heavy lifting never touches row-level
+    data.  Determinism: pow() of identical doubles is identical (libm
+    on the same bits, like exp in the sigmoid queries); each weighted
+    term is floor-rounded at 1e-9 and summed as DECIMAL(24,9), so the
+    fold is partition-order-exact; outputs round at 1e-6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        "day", "n", F.row_number().over(wd).cast("bigint").alias("t")
+    ).localCheckpoint(eager=False)
+    a = idx.select(F.col("day"), F.col("n"), F.col("t"))
+    b = idx.select(F.col("n").alias("bn"), F.col("t").alias("bt"))
+    alpha = float(_EWMA_ALPHA)
+    term = F.when(
+        F.col("bt") == 1,
+        N.round_det(
+            F.pow(F.lit(1 - alpha), F.col("t") - 1) * F.col("bn"), 9
+        ).cast("decimal(24,9)"),
+    ).otherwise(
+        N.round_det(
+            F.lit(alpha)
+            * F.pow(F.lit(1 - alpha), F.col("t") - F.col("bt"))
+            * F.col("bn"),
+            9,
+        ).cast("decimal(24,9)")
+    )
+    sm = (
+        a.join(b, ((F.col("bt") <= F.col("t")) & (F.col("bt") >= 2))
+               | ((F.col("bt") == 1) & (F.col("t") >= 1)))
+        .groupBy("day", "n", "t")
+        .agg(F.sum(term).cast("double").alias("s"))
+    )
+    return sm.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").alias("n_events"),
+        N.round_det(F.col("s"), 6).alias("ewma"),
+        N.round_det(F.col("n") - F.col("s"), 6).alias("forecast_err"),
+    )

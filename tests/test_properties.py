@@ -190,3 +190,22 @@ def test_integrity_report_detects_planted_violations(spark, tmp_path_factory):
         "orders_orderkey_unique": 1,
         "lineitem_quantity_not_null": 1,
     }
+
+
+def test_ewma_closed_form_equals_recurrence(spark):
+    """The set-based closed form must equal the sequential recurrence
+    s_t = a*x_t + (1-a)*s_{t-1} it replaces (s_1 = x_1)."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.events import events_exp_smoothing
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r.day: r.ewma for r in events_exp_smoothing(spark, sf_dir).collect()}
+    series = duckdb.sql(
+        f"SELECT CAST(ts AS DATE) d, COUNT(*) n "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    a, s = 0.3, None
+    for d, n in series:
+        s = n if s is None else a * n + (1 - a) * s
+        assert abs(got[str(d)] - s) < 1e-4, (d, got[str(d)], s)
