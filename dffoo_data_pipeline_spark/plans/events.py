@@ -1442,3 +1442,117 @@ def events_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.round_det(F.col("s"), 6).alias("ewma"),
         N.round_det(F.col("n") - F.col("s"), 6).alias("forecast_err"),
     )
+
+
+_ISO_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purch
+    FROM events GROUP BY 1),
+idx AS (
+    SELECT day, n_events, n_purch,
+           CAST(FLOOR(CAST(n_purch AS DOUBLE) / n_events * 1000000000 + 0.5)
+                / 1000000000 AS DECIMAL(20,9)) AS y,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily),
+pre AS (
+    SELECT day, n_events, n_purch, t, y,
+           CAST(SUM(y) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(24,9)) AS s
+    FROM idx),
+avgs AS (
+    SELECT k.t AS k, j.t AS j,
+           CAST(j.s - COALESCE(kp.s, 0) AS DOUBLE) / (j.t - k.t + 1) AS a
+    FROM pre k
+    JOIN pre j ON j.t >= k.t
+    LEFT JOIN pre kp ON kp.t = k.t - 1),
+sufmin AS (
+    SELECT k, j,
+           MIN(a) OVER (PARTITION BY k ORDER BY j DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+    FROM avgs),
+fit AS (
+    SELECT j AS t, MAX(m) AS iso FROM sufmin WHERE k <= j GROUP BY j)
+SELECT CAST(p.day AS VARCHAR) AS day, p.n_events, p.n_purch,
+       CAST(p.y AS DOUBLE) AS rate,
+       FLOOR(f.iso * 1000000 + 0.5) / 1000000 AS iso_rate
+FROM pre p JOIN fit f ON f.t = p.t
+"""
+
+
+@_register("events_isotonic_daily_rate", _ISO_SQL)
+def events_isotonic_daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) L2 fit of the daily purchase
+    rate — pool-adjacent-violators WITHOUT the sequential PAV sweep:
+    the known minimax closed form ŷ_i = max_{k≤i} min_{j≥i} mean(y_k..y_j)
+    turns the recurrence into a triangular aggregation (the same
+    distribute-the-closed-form move as events_exp_smoothing).  Isotonic
+    fits are how classifier scores get calibrated into probabilities;
+    here the series is a rate audit, and equality with a sequential PAV
+    reference implementation is pinned in tests/test_properties.py.
+
+    Scale: the corpus collapses to the |days| series in one scan; the
+    (k, j) average table is |days|²/2 cells, suffix-mins are one window
+    per k, the final max groups by i — all on the tiny frame.
+    Determinism: daily rates are floor-rounded at 1e-9 into
+    DECIMAL(20,9), prefix sums are exact decimals, interval means are
+    identical IEEE divides, and min/max of identical doubles are exact
+    in any engine; output rounds at 1e-6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purch"),
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "n_events",
+        "n_purch",
+        N.round_det(F.col("n_purch").cast("double") / F.col("n_events"), 9)
+        .cast("decimal(20,9)")
+        .alias("y"),
+        F.row_number().over(wd).cast("bigint").alias("t"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = idx.select(
+        "day",
+        "n_events",
+        "n_purch",
+        "t",
+        "y",
+        F.sum("y").over(wcum).cast("decimal(24,9)").alias("s"),
+    ).localCheckpoint(eager=False)
+    k = pre.select(F.col("t").alias("k"), (F.col("s") - F.col("y")).alias("s_before"))
+    j = pre.select(F.col("t").alias("j"), F.col("s").alias("s_j"))
+    avgs = k.join(j, F.col("j") >= F.col("k")).select(
+        "k",
+        "j",
+        (
+            (F.col("s_j") - F.col("s_before")).cast("double")
+            / (F.col("j") - F.col("k") + 1)
+        ).alias("a"),
+    )
+    wsuf = (
+        Window.partitionBy("k")
+        .orderBy(F.desc("j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sufmin = avgs.select("k", "j", F.min("a").over(wsuf).alias("m"))
+    fit = (
+        sufmin.where(F.col("k") <= F.col("j"))
+        .groupBy("j")
+        .agg(F.max("m").alias("iso"))
+    )
+    return pre.join(fit, pre.t == fit.j).select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "n_purch",
+        F.col("y").cast("double").alias("rate"),
+        N.round_det(F.col("iso"), 6).alias("iso_rate"),
+    )

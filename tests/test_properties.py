@@ -209,3 +209,40 @@ def test_ewma_closed_form_equals_recurrence(spark):
     for d, n in series:
         s = n if s is None else a * n + (1 - a) * s
         assert abs(got[str(d)] - s) < 1e-4, (d, got[str(d)], s)
+
+
+def test_isotonic_minimax_equals_sequential_pav(spark):
+    """The triangular minimax formulation must equal a classic
+    sequential pool-adjacent-violators sweep, and be monotone."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.events import events_isotonic_daily_rate
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = sorted(events_isotonic_daily_rate(spark, sf_dir).collect(), key=lambda r: r.day)
+    iso = [r.iso_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))  # monotone
+
+    series = duckdb.sql(
+        "SELECT CAST(ts AS DATE) d, "
+        "ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0 "
+        "      / COUNT(*), 9) r "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = [r for _, r in series]
+    # sequential PAV: pool blocks while a violator exists
+    blocks = [[v, 1] for v in y]  # [mean, weight]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-12:
+            m = (blocks[i][0] * blocks[i][1] + blocks[i + 1][0] * blocks[i + 1][1]) / (
+                blocks[i][1] + blocks[i + 1][1]
+            )
+            blocks[i:i + 2] = [[m, blocks[i][1] + blocks[i + 1][1]]]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    pav = [m for m, w in blocks for _ in range(w)]
+    assert len(pav) == len(iso)
+    for a, b in zip(iso, pav):
+        assert abs(a - b) < 1e-5, (a, b)
