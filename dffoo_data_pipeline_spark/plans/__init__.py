@@ -110,7 +110,8 @@ _PRIORITY = [
     # streaming_countmin_topk, lineitem_price_regression,
     # orders_market_basket, events_kaplan_meier,
     # embedding_covariance, embedding_pca_project,
-    # events_exp_smoothing, events_isotonic_daily_rate
+    # events_exp_smoothing, events_isotonic_daily_rate,
+    # lineitem_conformal_interval
 ]
 
 

@@ -531,3 +531,197 @@ def lineitem_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["lineitem_price_regression"] = lineitem_price_regression
 ORACLES["lineitem_price_regression"] = _REGRESSION_ORACLE
+
+
+_CONF_KEY = (
+    "substr(md5('samp:' || CAST(l_orderkey AS VARCHAR) || ':' "
+    "|| CAST(l_linenumber AS VARCHAR)), 1, 1)"
+)
+_CONF_Y = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(14,4))"
+)
+
+_CONFORMAL_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+           CAST(l_discount AS DECIMAL(4,2)) AS d,
+           {_CONF_Y} AS y,
+           CASE WHEN {_CONF_KEY} < '8' THEN 'train'
+                WHEN {_CONF_KEY} < 'c' THEN 'cal'
+                ELSE 'test' END AS split
+    FROM lineitem),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(d) AS DOUBLE) AS sd,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(d * d) AS DOUBLE) AS sdd,
+           CAST(SUM(x * d) AS DOUBLE) AS sxd,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(y * x) AS DOUBLE) AS syx,
+           CAST(SUM(y * d) AS DOUBLE) AS syd
+    FROM base WHERE split = 'train'),
+coef AS (
+    SELECT FLOOR((sy * (sxx * sdd - sxd * sxd) - sx * (syx * sdd - sxd * syd)
+                  + sd * (syx * sxd - sxx * syd))
+                 / (n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+                    + sd * (sx * sxd - sxx * sd)) * 1000000 + 0.5) / 1000000 AS b0,
+           FLOOR((n * (syx * sdd - sxd * syd) - sy * (sx * sdd - sxd * sd)
+                  + sd * (sx * syd - syx * sd))
+                 / (n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+                    + sd * (sx * sxd - sxx * sd)) * 1000000 + 0.5) / 1000000 AS b1,
+           FLOOR((n * (sxx * syd - syx * sxd) - sx * (sx * syd - syx * sd)
+                  + sy * (sx * sxd - sxx * sd))
+                 / (n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+                    + sd * (sx * sxd - sxx * sd)) * 1000000 + 0.5) / 1000000 AS b2
+    FROM mom),
+resid AS (
+    SELECT b.split,
+           ABS(FLOOR((CAST(b.y AS DOUBLE)
+                      - (c.b0 + c.b1 * CAST(b.x AS DOUBLE)
+                         + c.b2 * CAST(b.d AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000) AS ar
+    FROM base b CROSS JOIN coef c),
+q AS (
+    SELECT FLOOR(quantile_cont(ar, 0.95) * 1000000 + 0.5) / 1000000 AS q95
+    FROM resid WHERE split = 'cal')
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM resid WHERE split = 'train') AS n_train,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM resid WHERE split = 'cal') AS n_cal,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM resid WHERE split = 'test') AS n_test,
+       (SELECT q95 FROM q) AS q95,
+       (SELECT FLOOR(AVG(CASE WHEN ar <= (SELECT q95 FROM q)
+                              THEN 1.0 ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+        FROM resid WHERE split = 'test') AS coverage
+"""
+
+
+def lineitem_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the closed-form
+    revenue regression: fit on a 50% hash split, take the 95th
+    percentile of absolute residuals on a 25% CALIBRATION split, and
+    measure interval coverage on the held-out 25% — the
+    distribution-free uncertainty contract (coverage ≈ the nominal 95%
+    for ANY model, guaranteed by row exchangeability alone, Vovk et
+    al.).  The measured coverage ≈ 0.95 is pinned in
+    tests/test_profile.py; this is the piece that turns any point
+    predictor in this repo into a calibrated interval predictor.
+
+    Scale: fit moments are ONE conditional aggregation; residuals are a
+    map-side projection against the broadcast 1-row coefficient frame
+    (the shared base relation is lazily checkpointed, so the corpus is
+    read once); the calibration quantile is an exact percentile over
+    the cal split (approx_percentile at 100 TB, same contract) and
+    coverage is one more conditional aggregate.  Determinism: the
+    regression discipline (exact DECIMAL moments, identical determinant
+    expressions) plus residuals floor-rounded at 1e-6 before the
+    percentile, which Spark and DuckDB interpolate identically
+    (profile_quantiles precedent).
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions import numeric as N
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("samp:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    x = N.dec2("l_extendedprice")
+    dd = N.dec_small("l_discount")
+    y = (x * (1 - dd)).cast("decimal(14,4)")
+    base = li.select(
+        x.alias("x"),
+        dd.alias("d"),
+        y.alias("y"),
+        F.when(key < "8", "train").when(key < "c", "cal").otherwise("test").alias(
+            "split"
+        ),
+    ).localCheckpoint(eager=False)
+    mom = base.where(F.col("split") == "train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("x") * F.col("d")).cast("double").alias("sxd"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).cast("double").alias("syx"),
+        F.sum(F.col("y") * F.col("d")).cast("double").alias("syd"),
+    )
+    n, sx, sd = F.col("n"), F.col("sx"), F.col("sd")
+    sxx, sdd, sxd = F.col("sxx"), F.col("sdd"), F.col("sxd")
+    sy, syx, syd = F.col("sy"), F.col("syx"), F.col("syd")
+    det = n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd) + sd * (
+        sx * sxd - sxx * sd
+    )
+    det0 = sy * (sxx * sdd - sxd * sxd) - sx * (syx * sdd - sxd * syd) + sd * (
+        syx * sxd - sxx * syd
+    )
+    det1 = n * (syx * sdd - sxd * syd) - sy * (sx * sdd - sxd * sd) + sd * (
+        sx * syd - syx * sd
+    )
+    det2 = n * (sxx * syd - syx * sxd) - sx * (sx * syd - syx * sd) + sy * (
+        sx * sxd - sxx * sd
+    )
+    coef = mom.select(
+        round_det(det0 / det, 6).alias("b0"),
+        round_det(det1 / det, 6).alias("b1"),
+        round_det(det2 / det, 6).alias("b2"),
+    )
+    resid = base.crossJoin(F.broadcast(coef)).select(
+        "split",
+        F.abs(
+            round_det(
+                F.col("y").cast("double")
+                - (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x").cast("double")
+                    + F.col("b2") * F.col("d").cast("double")
+                ),
+                6,
+            )
+        ).alias("ar"),
+    ).localCheckpoint(eager=False)
+    q = resid.where(F.col("split") == "cal").agg(
+        round_det(F.expr("percentile(ar, 0.95)"), 6).alias("q95")
+    )
+    return (
+        resid.crossJoin(F.broadcast(q))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "cal", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cal"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+            F.max("q95").alias("q95"),
+            round_det(
+                F.sum(
+                    F.when(
+                        (F.col("split") == "test") & (F.col("ar") <= F.col("q95")), 1.0
+                    ).otherwise(
+                        F.when(F.col("split") == "test", 0.0).otherwise(F.lit(None))
+                    )
+                )
+                / F.sum(F.when(F.col("split") == "test", 1).otherwise(0)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+QUERIES["lineitem_conformal_interval"] = lineitem_conformal_interval
+ORACLES["lineitem_conformal_interval"] = _CONFORMAL_ORACLE

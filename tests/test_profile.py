@@ -114,3 +114,14 @@ def test_regression_matches_numpy_and_recovers_structure(spark):
     assert abs(row.b_price - (1 - d.mean())) < 0.02
     assert abs(row.b_discount - (-x.mean())) < 0.02 * x.mean()
     assert row.r2 > 0.99
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal guarantee: held-out coverage of the q95 interval
+    must sit at the nominal 95% (up to finite-sample wobble)."""
+    from dffoo_data_pipeline_spark.plans.profile import lineitem_conformal_interval
+
+    row = lineitem_conformal_interval(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0.93 <= row.coverage <= 0.97, row.coverage
+    assert row.q95 > 0
+    assert row.n_train + row.n_cal + row.n_test == 60000
