@@ -111,7 +111,8 @@ _PRIORITY = [
     # orders_market_basket, events_kaplan_meier,
     # embedding_covariance, embedding_pca_project,
     # events_exp_smoothing, events_isotonic_daily_rate,
-    # lineitem_conformal_interval
+    # lineitem_conformal_interval, lineitem_regression_cv,
+    # profile_bootstrap_mean
 ]
 
 

@@ -725,3 +725,334 @@ def lineitem_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["lineitem_conformal_interval"] = lineitem_conformal_interval
 ORACLES["lineitem_conformal_interval"] = _CONFORMAL_ORACLE
+
+
+_CV_FOLDS = 5
+_CV_KEY = (
+    "(('0x' || substr(md5('cv:' || CAST(l_orderkey AS VARCHAR) || ':' "
+    "|| CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT) % 5"
+)
+
+_CV_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+           CAST(l_discount AS DECIMAL(4,2)) AS d,
+           {_CONF_Y} AS y,
+           {_CV_KEY} AS fold
+    FROM lineitem),
+fm AS (
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(d) AS sd, SUM(x * x) AS sxx,
+           SUM(d * d) AS sdd, SUM(x * d) AS sxd,
+           SUM(y) AS sy, SUM(y * x) AS syx, SUM(y * d) AS syd
+    FROM base GROUP BY fold),
+hold AS (
+    SELECT fold,
+           CAST(SUM(n)   OVER () - n   AS DOUBLE) AS n_tr,
+           CAST(SUM(sx)  OVER () - sx  AS DOUBLE) AS sx,
+           CAST(SUM(sd)  OVER () - sd  AS DOUBLE) AS sd,
+           CAST(SUM(sxx) OVER () - sxx AS DOUBLE) AS sxx,
+           CAST(SUM(sdd) OVER () - sdd AS DOUBLE) AS sdd,
+           CAST(SUM(sxd) OVER () - sxd AS DOUBLE) AS sxd,
+           CAST(SUM(sy)  OVER () - sy  AS DOUBLE) AS sy,
+           CAST(SUM(syx) OVER () - syx AS DOUBLE) AS syx,
+           CAST(SUM(syd) OVER () - syd AS DOUBLE) AS syd
+    FROM fm),
+coef AS (
+    SELECT fold,
+           FLOOR((sy * (sxx * sdd - sxd * sxd) - sx * (syx * sdd - sxd * syd)
+                  + sd * (syx * sxd - sxx * syd))
+                 / (n_tr * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+                    + sd * (sx * sxd - sxx * sd)) * 1000000 + 0.5) / 1000000 AS b0,
+           FLOOR((n_tr * (syx * sdd - sxd * syd) - sy * (sx * sdd - sxd * sd)
+                  + sd * (sx * syd - syx * sd))
+                 / (n_tr * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+                    + sd * (sx * sxd - sxx * sd)) * 1000000 + 0.5) / 1000000 AS b1,
+           FLOOR((n_tr * (sxx * syd - syx * sxd) - sx * (sx * syd - syx * sd)
+                  + sy * (sx * sxd - sxx * sd))
+                 / (n_tr * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd)
+                    + sd * (sx * sxd - sxx * sd)) * 1000000 + 0.5) / 1000000 AS b2
+    FROM hold)
+SELECT b.fold, CAST(COUNT(*) AS BIGINT) AS n_oos,
+       FLOOR(sqrt(CAST(SUM(CAST(FLOOR(
+                 (CAST(b.y AS DOUBLE) - (c.b0 + c.b1 * CAST(b.x AS DOUBLE)
+                                         + c.b2 * CAST(b.d AS DOUBLE)))
+                 * (CAST(b.y AS DOUBLE) - (c.b0 + c.b1 * CAST(b.x AS DOUBLE)
+                                           + c.b2 * CAST(b.d AS DOUBLE)))
+                 * 1000 + 0.5) / 1000 AS DECIMAL(24,3))) AS DOUBLE)
+                  / COUNT(*)) * 1000000 + 0.5) / 1000000 AS rmse_oos
+FROM base b JOIN coef c USING (fold)
+GROUP BY b.fold
+"""
+
+
+def lineitem_regression_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the revenue regression in TWO passes
+    REGARDLESS of k: pass 1 aggregates sufficient statistics PER FOLD;
+    each fold's training moments are then total-minus-fold (sufficient
+    statistics are additive, so "all data except fold k" costs a
+    subtraction, not a rescan); pass 2 scores every row against its own
+    fold's held-out coefficients for the out-of-sample RMSE.  The naive
+    formulation retrains k times over k−1/k of the data — O(k) passes;
+    additivity makes CV effectively free at 100 TB.
+
+    Determinism: per-fold moments stay DECIMAL through the 5-row window
+    subtraction (exact), the determinant solve is the regression
+    discipline, per-row squared errors are floor-rounded at 1e-3 into
+    DECIMAL(24,3) so the fold sums are partition-order-exact, and the
+    final RMSE rounds at 1e-6.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions import numeric as N
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cv:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CV_FOLDS
+    )
+    x = N.dec2("l_extendedprice")
+    dd = N.dec_small("l_discount")
+    y = (x * (1 - dd)).cast("decimal(14,4)")
+    base = li.select(
+        x.alias("x"), dd.alias("d"), y.alias("y"), fold.alias("fold")
+    ).localCheckpoint(eager=False)
+    fm = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("x") * F.col("d")).alias("sxd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("syx"),
+        F.sum(F.col("y") * F.col("d")).alias("syd"),
+    )
+    wall = Window.partitionBy()
+    hold = fm.select(
+        "fold",
+        *[
+            (F.sum(c).over(wall) - F.col(c)).cast("double").alias(c2)
+            for c, c2 in [
+                ("n", "n_tr"), ("sx", "sx"), ("sd", "sd"), ("sxx", "sxx"),
+                ("sdd", "sdd"), ("sxd", "sxd"), ("sy", "sy"), ("syx", "syx"),
+                ("syd", "syd"),
+            ]
+        ],
+    )
+    n, sx, sd = F.col("n_tr"), F.col("sx"), F.col("sd")
+    sxx, sdd, sxd = F.col("sxx"), F.col("sdd"), F.col("sxd")
+    sy, syx, syd = F.col("sy"), F.col("syx"), F.col("syd")
+    det = n * (sxx * sdd - sxd * sxd) - sx * (sx * sdd - sxd * sd) + sd * (
+        sx * sxd - sxx * sd
+    )
+    det0 = sy * (sxx * sdd - sxd * sxd) - sx * (syx * sdd - sxd * syd) + sd * (
+        syx * sxd - sxx * syd
+    )
+    det1 = n * (syx * sdd - sxd * syd) - sy * (sx * sdd - sxd * sd) + sd * (
+        sx * syd - syx * sd
+    )
+    det2 = n * (sxx * syd - syx * sxd) - sx * (sx * syd - syx * sd) + sy * (
+        sx * sxd - sxx * sd
+    )
+    coef = hold.select(
+        "fold",
+        round_det(det0 / det, 6).alias("b0"),
+        round_det(det1 / det, 6).alias("b1"),
+        round_det(det2 / det, 6).alias("b2"),
+    )
+    err = F.col("y").cast("double") - (
+        F.col("b0")
+        + F.col("b1") * F.col("x").cast("double")
+        + F.col("b2") * F.col("d").cast("double")
+    )
+    return (
+        base.join(F.broadcast(coef), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_oos"),
+            round_det(
+                F.sqrt(
+                    F.sum(round_det(err * err, 3).cast("decimal(24,3)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("rmse_oos"),
+        )
+    )
+
+
+QUERIES["lineitem_regression_cv"] = lineitem_regression_cv
+ORACLES["lineitem_regression_cv"] = _CV_ORACLE
+
+
+_BOOT_B = 32
+# cumulative Poisson(1) CDF thresholds, spelled identically in both engines
+_POIS_CDF = [
+    "0.3678794412", "0.7357588823", "0.9196986029", "0.9810118431",
+    "0.9963401532", "0.9994058151", "0.9999167589", "0.9999897508",
+    "0.9999988486",
+]
+
+
+def _pois_sql(u: str) -> str:
+    w = f"CASE WHEN {u} < {_POIS_CDF[0]} THEN 0 "
+    for k in range(1, len(_POIS_CDF)):
+        w += f"WHEN {u} < {_POIS_CDF[k]} THEN {k} "
+    return w + f"ELSE {len(_POIS_CDF)} END"
+
+
+_BOOT_U = (
+    "((('0x' || substr(md5('bs:' || CAST(l_orderkey AS VARCHAR) || ':' "
+    "|| CAST(l_linenumber AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8))"
+    "::BIGINT) + 0.5) / 4294967296.0"
+)
+
+_BOOTSTRAP_ORACLE = f"""
+WITH reps AS (
+    SELECT r.b,
+           CAST(SUM({_pois_sql(_BOOT_U)}) AS BIGINT) AS sw,
+           CAST(SUM({_pois_sql(_BOOT_U)} * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS swx
+    FROM lineitem, (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) r
+    GROUP BY r.b),
+means AS (
+    SELECT b, CAST(swx AS DOUBLE) / sw AS m FROM reps),
+pt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS em
+    FROM lineitem)
+SELECT (SELECT n FROM pt) AS n,
+       FLOOR((SELECT em FROM pt) * 1000000 + 0.5) / 1000000 AS point_mean,
+       FLOOR(quantile_cont(m, 0.025) * 1000000 + 0.5) / 1000000 AS ci_lo,
+       FLOOR(quantile_cont(m, 0.975) * 1000000 + 0.5) / 1000000 AS ci_hi,
+       FLOOR(sqrt((COUNT(*) * CAST(SUM(CAST(FLOOR(m * m * 1000000000 + 0.5)
+                                            / 1000000000 AS DECIMAL(24,9)))
+                                   AS DOUBLE)
+                   - CAST(SUM(CAST(FLOOR(m * 1000000000 + 0.5) / 1000000000
+                                   AS DECIMAL(20,9))) AS DOUBLE)
+                     * CAST(SUM(CAST(FLOOR(m * 1000000000 + 0.5) / 1000000000
+                                     AS DECIMAL(20,9))) AS DOUBLE))
+                  / (COUNT(*) * (COUNT(*) - 1)))
+             * 1000000 + 0.5) / 1000000 AS se_boot
+FROM means
+"""
+
+
+def profile_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON bootstrap of the mean — the bootstrap that distributes:
+    classical resampling needs a global draw of n rows per replicate (a
+    shuffle per replicate); the Poisson trick gives every row an
+    independent Poisson(1) replication weight per replicate, so all 32
+    replicate means are conditional aggregates in ONE corpus pass and
+    the replicate weights never materialize outside the map side.  Each
+    weight is the inverse-CDF of a seeded md5-uniform — same literal
+    thresholds in both engines, so replicates are reproducible and the
+    whole resampling experiment is oracle-checked.  Output: the exact
+    point mean, the percentile-bootstrap 95% CI, and the bootstrap SE
+    (which the analytic SE of profile_sample_estimate cross-checks in
+    tests/test_profile.py).
+
+    Determinism: weights are exact integers, so each replicate's Σw and
+    Σwx are exact BIGINTs and its mean is one IEEE divide; the 32-row
+    stats frame rounds means into DECIMAL(20,9) before stddev and uses
+    the shared interpolated-percentile definition for the CI.
+    """
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    w = F.when(u < float(_POIS_CDF[0]), 0)
+    for k in range(1, len(_POIS_CDF)):
+        w = w.when(u < float(_POIS_CDF[k]), k)
+    w = w.otherwise(len(_POIS_CDF))
+    q = F.col("l_quantity").cast("bigint")
+    reps = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            q.alias("q"),
+            F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        )
+        .select("b", w.alias("w"), "q")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.col("w") * F.col("q")).cast("bigint").alias("swx"),
+        )
+    )
+    means = reps.select((F.col("swx").cast("double") / F.col("sw")).alias("m"))
+    pt = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(q).cast("double") / F.count(F.lit(1))).alias("em"),
+    )
+    return (
+        means.crossJoin(F.broadcast(pt))
+        .groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            round_det(F.max("em"), 6).alias("point_mean"),
+            round_det(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+            round_det(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+            round_det(
+                F.sqrt(
+                    (
+                        F.count(F.lit(1))
+                        * F.sum(
+                            round_det(F.col("m") * F.col("m"), 9).cast("decimal(24,9)")
+                        ).cast("double")
+                        - F.sum(round_det(F.col("m"), 9).cast("decimal(20,9)"))
+                        .cast("double")
+                        * F.sum(round_det(F.col("m"), 9).cast("decimal(20,9)"))
+                        .cast("double")
+                    )
+                    / (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1))
+                ),
+                6,
+            ).alias("se_boot"),
+        )
+    )
+
+
+QUERIES["profile_bootstrap_mean"] = profile_bootstrap_mean
+ORACLES["profile_bootstrap_mean"] = _BOOTSTRAP_ORACLE

@@ -125,3 +125,33 @@ def test_conformal_coverage_near_nominal(spark):
     assert 0.93 <= row.coverage <= 0.97, row.coverage
     assert row.q95 > 0
     assert row.n_train + row.n_cal + row.n_test == 60000
+
+
+def test_cv_folds_balanced_and_consistent(spark):
+    from dffoo_data_pipeline_spark.plans.profile import lineitem_regression_cv
+
+    rows = lineitem_regression_cv(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    assert sum(r.n_oos for r in rows) == 60000
+    rmses = [r.rmse_oos for r in rows]
+    # held-out error is stable across folds when the model generalizes
+    assert max(rmses) <= 1.1 * min(rmses), rmses
+
+
+def test_bootstrap_se_matches_analytic(spark):
+    """Poisson-bootstrap SE of the mean must agree with the analytic
+    sigma/sqrt(n), and the percentile CI must cover the point mean."""
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.profile import profile_bootstrap_mean
+
+    sf_dir = "/root/testdata/sf0.01"
+    row = profile_bootstrap_mean(spark, sf_dir).collect()[0]
+    sd, n = duckdb.sql(
+        f"SELECT stddev_samp(l_quantity), COUNT(*) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    analytic = sd / n ** 0.5
+    assert abs(row.se_boot - analytic) <= 0.3 * analytic, (row.se_boot, analytic)
+    assert row.ci_lo <= row.point_mean <= row.ci_hi
+    assert row.ci_hi - row.ci_lo >= 2 * row.se_boot  # CI wider than ±1 SE
