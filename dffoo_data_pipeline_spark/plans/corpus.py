@@ -1400,3 +1400,84 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# chi-square critical value at alpha=0.05 for dof=(5-1)(20-1)=76 —
+# fixture-specific literal; a generic operator joins a critical-value dim
+_CHI2_CRIT_76 = "97.351"
+
+_CHI2_ORACLE = f"""
+WITH o AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+    FROM documents GROUP BY lang, source),
+tot AS (
+    SELECT lang, source, obs,
+           CAST(SUM(obs) OVER (PARTITION BY lang) AS BIGINT) AS rt,
+           CAST(SUM(obs) OVER (PARTITION BY source) AS BIGINT) AS ct,
+           CAST(SUM(obs) OVER () AS BIGINT) AS n
+    FROM o),
+cells AS (
+    SELECT n,
+           CAST(FLOOR((obs - CAST(rt AS DOUBLE) * ct / n)
+                      * (obs - CAST(rt AS DOUBLE) * ct / n)
+                      / (CAST(rt AS DOUBLE) * ct / n)
+                      * 1000000000 + 0.5) / 1000000000 AS DECIMAL(20,9)) AS term
+    FROM tot),
+stat AS (
+    SELECT MAX(n) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term) AS DOUBLE) AS chi2
+    FROM cells)
+SELECT n, n_cells,
+       FLOOR(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+       CAST(76 AS BIGINT) AS dof,
+       chi2 > {_CHI2_CRIT_76} AS significant
+FROM stat
+"""
+
+
+@_register("corpus_chi2_independence", _CHI2_ORACLE)
+def corpus_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between language and source over
+    the corpus — the mixture audit that detects a source drifting toward
+    one language (a broken crawler or a mislabeled feed shows up as a
+    dependent contingency table long before eyeballing shares would).
+    The fixture assigns lang and source independently, so `significant`
+    must come out FALSE — the correct negative, pinned in
+    tests/test_properties.py.
+
+    Scale: one scan to the |langs|×|sources| contingency table (100
+    cells here); row/column/grand totals are windows over that tiny
+    frame and the statistic is one DECIMAL-carried sum of per-cell
+    terms.  Determinism: observed counts and margins are exact BIGINTs,
+    each (O−E)²/E term is the identical IEEE expression floor-rounded
+    at 1e-9 into DECIMAL(20,9), and the 0.05 critical value for
+    dof=76 is the same literal in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    tot = o.select(
+        "obs",
+        F.sum("obs").over(wl).cast("bigint").alias("rt"),
+        F.sum("obs").over(ws).cast("bigint").alias("ct"),
+        F.sum("obs").over(wall).cast("bigint").alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = round_det((F.col("obs") - e) * (F.col("obs") - e) / e, 9).cast(
+        "decimal(20,9)"
+    )
+    stat = tot.select("n", term.alias("term")).groupBy().agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("term").cast("double").alias("chi2"),
+    )
+    return stat.select(
+        "n",
+        "n_cells",
+        round_det(F.col("chi2"), 6).alias("chi2"),
+        F.lit(76).cast("bigint").alias("dof"),
+        (F.col("chi2") > float(_CHI2_CRIT_76)).alias("significant"),
+    )

@@ -1556,3 +1556,98 @@ def events_isotonic_daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("double").alias("rate"),
         N.round_det(F.col("iso"), 6).alias("iso_rate"),
     )
+
+
+_KS_SQL = """
+WITH vals AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM events GROUP BY value),
+tot AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals),
+ecdf AS (
+    SELECT CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+           CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+    FROM vals
+    WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+d AS (
+    SELECT MAX(ABS(CAST(cuma AS DOUBLE) / (SELECT na FROM tot)
+                   - CAST(cumb AS DOUBLE) / (SELECT nb FROM tot))) AS ks
+    FROM ecdf)
+SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+       FLOOR(ks * 1000000 + 0.5) / 1000000 AS ks_stat,
+       FLOOR(2 * (exp(-2 * 1 * 1 * lam * lam) - exp(-2 * 4 * lam * lam)
+                  + exp(-2 * 9 * lam * lam) - exp(-2 * 16 * lam * lam)
+                  + exp(-2 * 25 * lam * lam))
+             * 1000000 + 0.5) / 1000000 AS p_approx
+FROM (SELECT ks, ks * sqrt(CAST((SELECT na FROM tot) AS DOUBLE)
+                           * (SELECT nb FROM tot)
+                           / ((SELECT na FROM tot) + (SELECT nb FROM tot))) AS lam
+      FROM d)
+"""
+
+
+@_register("events_ks_test", _KS_SQL)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the A/B arms' value
+    distributions (arm = user parity, as in events_ab_wilson): the exact
+    sup-distance between the two empirical CDFs plus the asymptotic
+    p-value (first five terms of the Kolmogorov series) — the
+    distribution-level A/B check that catches shape changes a mean test
+    misses.  Arms are identical by construction here, so a LARGE
+    p-value is the correct result — pinned in tests/test_properties.py.
+
+    Scale: values are grouped FIRST, so the ordered cumulative window
+    runs over the VALUE DOMAIN (≤ ~56k distinct 2-dp values — bounded
+    by the domain, not the corpus); grouping by value also lands tied
+    observations in one row, which makes the ECDF sup-difference exact
+    under ties.  At a truly continuous 100 TB column, pre-bin to a
+    fixed grid first (the histogram-rollup discipline) — same plan one
+    aggregation earlier.  Determinism: counts are exact BIGINTs, the
+    ECDF differences are quotients of exact integers, exp/sqrt run on
+    identical doubles; both outputs round at 1e-6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ecdf = vals.select(
+        F.sum("ca").over(wv).cast("bigint").alias("cuma"),
+        F.sum("cb").over(wv).cast("bigint").alias("cumb"),
+        F.sum("ca").over(wall).cast("bigint").alias("na"),
+        F.sum("cb").over(wall).cast("bigint").alias("nb"),
+    )
+    d = ecdf.groupBy().agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("cuma").cast("double") / F.col("na")
+                - F.col("cumb").cast("double") / F.col("nb")
+            )
+        ).alias("ks"),
+    )
+    lam = F.col("ks") * F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    )
+    series = (
+        F.exp(-2 * 1 * 1 * lam * lam)
+        - F.exp(-2 * 4 * lam * lam)
+        + F.exp(-2 * 9 * lam * lam)
+        - F.exp(-2 * 16 * lam * lam)
+        + F.exp(-2 * 25 * lam * lam)
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        N.round_det(F.col("ks"), 6).alias("ks_stat"),
+        N.round_det(2 * series, 6).alias("p_approx"),
+    )

@@ -246,3 +246,23 @@ def test_isotonic_minimax_equals_sequential_pav(spark):
     assert len(pav) == len(iso)
     for a, b in zip(iso, pav):
         assert abs(a - b) < 1e-5, (a, b)
+
+
+def test_ks_and_chi2_report_correct_negatives(spark):
+    """Arms/mixtures are independent BY CONSTRUCTION in the fixture, so
+    the KS test must not reject (large p) and chi-square must come out
+    not significant — statistical tests earn trust by getting the null
+    right, not just by firing."""
+    from dffoo_data_pipeline_spark.plans.corpus import corpus_chi2_independence
+    from dffoo_data_pipeline_spark.plans.events import events_ks_test
+
+    sf_dir = "/root/testdata/sf0.01"
+    ks = events_ks_test(spark, sf_dir).collect()[0]
+    assert ks.p_approx > 0.05, ks
+    assert 0 <= ks.ks_stat < 0.1
+    assert ks.n_a + ks.n_b == 10000
+
+    chi = corpus_chi2_independence(spark, sf_dir).collect()[0]
+    assert chi.significant is False, chi
+    # statistic should sit near its dof under the null (E[chi2] = dof)
+    assert 76 * 0.4 <= chi.chi2 <= 76 * 2.0, chi.chi2
