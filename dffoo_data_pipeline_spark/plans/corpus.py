@@ -1481,3 +1481,64 @@ def corpus_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(76).cast("bigint").alias("dof"),
         (F.col("chi2") > float(_CHI2_CRIT_76)).alias("significant"),
     )
+
+
+_LOO_ORACLE = """
+WITH s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source),
+t AS (
+    SELECT source, n_docs, chars,
+           CAST(SUM(n_docs) OVER () AS BIGINT) AS nn,
+           CAST(SUM(chars) OVER () AS BIGINT) AS tt
+    FROM s)
+SELECT source, n_docs,
+       FLOOR(CAST(tt AS DOUBLE) / nn * 1000000 + 0.5) / 1000000 AS mean_all,
+       FLOOR(CAST(tt - chars AS DOUBLE) / (nn - n_docs) * 1000000 + 0.5) / 1000000
+         AS mean_without,
+       FLOOR((CAST(tt - chars AS DOUBLE) / (nn - n_docs)
+              - CAST(tt AS DOUBLE) / nn) * 1000000 + 0.5) / 1000000
+         AS delta_if_removed
+FROM t
+"""
+
+
+@_register("corpus_loo_source_ablation", _LOO_ORACLE)
+def corpus_loo_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation of corpus quality (mean doc length
+    as the metric; swap in any additive score): for EVERY source, what
+    the corpus metric becomes if that source is dropped — the data-
+    valuation question behind every mixture decision, answered for all
+    sources at once because additive statistics make "all minus one" a
+    subtraction (the lineitem_regression_cv trick applied to curation).
+    The naive form rescans the corpus per source — O(|sources|) passes;
+    this is ONE pass plus windows over the |sources|-row frame.
+
+    Determinism: all totals are exact BIGINTs; the three reported means
+    are quotients of exact integers, floor-rounded at 1e-6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    wall = Window.partitionBy()
+    t = s.select(
+        "source",
+        "n_docs",
+        "chars",
+        F.sum("n_docs").over(wall).cast("bigint").alias("nn"),
+        F.sum("chars").over(wall).cast("bigint").alias("tt"),
+    )
+    mean_all = F.col("tt").cast("double") / F.col("nn")
+    mean_wo = (F.col("tt") - F.col("chars")).cast("double") / (
+        F.col("nn") - F.col("n_docs")
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        round_det(mean_all, 6).alias("mean_all"),
+        round_det(mean_wo, 6).alias("mean_without"),
+        round_det(mean_wo - mean_all, 6).alias("delta_if_removed"),
+    )

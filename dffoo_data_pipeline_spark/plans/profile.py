@@ -1056,3 +1056,88 @@ def profile_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["profile_bootstrap_mean"] = profile_bootstrap_mean
 ORACLES["profile_bootstrap_mean"] = _BOOTSTRAP_ORACLE
+
+
+# Benford first-digit probabilities log10(1+1/d), d=1..9 — identical
+# literals in both engines
+_BENFORD_P = [
+    "0.301029995664", "0.176091259056", "0.124938736608", "0.096910013008",
+    "0.079181246048", "0.066946789631", "0.057991946978", "0.051152522447",
+    "0.045757490561",
+]
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+                AS BIGINT) AS d
+    FROM lineitem WHERE l_extendedprice >= 1),
+obs AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS o,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+    FROM digits GROUP BY d),
+exp AS (
+    SELECT d, o, n,
+           CASE d {' '.join(f"WHEN {i+1} THEN {p}" for i, p in enumerate(_BENFORD_P))}
+           END * n AS e
+    FROM obs),
+stat AS (
+    SELECT MAX(n) AS n,
+           CAST(SUM(CAST(FLOOR((o - e) * (o - e) / e * 1000000000 + 0.5)
+                         / 1000000000 AS DECIMAL(20,9))) AS DOUBLE) AS chi2
+    FROM exp)
+SELECT n, FLOOR(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+       CAST(8 AS BIGINT) AS dof,
+       chi2 > 15.507 AS deviates_from_benford
+FROM stat
+"""
+
+
+def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the money column: χ² of the leading-digit
+    distribution against log10(1+1/d) — the forensic-accounting test
+    for fabricated or truncated numeric data.  Organic multi-scale
+    amounts follow Benford; this fixture's prices are UNIFORM on a
+    bounded range, which genuinely violates Benford — so the audit must
+    FIRE (`deviates_from_benford` = true, pinned) — the true-positive
+    twin of corpus_chi2_independence's true negative.
+
+    Scale: one scan to 9 digit counts (map-side combined); everything
+    after runs on the 9-row frame.  Determinism: the leading digit is
+    taken from the exact DECIMAL(12,2) string form (no float
+    formatting), expected shares are shared literals, terms are
+    DECIMAL-carried, and the dof-8 critical value 15.507 is a literal.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions import numeric as N
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.substring(N.dec2("l_extendedprice").cast("string"), 1, 1).cast("bigint")
+    obs = (
+        li.where(F.col("l_extendedprice") >= 1)
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()).cast("bigint"))
+    )
+    p = F.lit(None).cast("double")
+    expr = None
+    for i, lit in enumerate(_BENFORD_P):
+        cond = (F.col("d") == i + 1, F.lit(float(lit)))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    e = expr * F.col("n")
+    term = round_det((F.col("o") - e) * (F.col("o") - e) / e, 9).cast("decimal(20,9)")
+    stat = obs.select("n", term.alias("term")).groupBy().agg(
+        F.max("n").alias("n"), F.sum("term").cast("double").alias("chi2")
+    )
+    return stat.select(
+        "n",
+        round_det(F.col("chi2"), 6).alias("chi2"),
+        F.lit(8).cast("bigint").alias("dof"),
+        (F.col("chi2") > 15.507).alias("deviates_from_benford"),
+    )
+
+
+QUERIES["profile_benford_audit"] = profile_benford_audit
+ORACLES["profile_benford_audit"] = _BENFORD_ORACLE

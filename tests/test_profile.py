@@ -155,3 +155,13 @@ def test_bootstrap_se_matches_analytic(spark):
     assert abs(row.se_boot - analytic) <= 0.3 * analytic, (row.se_boot, analytic)
     assert row.ci_lo <= row.point_mean <= row.ci_hi
     assert row.ci_hi - row.ci_lo >= 2 * row.se_boot  # CI wider than ±1 SE
+
+
+def test_benford_fires_on_uniform_prices(spark):
+    """Uniform prices genuinely violate Benford's law — the audit must
+    FIRE here (true positive; chi2_independence pins the true negative)."""
+    from dffoo_data_pipeline_spark.plans.profile import profile_benford_audit
+
+    row = profile_benford_audit(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.deviates_from_benford is True
+    assert row.chi2 > 100  # decisively, not marginally
