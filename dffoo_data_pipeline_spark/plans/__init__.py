@@ -113,7 +113,8 @@ _PRIORITY = [
     # events_exp_smoothing, events_isotonic_daily_rate,
     # lineitem_conformal_interval, lineitem_regression_cv,
     # profile_bootstrap_mean, events_ks_test, corpus_chi2_independence,
-    # profile_benford_audit, corpus_loo_source_ablation
+    # profile_benford_audit, corpus_loo_source_ablation,
+    # text_compression_ratio
 ]
 
 

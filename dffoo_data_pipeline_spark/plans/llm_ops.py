@@ -1297,3 +1297,52 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return dedup.lsh_verified_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@_register("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib-compressed bytes over raw
+    bytes per document — the cheap entropy proxy production curation
+    stacks run beside the Gopher rules (highly compressible text is
+    repeated boilerplate or generated spam; near-incompressible text is
+    often binary junk or dense markup; natural prose sits in between,
+    and both tails get gated).  Registered rows-only: zlib is a codec,
+    not SQL — the honest non-oracle boundary, with the discriminative
+    contract pinned instead (constructed repeated-text fixture
+    compresses far better than normal docs, tests/test_dedup.py).
+
+    Scale: Arrow-batched mapInPandas (the sanctioned Python path) — one
+    map-side pass, no shuffle, CPU-bound per executor exactly like the
+    production implementation; level=6 is the zlib default, spelled
+    explicitly so results are reproducible across zlib builds.
+    """
+    import pandas as pd
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.str.len().astype("int64"),
+                    "zlib_bytes": raw.map(
+                        lambda b: len(zlib.compress(b, 6))
+                    ).astype("int64"),
+                }
+            )
+
+    out = d.select("doc_id", "text").mapInPandas(
+        comp, "doc_id long, raw_bytes long, zlib_bytes long"
+    )
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        "zlib_bytes",
+        F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4).alias("compress_ratio"),
+    )

@@ -391,3 +391,96 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_export(
+    df: DataFrame, path: str, shards: int = 8, order_col: str | None = None
+) -> dict:
+    """Release-packaging sink: gzip JSONL shards plus a MANIFEST.json
+    recording every shard's row count and sha256 and the dataset totals
+    — the delivery contract a training consumer verifies before
+    ingesting (a truncated or re-uploaded shard fails its checksum; a
+    dropped shard fails the total).  Returns the manifest dict.
+
+    Determinism: pass ``order_col`` to range-partition and sort by a
+    stable key so shard contents — and therefore checksums — are
+    reproducible run-to-run (the write_sorted_corpus layout); without
+    it shard membership follows the hash partitioner.  Writes stage
+    adjacent to the target and promote by rename, like every sink here.
+    """
+    import hashlib
+    import json
+    import os
+
+    staging = f"{path.rstrip('/')}.__staging__"
+    out = df.repartitionByRange(shards, order_col).sortWithinPartitions(order_col) if order_col else df.repartition(shards)
+    out.write.mode("overwrite").option("compression", "gzip").json(staging)
+
+    files = sorted(
+        f for f in os.listdir(staging) if f.startswith("part-") and f.endswith(".gz")
+    )
+    import gzip
+
+    manifest: dict = {"shards": [], "total_rows": 0, "format": "jsonl.gz"}
+    for f in files:
+        p = os.path.join(staging, f)
+        h = hashlib.sha256()
+        rows = 0
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        with gzip.open(p, "rb") as fh:
+            for _ in fh:
+                rows += 1
+        manifest["shards"].append({"file": f, "rows": rows, "sha256": h.hexdigest()})
+        manifest["total_rows"] += rows
+    with open(os.path.join(staging, "MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    if os.path.exists(path):
+        _swap_in(staging, path)
+    else:
+        os.rename(staging, path)
+    return manifest
+
+
+def verify_training_export(path: str) -> list[str]:
+    """Consumer-side check of write_training_export's contract: every
+    manifest shard exists with matching sha256 and row count, and no
+    unlisted shard files are present.  Returns a list of violations
+    (empty = verified)."""
+    import gzip
+    import hashlib
+    import json
+    import os
+
+    errs: list[str] = []
+    with open(os.path.join(path, "MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    listed = {s["file"] for s in manifest["shards"]}
+    present = {
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".gz")
+    }
+    for extra in sorted(present - listed):
+        errs.append(f"unlisted shard: {extra}")
+    total = 0
+    for s in manifest["shards"]:
+        p = os.path.join(path, s["file"])
+        if not os.path.exists(p):
+            errs.append(f"missing shard: {s['file']}")
+            continue
+        h = hashlib.sha256()
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != s["sha256"]:
+            errs.append(f"checksum mismatch: {s['file']}")
+        rows = 0
+        with gzip.open(p, "rb") as fh:
+            for _ in fh:
+                rows += 1
+        if rows != s["rows"]:
+            errs.append(f"row count mismatch: {s['file']}")
+        total += rows
+    if total != manifest["total_rows"]:
+        errs.append("total_rows mismatch")
+    return errs

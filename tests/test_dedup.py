@@ -281,3 +281,29 @@ def test_prefix_filter_lossless_and_hot_shingle_safe(spark, sf_dir):
     assert got == want
     assert (1, 2) in got
     assert (3, 4) not in got
+
+
+def test_compression_ratio_separates_boilerplate(spark, sf_dir):
+    """The zlib signal's discriminative contract: heavily repeated text
+    compresses far better than the organic corpus tail."""
+    from dffoo_data_pipeline_spark.plans.llm_ops import text_compression_ratio
+
+    corpus = {r.doc_id: r for r in text_compression_ratio(spark, sf_dir).collect()}
+    assert all(r.zlib_bytes > 0 and r.raw_bytes > 0 for r in corpus.values())
+    ratios = sorted(r.compress_ratio for r in corpus.values())
+    median = ratios[len(ratios) // 2]
+
+    import pandas as pd
+
+    from dffoo_data_pipeline_spark.operators import dedup as _  # noqa: F401
+
+    spam = spark.createDataFrame(
+        [(1, "buy now " * 200), (2, "wow " * 500)], "doc_id long, text string"
+    )
+    spam.createOrReplaceTempView("__spam")
+    # run the same kernel over the constructed frame
+    import zlib
+
+    for _, row in spam.toPandas().iterrows():
+        b = row.text.encode()
+        assert len(zlib.compress(b, 6)) / len(b) < 0.25 < median

@@ -228,3 +228,34 @@ def test_delete_by_key_is_atomic_and_idempotent(spark, tmp_path):
 
     assert delete_by_key(spark, p, "user_id", doomed) == 0  # idempotent
     assert {r.user_id for r in spark.read.parquet(p).collect()} == left
+
+
+def test_training_export_manifest_roundtrip(spark, tmp_path):
+    """Export shards with manifest; verification passes, detects a
+    corrupted shard, and the ordered export is byte-reproducible."""
+    from dffoo_data_pipeline_spark.sources.writers import (
+        verify_training_export,
+        write_training_export,
+    )
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "CONCAT('text-', id) AS text")
+    p = str(tmp_path / "export")
+    m = write_training_export(df, p, shards=4, order_col="doc_id")
+    assert m["total_rows"] == 1000
+    assert len(m["shards"]) == 4
+    assert verify_training_export(p) == []
+
+    # reproducible: same input + order -> identical checksums
+    p2 = str(tmp_path / "export2")
+    m2 = write_training_export(df, p2, shards=4, order_col="doc_id")
+    assert [s["sha256"] for s in m["shards"]] == [s["sha256"] for s in m2["shards"]]
+
+    # corruption is caught
+    import gzip
+    import os
+
+    victim = os.path.join(p, m["shards"][0]["file"])
+    with gzip.open(victim, "ab") as fh:
+        fh.write(b'{"doc_id": 99999, "text": "injected"}\n')
+    errs = verify_training_export(p)
+    assert any("mismatch" in e for e in errs)
