@@ -271,6 +271,12 @@ def test_single_scan_rollup_queries(spark, sf_dir):
         "lineitem_price_regression": ("lineitem", 1),
         "events_rolling_range": ("events", 1),
         "events_countmin_topk": ("events", 2),  # sketch pass + exact-probe pass
+        "events_ks_test": ("events", 1),
+        "corpus_chi2_independence": ("documents", 1),
+        "profile_benford_audit": ("lineitem", 1),
+        "corpus_loo_source_ablation": ("documents", 1),
+        "profile_bootstrap_mean": ("lineitem", 2),  # replicates pass + point pass
+        "orders_market_basket": ("lineitem", 1),  # baskets checkpoint feeds all three
     }
     for name, (table, max_scans) in expected.items():
         plan = q[name](spark, sf_dir)._jdf.queryExecution().explainString(
