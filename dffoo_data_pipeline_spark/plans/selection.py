@@ -453,3 +453,109 @@ def corpus_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_tokens"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+_EVIDENCE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        ' ') AS t
+    FROM documents),
+shing AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+    FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.isect * 1.0 / (sa.sz + sb.sz - i.isect), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= 0.5),
+eligible AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {W_SPAN}),
+wins AS (
+    SELECT doc_id, s,
+           md5(array_to_string(list_slice(t, s, s + {W_SPAN} - 1), ' ')) AS h
+    FROM (SELECT doc_id, t, unnest(range(1, n - {W_SPAN} + 2)) AS s FROM eligible)),
+m AS (
+    SELECT p.doc_a, p.doc_b, p.jaccard, wa.s AS sa, wa.s - wb.s AS diag
+    FROM pairs p
+    JOIN wins wa ON wa.doc_id = p.doc_a
+    JOIN wins wb ON wb.doc_id = p.doc_b AND wb.h = wa.h),
+runs AS (
+    SELECT doc_a, doc_b, jaccard, diag,
+           sa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                   ORDER BY sa) AS grp,
+           sa
+    FROM (SELECT DISTINCT doc_a, doc_b, jaccard, diag, sa FROM m)),
+spans AS (
+    SELECT doc_a, doc_b, jaccard,
+           CAST(COUNT(*) + {W_SPAN} - 1 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, jaccard, diag, grp)
+SELECT doc_a, doc_b, jaccard,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_shared_span,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_runs
+FROM spans GROUP BY doc_a, doc_b, jaccard
+"""
+
+
+@_register("dedup_pair_evidence", _EVIDENCE_ORACLE)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVIDENCE for near-dup verdicts: for every exact-Jaccard pair at
+    t ≥ 0.5, the longest contiguous shared token span (via matching
+    stride-1 window hashes grouped into diagonal runs — two windows k
+    apart in BOTH docs extend one run) plus the number of distinct
+    shared runs.  This is the reviewer's view a dedup pipeline owes its
+    users: "these two are 0.8-similar AND share a 57-token verbatim
+    block" is actionable; a bare score is not.
+
+    Scale: the window relation is corpus-sized, but it is pruned by the
+    PAIR join before the hash equijoin — evidence cost is proportional
+    to candidate pairs × doc windows, never corpus².  Diagonal runs are
+    the gaps-and-islands idiom keyed by (pair, s_a − s_b).
+    Determinism: hashes, positions, run arithmetic all exact integers;
+    jaccard reuses the registered rounding.
+    """
+    from dffoo_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.5, max_doc_frequency=None
+    )
+    toks = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t")).where(
+        F.size("t") >= W_SPAN
+    )
+    n = F.size("t")
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n - W_SPAN + 1)).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), W_SPAN))).alias("h"),
+    )
+    wa = wins.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "h")
+    wb = wins.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "h")
+    m = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "h"])
+        .select("doc_a", "doc_b", "jaccard", "sa", (F.col("sa") - F.col("sb")).alias("diag"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("sa")
+    runs = m.withColumn("grp", F.col("sa") - F.row_number().over(wrun))
+    spans = runs.groupBy("doc_a", "doc_b", "jaccard", "diag", "grp").agg(
+        (F.count(F.lit(1)) + W_SPAN - 1).cast("bigint").alias("span_tokens")
+    )
+    return spans.groupBy("doc_a", "doc_b", "jaccard").agg(
+        F.max("span_tokens").cast("bigint").alias("longest_shared_span"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_runs"),
+    )
