@@ -114,7 +114,7 @@ _PRIORITY = [
     # lineitem_conformal_interval, lineitem_regression_cv,
     # profile_bootstrap_mean, events_ks_test, corpus_chi2_independence,
     # profile_benford_audit, corpus_loo_source_ablation,
-    # text_compression_ratio, dedup_pair_evidence
+    # text_compression_ratio, dedup_pair_evidence, graph_khop_distances
 ]
 
 
