@@ -150,22 +150,20 @@ def minhash_signatures(
     """(id, signature array<long>) — minhash over word-n-gram shingles.
 
     Hash family: one xxhash64 per shingle (the only string hash), then 64
-    derived members via affine integer mixing h_i = a_i·h + b_i over the
-    wrapping int64 ring — pure codegen arithmetic, ~60× cheaper than
-    hashing the string 64 times.  The signature is 64 column-wise MINs in
-    one grouped aggregation (map-side partial combine).
+    derived members h_i = xxhash64(h, i) — fixed-width JVM mixing of an
+    already-long input, ~60× cheaper than hashing the string 64 times.
+    ANSI-safe by construction: xxhash64 never overflows, unlike the affine
+    a_i·h+b_i mix this replaced, which threw ARITHMETIC_OVERFLOW on any
+    Spark 4 session with ANSI enabled (the driver's/stock-cluster default).
+    The signature is 64 column-wise MINs in one grouped aggregation
+    (map-side partial combine).
     """
-    import numpy as np
-
-    rng = np.random.RandomState(2024)
-    a = rng.randint(1, 2**62, size=num_hashes, dtype=np.int64) * 2 + 1  # odd
-    b = rng.randint(1, 2**62, size=num_hashes, dtype=np.int64)
     sh = _shingle_rows(df, id_col, text_col, n)
     base = sh.select(id_col, F.xxhash64("shingle").alias("h"))
     hashed = base.select(
         id_col,
         *[
-            (F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i]))).alias(f"h{i}")
+            F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

@@ -5,7 +5,13 @@ benchmark all run with identical semantics:
 
 - UTC session timezone (the reference stamps UTC strings,
   web_scraper.py:32; we make it a session invariant).
-- ANSI off: the oracle comparisons rely on permissive casts.
+- ANSI on: Spark 4's default and what the driver harness / any stock
+  cluster runs.  Rounds 2-3 each shipped a red driver row through a
+  local-vs-driver semantics gap (float tolerance, then a wrapping-int64
+  overflow that only ANSI-off forgives); pinning the session to the
+  driver's semantics makes the 468-test suite exercise exactly what the
+  driver executes.  Plans that need permissive behavior use the explicit
+  try_*/ NULL-safe forms instead of relying on silent coercion.
 - Arrow on: every Pandas-UDF boundary is Arrow-batched (the only sanctioned
   Python path; row-at-a-time UDFs are banned in this codebase).
 - AQE on with coalescing + skew-join handling: at 100 TB the runtime
@@ -43,7 +49,7 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "true"))
         # Python DataSource filter pushdown (sources/pysource.py prunes
         # charwiki partitions on pushed char_name equality)
         .config("spark.sql.python.filterPushdown.enabled", "true")
