@@ -378,9 +378,23 @@ def multimodal_modality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature vectors via Arrow-batched mapInPandas (the
     decode/feature-extract slot; codec itself stubbed — see decode_image).
-    Histogram values are unit-tested against pure numpy."""
+    Histogram values are unit-tested against pure numpy.
+
+    The array column is serialized to JSON at this boundary: downstream
+    row-hash comparators canonicalize by sorting values, and an
+    ``array<double>`` cell is unhashable there.  Consumers that want the
+    vector use ``byte_histogram_features`` directly.
+    """
     a = documents_as_assets(load_table(spark, sf_dir, "documents"))
-    return byte_histogram_features(a, bins=16)
+    feats = byte_histogram_features(a, bins=16)
+    return feats.select(
+        "asset_id",
+        F.to_json(F.transform("features", lambda x: F.round(x, 6))).alias(
+            "features_json"
+        ),
+        "byte_mean",
+        "byte_std",
+    )
 
 
 # ---------------------------------------------------------------------------

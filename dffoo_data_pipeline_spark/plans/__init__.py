@@ -16,105 +16,119 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-3 window: the 16 queries with no driver CORRECTNESS row yet
-# (the r2 tail + the newly-registered plans/embeddings.py), then the two
-# queries whose r2 rows hash-failed on oracle typing (values verified
-# identical; oracles fixed this round — re-verify), then any NEW round-3
-# queries.  Everything with an existing green row from r01∪r02 is
-# appended after _PRIORITY by all_queries() in module order and backfills
-# the rest of the ~50-entry driver window.
+# Round-5 window: burn down the 88-query backlog that has never had a
+# driver CORRECTNESS row (r04's window was not rotated, so r03∪r04 share
+# the same 50 entries).  Order, highest-risk first:
+#   (a) the two r3/r4 red rows, fixed this round (array cols now
+#       JSON/pystr-serialized at the query boundary) — must re-verify;
+#   (b) the MinHash-signature consumers whose hash family changed in r4
+#       (xxhash64 member derivation) — local pins were re-derived, the
+#       driver has never seen them; the two measured-recall reports
+#       retroactively justify every rows-only ANN/LSH adjudication;
+#   (c) the DECIMAL-heavy stats/ML family (most ANSI-divergence risk);
+#   (d) the graph quartet (recursive-CTE oracles);
+#   (e) showcase operators + the rest of the backlog up to the ~50-row
+#       driver window; positions 50+ are the r6 rotation, already in
+#       priority order — next round just delete the verified prefix.
+# Everything with an existing green row from r01∪r02∪r03 is appended
+# after _PRIORITY by all_queries() in module order.
 _PRIORITY = [
-    # never driver-executed (13 registered tail + 3 formerly-dead embeddings)
-    "embedding_norm_stats",
-    "embedding_nearest_seed",
-    "embedding_quantize_int8",
-    "text_contamination_overlap",
-    "curation_split_assign",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "text_sequence_packing",
-    "multimodal_image_pixel_stats",
-    "multimodal_audio_rms",
+    # (a) fixed red rows — re-verify
     "multimodal_features",
-    "abilities_parse_scaled",
     "pipeline_latest_abilities",
-    # r2 hash-fail on oracle typing, oracle fixed this round — re-verify
-    "flagship_pricing_under_cap",
-    "events_sessionization",
-    # -- new round-3 queries (plans/corpus.py and friends) --
-    "text_chunk_windows",
-    "corpus_token_budget",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "corpus_repeated_unit_removal",
-    "profile_lineitem",
-    "skew_heavy_hitter_report",
-    "dedup_incremental_novel",
-    "streaming_dedup_against_ledger",
-    "profile_quantiles_lineitem",
-    "corpus_source_report",
-    "dedup_best_survivor",
-    "curation_token_budget_fill",
-    "text_lang_predict",
-    "profile_quantiles_docs_by_lang",
-    "corpus_snapshot_diff",
-    "corpus_top_ngrams",
-    "events_ordered_funnel",
-    "events_cohort_retention",
-    "events_type_transitions",
-    "curation_length_outliers",
-    "events_max_gap",
-    "customers_rfm",
-    "events_hourly_error_rate",
-    "events_anomaly_mad",
-    "scd2_user_tier",
-    "curation_temporal_split",
-    "curation_e2e_corpus",
-    "dedup_shingle_containment",
-    "similarity_int8_topk",
-    "corpus_ppl_buckets",
-    "cdc_apply_latest",
-    # r4 backlog (registered + locally oracle-green, outside this round's
-    # ~50-row driver window): events_top_paths, embedding_centroid_dist,
-    # orders_monthly_growth, profile_corr_lineitem, text_kwic,
-    # streaming_error_rate_alert, events_churned_users,
-    # supplier_revenue_pareto, text_char_ngram_profile, events_dau_wau,
-    # text_gopher_rules, dedup_semantic_int8, curation_leakage_safe_split,
-    # curation_k_anonymity, curation_mix_temperature, curation_dp_release,
-    # multimodal_phash_neardup, corpus_zipf_heaps, streaming_quality_gate,
-    # streaming_embedding_assign, udaf_trimmed_mean_length,
-    # dedup_duplicate_spans, curation_dsir_weights, curation_dsir_resample,
-    # corpus_bigram_logprob, corpus_duplicate_span_removal,
-    # text_bm25_topk, text_classifier_score, text_cdc_chunks,
-    # graph_pagerank_nations, corpus_bpe_learn, events_lateness_audit,
-    # curation_epoch_mix, multimodal_audio_segments,
-    # profile_approx_quantiles_lineitem, dedup_incremental_neardup,
-    # corpus_bpe_encode, orders_open_backlog, similarity_ann_recall_report,
-    # dedup_lsh_quality_report, corpus_data_card, events_pit_enrich,
-    # streaming_pit_enrich, text_langid_confusion, curation_gate_overlap,
-    # integrity_report, dedup_lsh_verified, streaming_continuous_rollup,
-    # events_gapfill_interpolate, retrieval_hybrid_rrf,
-    # graph_triangle_count, hierarchy_rollup_closure,
-    # scalar_null_semantics, streaming_interval_join_outer,
-    # linkage_blocked_match, events_sketch_rollup,
-    # similarity_pq_topk, events_hist_quantile_rollup,
-    # events_countmin_topk, dedup_prefix_filter_pairs,
-    # curation_contrastive_negatives, corpus_drift_psi,
-    # events_rolling_range, curation_trainonly_scaler,
-    # events_ab_wilson, profile_sample_estimate,
-    # abilities_from_pysource, scalar_variant_extraction,
-    # text_classifier_train, embedding_kmeans_train,
-    # streaming_countmin_topk, lineitem_price_regression,
-    # orders_market_basket, events_kaplan_meier,
-    # embedding_covariance, embedding_pca_project,
-    # events_exp_smoothing, events_isotonic_daily_rate,
-    # lineitem_conformal_interval, lineitem_regression_cv,
-    # profile_bootstrap_mean, events_ks_test, corpus_chi2_independence,
-    # profile_benford_audit, corpus_loo_source_ablation,
-    # text_compression_ratio, dedup_pair_evidence, graph_khop_distances
+    # (b) minhash-family consumers + measured-recall reports
+    "dedup_lsh_verified",
+    "dedup_lsh_quality_report",
+    "dedup_incremental_neardup",
+    "similarity_ann_recall_report",
+    # (c) DECIMAL / stats / ML family
+    "lineitem_price_regression",
+    "text_classifier_train",
+    "embedding_kmeans_train",
+    "profile_bootstrap_mean",
+    "events_ks_test",
+    "corpus_chi2_independence",
+    "lineitem_regression_cv",
+    "lineitem_conformal_interval",
+    # (d) graph quartet
+    "graph_pagerank_nations",
+    "graph_triangle_count",
+    "graph_khop_distances",
+    "hierarchy_rollup_closure",
+    # (e) showcase + backlog, to the ~50-row window edge
+    "text_bm25_topk",
+    "dedup_semantic_int8",
+    "similarity_pq_topk",
+    "curation_leakage_safe_split",
+    "linkage_blocked_match",
+    "events_sketch_rollup",
+    "text_gopher_rules",
+    "dedup_prefix_filter_pairs",
+    "dedup_duplicate_spans",
+    "dedup_pair_evidence",
+    "multimodal_phash_neardup",
+    "multimodal_audio_segments",
+    "curation_k_anonymity",
+    "curation_mix_temperature",
+    "curation_dp_release",
+    "curation_dsir_weights",
+    "curation_dsir_resample",
+    "curation_epoch_mix",
+    "curation_gate_overlap",
+    "curation_contrastive_negatives",
+    "curation_trainonly_scaler",
+    "udaf_trimmed_mean_length",
+    "scalar_null_semantics",
+    "scalar_variant_extraction",
+    "abilities_from_pysource",
+    "retrieval_hybrid_rrf",
+    "integrity_report",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "embedding_centroid_dist",
+    "text_classifier_score",
+    "text_compression_ratio",
+    # ---- ~50-row driver-window edge; below = r6 rotation, in order ----
+    "text_langid_confusion",
+    "text_cdc_chunks",
+    "events_top_paths",
+    "orders_monthly_growth",
+    "profile_corr_lineitem",
+    "text_kwic",
+    "streaming_error_rate_alert",
+    "events_churned_users",
+    "supplier_revenue_pareto",
+    "text_char_ngram_profile",
+    "events_dau_wau",
+    "corpus_zipf_heaps",
+    "streaming_quality_gate",
+    "streaming_embedding_assign",
+    "corpus_bigram_logprob",
+    "corpus_duplicate_span_removal",
+    "corpus_bpe_learn",
+    "corpus_bpe_encode",
+    "events_lateness_audit",
+    "profile_approx_quantiles_lineitem",
+    "orders_open_backlog",
+    "corpus_data_card",
+    "events_pit_enrich",
+    "streaming_pit_enrich",
+    "streaming_continuous_rollup",
+    "events_gapfill_interpolate",
+    "streaming_interval_join_outer",
+    "events_hist_quantile_rollup",
+    "events_countmin_topk",
+    "streaming_countmin_topk",
+    "corpus_drift_psi",
+    "events_rolling_range",
+    "events_ab_wilson",
+    "profile_sample_estimate",
+    "orders_market_basket",
+    "events_kaplan_meier",
+    "events_exp_smoothing",
+    "events_isotonic_daily_rate",
+    "profile_benford_audit",
+    "corpus_loo_source_ablation",
 ]
 
 

@@ -990,7 +990,8 @@ def curation_trainonly_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), broadcast to the apply projection — the inherent
     stats-then-apply two-pass (PERF.md policy); at 100 TB the 1-row
     stats frame is persisted alongside the model, not recomputed.
-    Determinism: n_chars is integer, so Σx and Σx² are EXACT BIGINTs;
+    Determinism: n_chars is integer, so Σx and Σx² are EXACT DECIMALs
+    (38,0 — bigint would overflow the n·Σx² product at corpus scale);
     mean and population variance are computed as quotients of exact
     integers ((n·Σx² − (Σx)²)/n² avoids the catastrophic cancellation of
     mean-of-squares in floating point); sqrt is IEEE-correctly-rounded;
@@ -1003,17 +1004,21 @@ def curation_trainonly_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").alias("split"),
     )
+    # exact-integer sums in DECIMAL(38,0), not BIGINT: Σx² and the n·Σx²
+    # − (Σx)² numerator overflow int64 at corpus scale (ANSI would raise
+    # ARITHMETIC_OVERFLOW); decimal keeps the math exact with 1e38 headroom
+    nc = F.col("n_chars").cast("decimal(19,0)")
     stats = (
         assigned.where(F.col("split") == "train")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").alias("s1"),
-            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+            F.sum(nc).cast("decimal(38,0)").alias("s1"),
+            F.sum(nc * nc).cast("decimal(38,0)").alias("s2"),
         )
     )
-    mean = F.col("s1").cast("double") / F.col("n")
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
     var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
-        F.col("n").cast("double") * F.col("n")
+        F.col("n").cast("double") * F.col("n").cast("double")
     )
     return assigned.crossJoin(F.broadcast(stats)).select(
         "doc_id",

@@ -111,12 +111,28 @@ def pipeline_latest_abilities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed E1 batch job as a driver query (rows-only: the job
     WRITES — checkpoints + run-stamped appends — then reads back the
     partition-pruned latest-run view; not expressible as one SQL query).
-    Output: the latest run's abilities table, GL + JP-second-pass rows."""
+    Output: the latest run's abilities table, GL + JP-second-pass rows.
+    The ``attribute_list`` array is serialized to the reference CSV's
+    Python-str form at this boundary (F9 parity, same transform as
+    ``abilities_attribute_list_parity``) — downstream row-hash comparators
+    canonicalize by sorting values and an array cell is unhashable there."""
     import tempfile
+
+    from dffoo_data_pipeline_spark.plans.abilities import pystr_list
 
     out = tempfile.mkdtemp(prefix="sg_jobq_")
     run_batch(spark, out, run_id="r001")
-    return latest(spark, out, "raw_abilities").drop("run_id")
+    df = latest(spark, out, "raw_abilities").drop("run_id")
+    if "attribute_list" in df.columns:
+        df = df.withColumn(
+            "attribute_list",
+            pystr_list(
+                F.coalesce(
+                    F.col("attribute_list"), F.array().cast("array<string>")
+                )
+            ),
+        )
+    return df
 
 
 QUERIES = {"pipeline_latest_abilities": pipeline_latest_abilities}

@@ -254,10 +254,13 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lr = dim.crossJoin(F.broadcast(tot)).select(
         "bucket",
+        # cast each factor BEFORE multiplying: at corpus scale the int64
+        # product (count × total-count) can overflow, which under ANSI
+        # raises ARITHMETIC_OVERFLOW; the double product cannot
         round_det(
             F.log(
-                ((F.col("ct") + 1) * (F.col("total_s") + N_BUCKETS)).cast("double")
-                / ((F.col("cs") + 1) * (F.col("total_t") + N_BUCKETS)).cast("double")
+                ((F.col("ct") + 1).cast("double") * (F.col("total_s") + N_BUCKETS).cast("double"))
+                / ((F.col("cs") + 1).cast("double") * (F.col("total_t") + N_BUCKETS).cast("double"))
             ),
             6,
         )

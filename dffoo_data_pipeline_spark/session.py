@@ -10,8 +10,10 @@ benchmark all run with identical semantics:
   local-vs-driver semantics gap (float tolerance, then a wrapping-int64
   overflow that only ANSI-off forgives); pinning the session to the
   driver's semantics makes the 468-test suite exercise exactly what the
-  driver executes.  Plans that need permissive behavior use the explicit
-  try_*/ NULL-safe forms instead of relying on silent coercion.
+  driver executes.  All plans are verified ANSI-safe as written (the full
+  test suite runs ANSI-on); the one permissive boundary is untrusted
+  ingest, where readers use try_to_timestamp-style null-on-bad-row
+  parsing instead of relying on silent coercion.
 - Arrow on: every Pandas-UDF boundary is Arrow-batched (the only sanctioned
   Python path; row-at-a-time UDFs are banned in this codebase).
 - AQE on with coalescing + skew-join handling: at 100 TB the runtime

@@ -54,3 +54,35 @@ def test_full_batch_job_twice(spark):
     latest = job.latest(spark, out, "raw_abilities")
     assert latest.count() == n_ckpt_1
     assert latest.select("run_id").distinct().collect()[0].run_id == "r002"
+
+
+def test_pipeline_latest_abilities_golden_content(spark):
+    """The registered `pipeline_latest_abilities` query (write → read-back
+    of the latest run) must equal the IN-MEMORY build_outputs abilities
+    frame — i.e. the sink/read-back round trip adds the run-stamp columns
+    and loses nothing else.  Also pins the driver-boundary contract: no
+    non-scalar columns (attribute_list is pystr-serialized, the r3/r4
+    red-row fix)."""
+    from dffoo_data_pipeline_spark.plans.abilities import pystr_list
+    from dffoo_data_pipeline_spark.plans.job import (
+        build_outputs,
+        pipeline_latest_abilities,
+    )
+
+    got = pipeline_latest_abilities(spark, "/root/testdata/sf0.001")
+    assert all(
+        f.dataType.typeName() not in ("array", "map", "struct")
+        for f in got.schema.fields
+    ), "driver canonicalizer cannot hash non-scalar columns"
+
+    expected = build_outputs(spark)["raw_abilities"].withColumn(
+        "attribute_list",
+        pystr_list(F.coalesce(F.col("attribute_list"), F.array().cast("array<string>"))),
+    )
+    # build_outputs is pre-stamping and the sink/read-back round trip
+    # adds then drops run_id + scrape stamps: columns must match exactly
+    assert set(got.columns) == set(expected.columns)
+    key_cols = got.columns
+    g = sorted(map(tuple, got.select(*key_cols).collect()))
+    e = sorted(map(tuple, expected.select(*key_cols).collect()))
+    assert g == e

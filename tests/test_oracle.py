@@ -31,9 +31,24 @@ def duck(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     if name not in ORACLES:
-        # rows-only check (driver's weaker path for non-SQL-expressible ops)
-        assert df.count() >= 0
+        # rows-only check (driver's weaker path for non-SQL-expressible
+        # ops).  The driver still canonicalizes the frame — sorts rows by
+        # all columns — so an array/map cell crashes it ("unhashable
+        # type: 'list'", the r3/r4 multimodal_features red rows).
+        # Replicate that canonicalization here so the crash is caught
+        # locally before a driver round burns on it.
         assert len(df.schema.fields) > 0
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        assert not bad, (
+            f"{name}: non-scalar output columns {bad} — the driver "
+            f"canonicalizer cannot hash/sort them; serialize with "
+            f"F.to_json (or explode) at the registered-query boundary"
+        )
+        assert df.count() >= 0
         return
     expected = duck.execute(ORACLES[name]).fetchdf()
     errs = compare(df, expected, name)
