@@ -267,12 +267,58 @@ def audio_rms_windows(df: DataFrame, window_samples: int = 256) -> DataFrame:
     )
 
 
-@_register("multimodal_image_pixel_stats")  # rows-only: decode+numpy in Python
+@_register(
+    "multimodal_image_pixel_stats",
+    # Oracle-exact float math: pixels are uint8 integers, so Σx and Σx²
+    # are exact integers in double (≤3.6e7 / ≤9.3e9, far under 2^53) and
+    # both engines evaluate the same IEEE op sequence s2/n − (s1/n)² →
+    # bit-identical doubles.  The SQL reproduces fake_decode's
+    # tile-and-truncate in closed form: the n=w·h grid is ⌊n/len⌋ full
+    # repeats of the payload plus its first n%len bytes, so each moment
+    # is full·Σ + prefix(rem) — no 143k-element unnest per image needed.
+    """
+    WITH img AS (
+        SELECT doc_id AS asset_id, text,
+               octet_length(encode(text)) AS len,
+               doc_id % 512 + 16 AS w,
+               doc_id % 256 + 16 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    bytes AS (
+        SELECT asset_id, i,
+               CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS b
+        FROM img, unnest(range(1, len + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT g.asset_id, g.w, g.h, g.len,
+               SUM(b.b)       AS s,
+               SUM(b.b * b.b) AS s2,
+               COALESCE(SUM(b.b)       FILTER (WHERE b.i <= (g.w * g.h) % g.len), 0) AS pf,
+               COALESCE(SUM(b.b * b.b) FILTER (WHERE b.i <= (g.w * g.h) % g.len), 0) AS pf2,
+               COALESCE(SUM(b.b)       FILTER (WHERE b.i <= g.w % g.len), 0)         AS pr
+        FROM bytes b JOIN img g USING (asset_id)
+        GROUP BY g.asset_id, g.w, g.h, g.len
+    )
+    SELECT asset_id,
+           CAST((w * h) // len * s + pf AS DOUBLE) / (w * h) AS px_mean,
+           sqrt(CAST((w * h) // len * s2 + pf2 AS DOUBLE) / (w * h)
+                - (CAST((w * h) // len * s + pf AS DOUBLE) / (w * h))
+                  * (CAST((w * h) // len * s + pf AS DOUBLE) / (w * h))) AS px_std,
+           CAST(w // len * s + pr AS DOUBLE) / w AS row0_mean
+    FROM agg
+    """,
+)
 def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → pixel-stat extraction for image-modality assets: the
     payload runs through the codec slot (fake_decode — swap in a real
     codec, nothing else changes) and per-image stats come off the pixel
-    grid.  End-to-end exercise of the decode contract."""
+    grid.  End-to-end exercise of the decode contract.
+
+    Stats are computed from exact integer moments (Σx, Σx², row-0 Σx) so
+    the result is bit-deterministic and oracle-matchable: std is
+    sqrt(E[x²] − E[x]²) over exact sums, not numpy's subtract-the-mean
+    form (identical to the last ulp across engines; the two forms differ
+    by ~1 ulp on real data, and only this one is cross-engine exact)."""
     a = documents_as_assets(load_table(spark, sf_dir, "documents")).where(
         F.col("modality") == "image"
     )
@@ -286,16 +332,22 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pb in batches:
             if len(pb) == 0:
                 continue
             ids, means, stds, r0 = [], [], [], []
             for aid, payload, meta in zip(pb["asset_id"], pb["payload"], pb["meta"]):
-                px = fake_decode(bytes(payload), int(meta["width"]), int(meta["height"]))
+                w, h = int(meta["width"]), int(meta["height"])
+                px = fake_decode(bytes(payload), w, h).astype(np.int64)
+                n = w * h
+                s1, s2 = int(px.sum()), int((px * px).sum())
+                r1 = int(px[0].sum())
                 ids.append(aid)
-                means.append(float(px.mean()))
-                stds.append(float(px.std()))
-                r0.append(float(px[0].mean()))
+                means.append(s1 / n)
+                stds.append(math.sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                r0.append(r1 / w)
             yield pd.DataFrame(
                 {"asset_id": ids, "px_mean": means, "px_std": stds, "row0_mean": r0}
             )
@@ -335,7 +387,28 @@ def multimodal_arrow_byte_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_audio_rms")  # rows-only: numpy DSP in Python
+@_register(
+    "multimodal_audio_rms",
+    # Oracle-exact despite the float math: samples are integer-valued
+    # (byte − 128), so Σs² is an exact integer in double regardless of
+    # summation order; /256 is a power-of-two scale (exact); sqrt is
+    # IEEE-correctly-rounded in both engines → bit-identical doubles.
+    # ord(substring()) is byte-accurate because the corpus is ASCII
+    # (precondition pinned in tests/test_multimodal.py).
+    """
+    WITH audio AS (
+        SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    samples AS (
+        SELECT asset_id, CAST(i // 256 AS INT) AS window_no,
+               CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS DOUBLE) - 128.0 AS s
+        FROM audio, unnest(range(0, (n // 256) * 256)) AS t(i)
+    )
+    SELECT asset_id, window_no, sqrt(SUM(s * s) / 256.0) AS rms
+    FROM samples GROUP BY asset_id, window_no
+    """,
+)
 def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed RMS over the audio-modality assets (256-sample windows);
     values unit-tested against pure numpy in tests/test_multimodal.py."""

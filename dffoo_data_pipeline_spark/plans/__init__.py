@@ -33,9 +33,15 @@ from __future__ import annotations
 # Everything with an existing green row from r01∪r02∪r03 is appended
 # after _PRIORITY by all_queries() in module order.
 _PRIORITY = [
-    # (a) fixed red rows — re-verify
+    # (a) fixed red rows — re-verify — and the three rows-only queries
+    # upgraded to full oracles this round (audio-RMS/pixel-stats via
+    # bit-exact integer-moment math; parse_scaled via the copies× closed
+    # form) — the driver should record the hash-verified upgrade
     "multimodal_features",
     "pipeline_latest_abilities",
+    "multimodal_audio_rms",
+    "multimodal_image_pixel_stats",
+    "abilities_parse_scaled",
     # (b) minhash-family consumers + measured-recall reports
     "dedup_lsh_verified",
     "dedup_lsh_quality_report",
@@ -85,10 +91,10 @@ _PRIORITY = [
     "integrity_report",
     "embedding_covariance",
     "embedding_pca_project",
+    # ---- ~50-row driver-window edge; below = r6 rotation, in order ----
     "embedding_centroid_dist",
     "text_classifier_score",
     "text_compression_ratio",
-    # ---- ~50-row driver-window edge; below = r6 rotation, in order ----
     "text_langid_confusion",
     "text_cdc_chunks",
     "events_top_paths",

@@ -870,8 +870,27 @@ def abilities_parse_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parse_ability_lines(scaled).groupBy("game_version").agg(
         F.count(F.lit(1)).alias("n_abilities"),
-        F.sum("main_target_hp_attacks").alias("total_main_hits"),
+        F.sum("main_target_hp_attacks").cast("bigint").alias("total_main_hits"),
     )
 
 
 QUERIES["abilities_parse_scaled"] = abilities_parse_scaled
+# Oracle: per-replica parses are independent and identical, so the scaled
+# aggregate is exactly `copies ×` the unscaled parse aggregate.  `copies`
+# is derived from the data in BOTH engines: the testdata generator emits
+# exactly 1.5M×sf orders rows, so count(orders)/150 == int(sf·10_000) ==
+# the query's replication factor at every shipped SF.
+ORACLES["abilities_parse_scaled"] = (
+    "WITH lines(char_name, ability_name, ability_id, game_version, line_no, line) AS (VALUES\n"
+    + _fixture_values_sql()
+    + "),\n"
+    + _PARSE_SQL_BODY
+    + """,
+copies AS (SELECT GREATEST(1, CAST(count(*) / 150 AS BIGINT)) AS c FROM orders)
+SELECT game_version,
+       CAST(count(*) * c AS BIGINT) AS n_abilities,
+       CAST(SUM(main_target_hp_attacks) * c AS BIGINT) AS total_main_hits
+FROM parsed, copies
+GROUP BY game_version, c
+"""
+)

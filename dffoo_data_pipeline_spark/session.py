@@ -39,6 +39,15 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
     to run every query on a real cluster — plans are already shaped for
     multi-executor execution (broadcasts, partitioning, AQE).
     """
+    # make the package importable by Python WORKERS even when the driver
+    # process found it via sys.path alone (e.g. launched from another
+    # cwd): mapInPandas closures reference module-level functions, and
+    # cloudpickle resolves those by module import on the worker side
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (

@@ -233,6 +233,43 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict) -> 
     df.write.mode("append").jdbc(url, table, properties=properties)
 
 
+def write_db_append_transactional(
+    df: DataFrame, db_path: str, table: str, staging_dir: str
+) -> int:
+    """One-transaction warehouse append (reference S7 semantics: the whole
+    run's frame lands in the target DB atomically — web_scraper.py:1286-1291
+    commits all three tables inside a single engine transaction).
+
+    The scalable shape: Spark writes the run to parquet (distributed,
+    partition-parallel), then the DATABASE bulk-loads that staged data in
+    ONE transaction from its side.  No rows move through the Spark driver,
+    and a mid-load failure leaves the target table untouched (the test pins
+    this with a CHECK-constraint violation).  DuckDB stands in for the
+    warehouse here — `INSERT INTO t SELECT .. FROM read_parquet(..)` is the
+    same load-from-staging statement Postgres/Redshift/Snowflake run
+    (COPY FROM / external-stage load); swapping the connection string is
+    the only production change.  Returns rows appended.
+    """
+    import duckdb
+
+    df.write.mode("overwrite").parquet(staging_dir)
+    con = duckdb.connect(db_path)
+    try:
+        cols = ", ".join(f'"{c}"' for c in df.columns)
+        con.execute("BEGIN")
+        n = con.execute(
+            f"INSERT INTO {table} ({cols}) "
+            f"SELECT {cols} FROM read_parquet('{staging_dir}/*.parquet')"
+        ).fetchone()[0]
+        con.execute("COMMIT")
+        return int(n)
+    except Exception:
+        con.execute("ROLLBACK")
+        raise
+    finally:
+        con.close()
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
     """JSON-Lines sink (one document object per line) — what downstream
     tokenizer/training jobs ingest.  Optional codec (e.g. 'gzip', 'zstd');

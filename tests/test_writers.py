@@ -259,3 +259,45 @@ def test_training_export_manifest_roundtrip(spark, tmp_path):
         fh.write(b'{"doc_id": 99999, "text": "injected"}\n')
     errs = verify_training_export(p)
     assert any("mismatch" in e for e in errs)
+
+
+def test_db_append_transactional_atomicity(spark, tmp_path):
+    """S7 for real (DuckDB standing in for the warehouse): two runs append
+    in one transaction each; a failing load (CHECK-constraint violation
+    mid-bulk-insert) rolls back COMPLETELY — the reference's
+    all-three-tables-in-one-transaction semantics (web_scraper.py:1286)."""
+    import duckdb
+    import pytest
+
+    from dffoo_data_pipeline_spark.sources import writers
+
+    db = str(tmp_path / "wh.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE abilities (char_name VARCHAR, cap INT CHECK (cap >= 0))"
+    )
+    con.close()
+
+    good = spark.createDataFrame(
+        [("vivi", 10), ("zack", 20)], "char_name string, cap int"
+    )
+    n = writers.write_db_append_transactional(
+        good, db, "abilities", str(tmp_path / "stage1")
+    )
+    assert n == 2
+    n = writers.write_db_append_transactional(
+        good, db, "abilities", str(tmp_path / "stage2")
+    )
+    assert n == 2
+
+    # one violating row in an otherwise-valid batch: NOTHING lands
+    mixed = spark.createDataFrame(
+        [("ok", 1), ("bad", -5), ("ok2", 2)], "char_name string, cap int"
+    )
+    with pytest.raises(Exception):
+        writers.write_db_append_transactional(
+            mixed, db, "abilities", str(tmp_path / "stage3")
+        )
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM abilities").fetchone()[0] == 4
+    con.close()
