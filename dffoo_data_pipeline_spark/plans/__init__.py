@@ -42,6 +42,9 @@ _PRIORITY = [
     "multimodal_audio_rms",
     "multimodal_image_pixel_stats",
     "abilities_parse_scaled",
+    # new this round: transactional streaming sink, oracle-certified
+    # exactly-once delivery (counts read back FROM the warehouse)
+    "streaming_db_exactly_once",
     # (b) minhash-family consumers + measured-recall reports
     "dedup_lsh_verified",
     "dedup_lsh_quality_report",

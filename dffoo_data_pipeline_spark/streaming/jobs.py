@@ -416,6 +416,110 @@ def stream_to_run_stamped(source: DataFrame, path: str) -> None:
     q.awaitTermination()
 
 
+def stream_db_append_exactly_once(
+    source: DataFrame, db_path: str, table: str, staging_root: str
+) -> None:
+    """Streaming → warehouse with EXACTLY-ONCE delivery: each micro-batch
+    is staged to parquet (distributed write), then the DATABASE applies
+    data + the batch id to a `_applied_batches` ledger table in ONE
+    transaction.  A checkpoint-replayed batch finds its id in the ledger
+    and no-ops; a crash mid-transaction rolls both back, so data and
+    ledger can never disagree.  This is the transactional-sink idempotence
+    seam every at-least-once engine (Spark foreachBatch, Flink 2PC sinks)
+    builds exactly-once on — the streaming twin of
+    writers.write_db_append_transactional (reference S7's one-transaction
+    load, web_scraper.py:1286-1291), with DuckDB standing in for the
+    warehouse; swap the connection for JDBC/Postgres and nothing else
+    changes.
+
+    Scale: per batch, one partition-parallel parquet write plus one
+    DB-side bulk load; the ledger probe is a single-row indexed lookup.
+    No rows cross the Spark driver.
+    """
+    import duckdb
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        stage = f"{staging_root.rstrip('/')}/b{batch_id:06d}"
+        batch_df.write.mode("overwrite").parquet(stage)
+        cols = ", ".join(f'"{c}"' for c in batch_df.columns)
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _applied_batches (batch_id BIGINT PRIMARY KEY)"
+            )
+            con.execute("BEGIN")
+            seen = con.execute(
+                "SELECT 1 FROM _applied_batches WHERE batch_id = ?", [batch_id]
+            ).fetchone()
+            if seen:  # checkpoint replay after a crash: already committed
+                con.execute("ROLLBACK")
+                return
+            con.execute(
+                f"INSERT INTO {table} ({cols}) "
+                f"SELECT {cols} FROM read_parquet('{stage}/*.parquet')"
+            )
+            con.execute(
+                "INSERT INTO _applied_batches VALUES (?)", [batch_id]
+            )
+            con.execute("COMMIT")
+        except Exception:
+            con.execute("ROLLBACK")
+            raise
+        finally:
+            con.close()
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@_register(
+    "streaming_db_exactly_once",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_db_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end delivery check for the transactional streaming sink:
+    stream the events table into the warehouse via
+    `stream_db_append_exactly_once`, then report per-type counts READ BACK
+    FROM THE WAREHOUSE.  The oracle computes the same counts straight off
+    the batch table — any dropped or double-applied micro-batch shows up
+    as a count mismatch, so the oracle hash certifies exactly-once
+    delivery, not just query math.  (The read-back aggregate crosses the
+    driver as a bounded |event_type|-row frame; the data path itself is
+    the distributed stage-then-bulk-load sink.)"""
+    import tempfile as _tf
+
+    import duckdb
+
+    root = _tf.mkdtemp(prefix="sg_dbq_")
+    db = f"{root}/wh.duckdb"
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE events_wh (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.close()
+    stream_db_append_exactly_once(
+        read_events_stream(spark, sf_dir), db, "events_wh", f"{root}/stage"
+    )
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events"
+        " FROM events_wh GROUP BY event_type"
+    ).fetchdf()
+    con.close()
+    return spark.createDataFrame(
+        pdf, "event_type string, n_events long"
+    )
+
+
 def run_incremental_to_parquet(result: DataFrame, out_dir: str, ckpt_dir: str) -> None:
     """One incremental-batch run of the nightly-ingest pattern: process
     every source file not yet recorded in ``ckpt_dir``'s offset log,

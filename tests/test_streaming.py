@@ -293,3 +293,61 @@ def test_incremental_checkpoint_resume_exactly_once(spark, tmp_path):
 
     run()  # no new files → no-op
     assert spark.read.parquet(out).count() == 250
+
+
+def test_stream_db_append_exactly_once(spark, chunked_events_dir):
+    """Streaming → warehouse exactly-once: every event lands in the DB
+    exactly once across micro-batches, and a REPLAYED batch (same
+    batch_id, as Spark re-runs after a crash) no-ops because data + batch
+    ledger committed in one transaction."""
+    import tempfile as _tf
+
+    import duckdb
+    from pyspark.sql import types as T
+
+    root = _tf.mkdtemp(prefix="sg_dbstream_")
+    db = f"{root}/wh.duckdb"
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE events_wh (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.close()
+
+    src = (
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)  # 4 files -> 2 micro-batches
+        .load(chunked_events_dir)
+    )
+    jobs.stream_db_append_exactly_once(src, db, "events_wh", f"{root}/stage")
+
+    total = load_table(spark, SF_SMOKE, "events").count()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM events_wh").fetchone()[0] == total
+    assert (
+        con.execute("SELECT count(DISTINCT event_id) FROM events_wh").fetchone()[0]
+        == total
+    )
+    n_batches = con.execute("SELECT count(*) FROM _applied_batches").fetchone()[0]
+    assert n_batches == 2
+    con.close()
+
+    # crash-replay: re-run batch 0's staged data under its original id
+    batch0 = spark.read.parquet(f"{root}/stage/b000000")
+    con = duckdb.connect(db)
+    before = con.execute("SELECT count(*) FROM events_wh").fetchone()[0]
+    con.close()
+    one = _tf.mkdtemp(prefix="sg_replay_")
+    batch0.coalesce(1).write.mode("overwrite").parquet(one)
+    # a FRESH checkpoint restarts batch numbering at 0 == the applied id,
+    # so this whole run must no-op against the ledger
+    src2 = (
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
+        .format("parquet")
+        .load(one)
+    )
+    jobs.stream_db_append_exactly_once(src2, db, "events_wh", f"{root}/stage2")
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM events_wh").fetchone()[0] == before
+    con.close()
