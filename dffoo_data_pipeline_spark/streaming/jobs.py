@@ -434,8 +434,12 @@ def stream_db_append_exactly_once(
 
     Scale: per batch, one partition-parallel parquet write plus one
     DB-side bulk load; the ledger probe is a single-row indexed lookup.
-    No rows cross the Spark driver.
+    No rows cross the Spark driver.  Applied stages are garbage-collected
+    AFTER their commit (one dir per micro-batch otherwise accumulates
+    forever); a stage that failed to commit is kept for the replay.
     """
+    import shutil
+
     import duckdb
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -453,6 +457,7 @@ def stream_db_append_exactly_once(
             ).fetchone()
             if seen:  # checkpoint replay after a crash: already committed
                 con.execute("ROLLBACK")
+                shutil.rmtree(stage, ignore_errors=True)
                 return
             con.execute(
                 f"INSERT INTO {table} ({cols}) "
@@ -465,6 +470,8 @@ def stream_db_append_exactly_once(
         except Exception:
             con.execute("ROLLBACK")
             raise
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
         finally:
             con.close()
 
