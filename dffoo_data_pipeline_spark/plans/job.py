@@ -108,9 +108,11 @@ def latest(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
 
 
 def pipeline_latest_abilities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed E1 batch job as a driver query (rows-only: the job
-    WRITES — checkpoints + run-stamped appends — then reads back the
-    partition-pruned latest-run view; not expressible as one SQL query).
+    """The composed E1 batch job as a driver query: the job WRITES —
+    checkpoints + run-stamped appends — then reads back the
+    partition-pruned latest-run view.  The side effects are not SQL, but
+    the read-back CONTENT is deterministic, so `_latest_abilities_oracle`
+    hash-verifies it end-to-end (write → partition prune → read).
     Output: the latest run's abilities table, GL + JP-second-pass rows.
     The ``attribute_list`` array is serialized to the reference CSV's
     Python-str form at this boundary (F9 parity, same transform as
@@ -135,5 +137,50 @@ def pipeline_latest_abilities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _latest_abilities_oracle() -> str:
+    """DuckDB twin of the composed job's latest-run abilities read-back.
+
+    The job is write-then-read, but its CONTENT is fully deterministic:
+    ability_pipeline(base GL fixtures ∪ sherlotta-JP second pass) with
+    volatile run stamps dropped before the run-stamped write.  So the
+    oracle is the existing full-pipeline SQL over the combined GL+JP
+    fixture VALUES, with the pipe-joined `attributes` string re-serialized
+    to the reference CSV's Python-str `attribute_list` form (F9) — which
+    upgrades this row from rows-only to hash-verified: a wrong partition
+    prune in read_latest_run, a dropped JP row, or a stamp leaking into
+    the output all become hash mismatches.
+    """
+    from dffoo_data_pipeline_spark.fixtures import GOLDEN_FIXTURES, ability_line_rows
+    from dffoo_data_pipeline_spark.plans.abilities import (
+        _CORRECTIONS_SQL,
+        _PARSE_SQL_BODY,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    jp = {c: GOLDEN_FIXTURES[c] for c in ("sherlotta",) if c in GOLDEN_FIXTURES}
+    rows = ability_line_rows() + ability_line_rows(jp, game_version="JP")
+    vals = ",\n".join(
+        f"({q(c)},{q(a)},{i},{q(v)},{n},{q(l)})" for c, a, i, v, n, l in rows
+    )
+    inner = (
+        "WITH lines(char_name, ability_name, ability_id, game_version, line_no, line) AS (VALUES\n"
+        + vals
+        + "),\n"
+        + _PARSE_SQL_BODY
+        + ",\n"
+        + _CORRECTIONS_SQL
+    )
+    return (
+        "SELECT char_name, ability_name, ability_id, main_target_hp_attacks,\n"
+        "       non_target_hp_attacks, hp_dmg_cap_up_perc,\n"
+        "       CASE WHEN attributes = '' THEN '[]'\n"
+        "            ELSE '[''' || replace(attributes, '|', ''', ''') || ''']' END AS attribute_list,\n"
+        "       game_version\n"
+        f"FROM (\n{inner}\n) t"
+    )
+
+
 QUERIES = {"pipeline_latest_abilities": pipeline_latest_abilities}
-ORACLES: dict = {}
+ORACLES: dict = {"pipeline_latest_abilities": _latest_abilities_oracle()}

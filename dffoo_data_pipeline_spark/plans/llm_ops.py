@@ -1285,7 +1285,7 @@ def curation_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_lsh_verified")  # rows-only: minhash candidates are engine-specific
+@_register("dedup_lsh_verified", _PREFIX_PAIRS_ORACLE)
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-bounded exact near-dup: MinHash-LSH candidates verified
     with true Jaccard on the candidate set only
@@ -1294,6 +1294,14 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard_pairs is the all-sharing-pairs exact baseline.
     Soundness (verified ⊆ exact, true similarities) pinned in
     tests/test_dedup.py.
+
+    Oracle: the EXHAUSTIVE ≥0.5 pair computation.  Hash-equality asserts
+    the LSH path lost nothing on this corpus — sound here because every
+    true pair sits at J ≥ 0.89 (measured at sf0.001 and sf0.01), where
+    the deterministic 16×4 banding's miss probability is ≈ 4e-7 per pair
+    and the seeded-xxhash64 signatures make the outcome reproducible,
+    not sampled.  dedup_lsh_quality_report is the measured
+    recall/precision companion (1.0/1.0 at both SFs).
     """
     d = load_table(spark, sf_dir, "documents")
     return dedup.lsh_verified_pairs(d, "doc_id", "text", threshold=0.5)

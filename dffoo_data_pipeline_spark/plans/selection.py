@@ -228,8 +228,10 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     second aggregation over the same exploded frame (recomputes the
     scan→explode subtree, same accepted tradeoff as the unigram LM in
     plans/corpus.py) and broadcast back, so scoring adds no shuffle
-    beyond the tf rollup.  Smoothed count ratios are formed as exact
-    int64 products cast to double (exact below 2^53), divided once
+    beyond the tf rollup.  Smoothed count ratios cast each int64 factor
+    to double BEFORE multiplying (each factor exact below 2^53; the
+    product correctly rounded once — an int64 product would overflow at
+    corpus scale, an ANSI ARITHMETIC_OVERFLOW), divided once
     (IEEE-identical both engines), ln'd and floor-rounded at 1e-6 into
     DECIMAL, so the tf-weighted per-doc sum is partition-order-exact.
     """

@@ -249,25 +249,39 @@ def write_db_append_transactional(
     same load-from-staging statement Postgres/Redshift/Snowflake run
     (COPY FROM / external-stage load); swapping the connection string is
     the only production change.  Returns rows appended.
+
+    The staged copy is garbage-collected after COMMIT (per-run staging
+    dirs otherwise accumulate one full data copy per run forever) and
+    kept on failure so the retry can re-load without re-running the
+    Spark job.
     """
+    import shutil
+
     import duckdb
 
     df.write.mode("overwrite").parquet(staging_dir)
     con = duckdb.connect(db_path)
+    in_txn = False
     try:
         cols = ", ".join(f'"{c}"' for c in df.columns)
         con.execute("BEGIN")
+        in_txn = True
         n = con.execute(
             f"INSERT INTO {table} ({cols}) "
             f"SELECT {cols} FROM read_parquet('{staging_dir}/*.parquet')"
         ).fetchone()[0]
         con.execute("COMMIT")
-        return int(n)
     except Exception:
-        con.execute("ROLLBACK")
+        if in_txn:  # bare ROLLBACK outside a txn raises and masks the root cause
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
         raise
     finally:
         con.close()
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    return int(n)
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:

@@ -391,7 +391,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(deduped, "complete")
 
 
-def stream_to_run_stamped(source: DataFrame, path: str) -> None:
+def stream_to_run_stamped(
+    source: DataFrame, path: str, checkpoint_dir: str | None = None
+) -> None:
     """Streaming writer feeding a run-stamped append table — the streaming
     form of the reference's append-mode load (web_scraper.py:1286-1291):
     each micro-batch becomes one `run_id` partition via foreachBatch, so
@@ -401,6 +403,10 @@ def stream_to_run_stamped(source: DataFrame, path: str) -> None:
     Scale: foreachBatch reuses the batch writer (idempotent per batch id
     on retry because the partition is overwritten by run, not appended
     twice blindly — Spark re-runs a failed batch with the same batch_id).
+    Production callers MUST pass a durable ``checkpoint_dir``: batch ids
+    are scoped to one checkpoint lineage, and a fresh checkpoint restarts
+    numbering at 0 — overwriting prior run partitions.  The throwaway
+    default exists only for single-shot tests.
     """
     from dffoo_data_pipeline_spark.sources.writers import write_run_stamped
 
@@ -409,7 +415,10 @@ def stream_to_run_stamped(source: DataFrame, path: str) -> None:
 
     q = (
         source.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="sg_ckpt_"),
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -417,26 +426,37 @@ def stream_to_run_stamped(source: DataFrame, path: str) -> None:
 
 
 def stream_db_append_exactly_once(
-    source: DataFrame, db_path: str, table: str, staging_root: str
+    source: DataFrame, db_path: str, table: str, staging_root: str, checkpoint_dir: str
 ) -> None:
     """Streaming → warehouse with EXACTLY-ONCE delivery: each micro-batch
     is staged to parquet (distributed write), then the DATABASE applies
-    data + the batch id to a `_applied_batches` ledger table in ONE
-    transaction.  A checkpoint-replayed batch finds its id in the ledger
-    and no-ops; a crash mid-transaction rolls both back, so data and
-    ledger can never disagree.  This is the transactional-sink idempotence
-    seam every at-least-once engine (Spark foreachBatch, Flink 2PC sinks)
-    builds exactly-once on — the streaming twin of
+    data + the (table, batch id) to a `_applied_batches` ledger table in
+    ONE transaction.  A checkpoint-replayed batch finds its id in the
+    ledger and no-ops; a crash mid-transaction rolls both back, so data
+    and ledger can never disagree.  This is the transactional-sink
+    idempotence seam every at-least-once engine (Spark foreachBatch,
+    Flink 2PC sinks) builds exactly-once on — the streaming twin of
     writers.write_db_append_transactional (reference S7's one-transaction
     load, web_scraper.py:1286-1291), with DuckDB standing in for the
     warehouse; swap the connection for JDBC/Postgres and nothing else
     changes.
 
+    ``checkpoint_dir`` is caller-owned and must be DURABLE: batch ids are
+    only meaningful within one checkpoint lineage, so the ledger's
+    replay-detection contract holds only when every run of this stream
+    resumes the same checkpoint.  (A fresh checkpoint restarts batch
+    numbering at 0 with different batch boundaries — against a warehouse
+    whose ledger already holds those ids, that silently drops data.)
+    The ledger is keyed (sink_table, batch_id) so multiple streams can
+    share one warehouse file without colliding.
+
     Scale: per batch, one partition-parallel parquet write plus one
-    DB-side bulk load; the ledger probe is a single-row indexed lookup.
-    No rows cross the Spark driver.  Applied stages are garbage-collected
-    AFTER their commit (one dir per micro-batch otherwise accumulates
-    forever); a stage that failed to commit is kept for the replay.
+    DB-side bulk load; the ledger probe is a single-row indexed lookup
+    and runs BEFORE staging, so a replayed batch skips the distributed
+    write entirely.  No rows cross the Spark driver.  Applied stages are
+    garbage-collected AFTER their commit (one dir per micro-batch
+    otherwise accumulates forever); a stage that failed to commit is
+    kept for the retry.
     """
     import shutil
 
@@ -444,31 +464,40 @@ def stream_db_append_exactly_once(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         stage = f"{staging_root.rstrip('/')}/b{batch_id:06d}"
-        batch_df.write.mode("overwrite").parquet(stage)
-        cols = ", ".join(f'"{c}"' for c in batch_df.columns)
         con = duckdb.connect(db_path)
+        in_txn = False
         try:
             con.execute(
-                "CREATE TABLE IF NOT EXISTS _applied_batches (batch_id BIGINT PRIMARY KEY)"
+                "CREATE TABLE IF NOT EXISTS _applied_batches "
+                "(sink_table VARCHAR, batch_id BIGINT, PRIMARY KEY (sink_table, batch_id))"
             )
-            con.execute("BEGIN")
             seen = con.execute(
-                "SELECT 1 FROM _applied_batches WHERE batch_id = ?", [batch_id]
+                "SELECT 1 FROM _applied_batches WHERE sink_table = ? AND batch_id = ?",
+                [table, batch_id],
             ).fetchone()
-            if seen:  # checkpoint replay after a crash: already committed
-                con.execute("ROLLBACK")
+            if seen:  # checkpoint replay after a crash: already committed —
+                # skip the staging write too, and GC any stale stage left
+                # by a crash between COMMIT and the post-commit rmtree
                 shutil.rmtree(stage, ignore_errors=True)
                 return
+            batch_df.write.mode("overwrite").parquet(stage)
+            cols = ", ".join(f'"{c}"' for c in batch_df.columns)
+            con.execute("BEGIN")
+            in_txn = True
             con.execute(
                 f"INSERT INTO {table} ({cols}) "
                 f"SELECT {cols} FROM read_parquet('{stage}/*.parquet')"
             )
             con.execute(
-                "INSERT INTO _applied_batches VALUES (?)", [batch_id]
+                "INSERT INTO _applied_batches VALUES (?, ?)", [table, batch_id]
             )
             con.execute("COMMIT")
         except Exception:
-            con.execute("ROLLBACK")
+            if in_txn:  # a bare ROLLBACK outside a txn would raise and
+                try:  # mask the root-cause error propagating to the stream
+                    con.execute("ROLLBACK")
+                except Exception:
+                    pass
             raise
         else:
             shutil.rmtree(stage, ignore_errors=True)
@@ -477,7 +506,7 @@ def stream_db_append_exactly_once(
 
     q = (
         source.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
@@ -514,7 +543,7 @@ def streaming_db_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     con.close()
     stream_db_append_exactly_once(
-        read_events_stream(spark, sf_dir), db, "events_wh", f"{root}/stage"
+        read_events_stream(spark, sf_dir), db, "events_wh", f"{root}/stage", f"{root}/ckpt"
     )
     con = duckdb.connect(db)
     pdf = con.execute(

@@ -320,7 +320,9 @@ def test_stream_db_append_exactly_once(spark, chunked_events_dir):
         .option("maxFilesPerTrigger", 2)  # 4 files -> 2 micro-batches
         .load(chunked_events_dir)
     )
-    jobs.stream_db_append_exactly_once(src, db, "events_wh", f"{root}/stage")
+    jobs.stream_db_append_exactly_once(
+        src, db, "events_wh", f"{root}/stage", f"{root}/ckpt"
+    )
 
     total = load_table(spark, SF_SMOKE, "events").count()
     con = duckdb.connect(db)
@@ -342,19 +344,107 @@ def test_stream_db_append_exactly_once(spark, chunked_events_dir):
         e.startswith("b") for e in (_os.listdir(f"{root}/stage") if _os.path.isdir(f"{root}/stage") else [])
     )
 
-    # crash-replay: a fresh checkpoint restarts batch numbering at 0 ==
-    # an applied id, so the run must no-op on the ledger regardless of
-    # the replayed content
+    # restart with the SAME durable checkpoint: the offset log knows every
+    # file is done, so the resumed run delivers nothing new
+    src_resume = (
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)
+        .load(chunked_events_dir)
+    )
+    jobs.stream_db_append_exactly_once(
+        src_resume, db, "events_wh", f"{root}/stage", f"{root}/ckpt"
+    )
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM events_wh").fetchone()[0] == before
+    con.close()
+
+    # ledger replay: batch committed to the DB but the stream crashed
+    # before advancing the checkpoint — the resumed run re-delivers the
+    # same batch id and must no-op on the ledger.  Simulated by
+    # pre-seeding (table, 0) into the ledger for a fresh table/stream.
     one = _tf.mkdtemp(prefix="sg_replay_")
     load_table(spark, SF_SMOKE, "events").limit(10).coalesce(1).write.mode(
         "overwrite"
     ).parquet(one)
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE events_wh2 AS SELECT * FROM events_wh WHERE false"
+    )
+    con.execute("INSERT INTO _applied_batches VALUES ('events_wh2', 0)")
+    con.close()
     src2 = (
         spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
         .format("parquet")
         .load(one)
     )
-    jobs.stream_db_append_exactly_once(src2, db, "events_wh", f"{root}/stage2")
+    jobs.stream_db_append_exactly_once(
+        src2, db, "events_wh2", f"{root}/stage2", f"{root}/ckpt2"
+    )
     con = duckdb.connect(db)
-    assert con.execute("SELECT count(*) FROM events_wh").fetchone()[0] == before
+    # replayed batch no-oped — and the replay skipped the staging write
+    assert con.execute("SELECT count(*) FROM events_wh2").fetchone()[0] == 0
     con.close()
+    assert not _os.path.isdir(f"{root}/stage2/b000000")
+
+    # composite ledger key: a DIFFERENT stream into a DIFFERENT table of
+    # the SAME warehouse reuses batch ids 0.. without colliding
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE events_wh3 AS SELECT * FROM events_wh WHERE false"
+    )
+    con.close()
+    src3 = (
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
+        .format("parquet")
+        .load(one)
+    )
+    jobs.stream_db_append_exactly_once(
+        src3, db, "events_wh3", f"{root}/stage3", f"{root}/ckpt3"
+    )
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM events_wh3").fetchone()[0] == 10
+    con.close()
+
+
+def test_stream_db_append_rollback_on_midload_failure(spark, chunked_events_dir):
+    """A load that fails MID-transaction (CHECK-constraint violation on a
+    later row of the batch) must leave the warehouse untouched AND the
+    ledger without the batch id — data and ledger commit or roll back
+    together — and must KEEP the staged parquet so the retry re-loads
+    without re-running the Spark side."""
+    import os as _os
+    import tempfile as _tf
+
+    import duckdb
+    from pyspark.sql import types as T
+
+    root = _tf.mkdtemp(prefix="sg_dbfail_")
+    db = f"{root}/wh.duckdb"
+    con = duckdb.connect(db)
+    # value is always >= 0 in the testdata, so constrain on a column we
+    # can make fail deterministically: event_id must be < 0, violated by
+    # every real row → the bulk INSERT starts and dies mid-load
+    con.execute(
+        "CREATE TABLE events_wh (event_id BIGINT CHECK (event_id < 0), ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.close()
+
+    src = (
+        spark.readStream.schema(jobs._events_raw_schema(T.TimestampType()))
+        .format("parquet")
+        .load(chunked_events_dir)
+    )
+    with pytest.raises(Exception):
+        jobs.stream_db_append_exactly_once(
+            src, db, "events_wh", f"{root}/stage", f"{root}/ckpt"
+        )
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM events_wh").fetchone()[0] == 0
+    assert (
+        con.execute("SELECT count(*) FROM _applied_batches").fetchone()[0] == 0
+    )
+    con.close()
+    # failed stage kept for the retry
+    assert _os.path.isdir(f"{root}/stage/b000000")

@@ -289,6 +289,9 @@ def test_db_append_transactional_atomicity(spark, tmp_path):
         good, db, "abilities", str(tmp_path / "stage2")
     )
     assert n == 2
+    # committed stages are GC'd (a copy per run otherwise accumulates)
+    assert not (tmp_path / "stage1").exists()
+    assert not (tmp_path / "stage2").exists()
 
     # one violating row in an otherwise-valid batch: NOTHING lands
     mixed = spark.createDataFrame(
@@ -301,3 +304,5 @@ def test_db_append_transactional_atomicity(spark, tmp_path):
     con = duckdb.connect(db)
     assert con.execute("SELECT count(*) FROM abilities").fetchone()[0] == 4
     con.close()
+    # failed stage is KEPT so the retry can re-load without re-running Spark
+    assert (tmp_path / "stage3").exists()
