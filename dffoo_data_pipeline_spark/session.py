@@ -31,6 +31,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def find_jdbc_jar() -> str | None:
+    """Locate a JDBC driver jar for the S7 append sink, if one exists.
+
+    Production clusters ship the warehouse's JDBC driver on the
+    classpath; locally we look for a DuckDB JDBC jar (the same embedded
+    warehouse the transactional sinks use) in the usual dependency
+    caches.  Returns None when absent — callers (and the JDBC tests)
+    degrade to the documented call-shape-only behavior.
+    """
+    override = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if override:
+        return override if os.path.isfile(override) else None
+    import glob
+
+    for root in (
+        os.path.expanduser("~/.cache/coursier"),
+        os.path.expanduser("~/.m2/repository"),
+        os.path.expanduser("~/.ivy2"),
+    ):
+        hits = glob.glob(f"{root}/**/duckdb_jdbc*.jar", recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
 def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
@@ -67,4 +92,7 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    jdbc_jar = find_jdbc_jar()
+    if jdbc_jar:  # S7: makes df.write.jdbc exercisable end-to-end
+        builder = builder.config("spark.jars", jdbc_jar)
     return builder.getOrCreate()

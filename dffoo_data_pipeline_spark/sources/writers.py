@@ -225,12 +225,45 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
 
 
 def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict) -> None:
-    """JDBC append sink (reference S7, to_sql(if_exists='append')).
+    """JDBC append sink (reference S7, to_sql(if_exists='append')):
+    partition-parallel INSERTs in append mode — each executor partition
+    opens its own connection and batches its rows, which is how a
+    1000-executor run loads a warehouse without funneling data through
+    the driver.
 
-    Not exercisable in this container (no JDBC driver jar); the call shape
-    is the production path: partition-parallel INSERTs, append mode.
+    Exercised end-to-end against a DuckDB JDBC driver when one is found
+    on the machine (session.find_jdbc_jar; tests/test_writers.py runs a
+    real append + read-back, the target table pre-created with
+    `jdbc_execute` because Spark's exists-probe requires it).  For a
+    production warehouse, swap the url/driver properties — the Spark
+    call is identical.
     """
     df.write.mode("append").jdbc(url, table, properties=properties)
+
+
+def jdbc_execute(spark, url: str, driver_class: str, *statements: str) -> None:
+    """Run DDL/DML statements over a raw JDBC connection — the
+    out-of-band "create the target table" step a warehouse admin (or a
+    migration tool) performs before partition-parallel loads.
+
+    Loads the driver through Spark's session classloader (where
+    `spark.jars` artifacts live) and connects via the Driver instance
+    directly — `java.sql.DriverManager` refuses drivers that are not
+    visible to the *calling* classloader, which spark.jars classes are
+    not.  One bounded driver-side connection for DDL only; data movement
+    stays in `write_jdbc_append`'s executor-parallel path.
+    """
+    jvm = spark._jvm
+    cl = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    drv = cl.loadClass(driver_class).newInstance()
+    conn = drv.connect(url, jvm.java.util.Properties())
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
 
 
 def write_db_append_transactional(

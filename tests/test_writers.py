@@ -306,3 +306,39 @@ def test_db_append_transactional_atomicity(spark, tmp_path):
     con.close()
     # failed stage is KEPT so the retry can re-load without re-running Spark
     assert (tmp_path / "stage3").exists()
+
+
+def test_jdbc_append_real_roundtrip(spark, tmp_path):
+    """S7 exercised END-TO-END through the real `df.write.jdbc` path:
+    target table pre-created over a raw JDBC connection (the warehouse-
+    admin step — Spark 4's exists-probe rethrows DuckDB's catalog error,
+    so append mode needs the table to exist), then two partition-parallel
+    appends, then read-back THROUGH JDBC.  Append semantics (2×N rows),
+    values, and parallel-writer correctness all asserted.  Skips when no
+    DuckDB JDBC jar is on the machine — then the call-shape test in
+    test_sources.py is the S7 coverage."""
+    import pytest
+
+    from dffoo_data_pipeline_spark.session import find_jdbc_jar
+    from dffoo_data_pipeline_spark.sources import writers
+
+    if find_jdbc_jar() is None:
+        pytest.skip("no DuckDB JDBC jar available")
+
+    url = f"jdbc:duckdb:{tmp_path}/jdbc_wh.duckdb"
+    props = {"driver": "org.duckdb.DuckDBDriver"}
+    writers.jdbc_execute(
+        spark,
+        url,
+        "org.duckdb.DuckDBDriver",
+        "CREATE TABLE loads (id BIGINT, v BIGINT)",
+    )
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(4)
+    writers.write_jdbc_append(df, url, "loads", props)
+    writers.write_jdbc_append(df, url, "loads", props)  # append, not overwrite
+
+    back = spark.read.jdbc(url, "loads", properties=props)
+    assert back.count() == 2000
+    row = back.agg({"v": "sum"}).collect()[0]
+    assert row[0] == 2 * sum(2 * i for i in range(1000))
+    assert back.select("id").distinct().count() == 1000
