@@ -317,6 +317,63 @@ def write_db_append_transactional(
     return int(n)
 
 
+def write_db_append_all_or_nothing(
+    tables: dict[str, DataFrame], db_path: str, staging_root: str
+) -> dict[str, int]:
+    """Multi-table one-transaction append — the reference's EXACT S7
+    semantics: all three output tables commit inside a SINGLE engine
+    transaction (web_scraper.py:1286-1291, `with engine.begin(): 3×
+    to_sql(append)`), so a failed run leaves the warehouse with either
+    every table's new rows or none of them — no torn run where
+    raw_abilities advanced but raw_bt_effects did not.
+
+    Scale: each frame stages to parquet partition-parallel (independent
+    Spark jobs, schedulable concurrently); the DB then bulk-loads ALL
+    stages in one txn.  The transaction holds only DB-side load work —
+    the expensive distributed writes happen before BEGIN, keeping the
+    warehouse lock window to the load itself, which is how a production
+    Postgres/Snowflake multi-table load keeps contention bounded.
+    Returns rows appended per table; stages GC after the single COMMIT,
+    all kept on failure for the retry.
+    """
+    import shutil
+
+    import duckdb
+
+    stages = {}
+    for name, df in tables.items():
+        stage = f"{staging_root.rstrip('/')}/{name}"
+        df.write.mode("overwrite").parquet(stage)
+        stages[name] = (stage, list(df.columns))
+    con = duckdb.connect(db_path)
+    counts: dict[str, int] = {}
+    in_txn = False
+    try:
+        con.execute("BEGIN")
+        in_txn = True
+        for name, (stage, columns) in stages.items():
+            cols = ", ".join(f'"{c}"' for c in columns)
+            counts[name] = int(
+                con.execute(
+                    f"INSERT INTO {name} ({cols}) "
+                    f"SELECT {cols} FROM read_parquet('{stage}/*.parquet')"
+                ).fetchone()[0]
+            )
+        con.execute("COMMIT")
+    except Exception:
+        if in_txn:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
+        raise
+    finally:
+        con.close()
+    for stage, _ in stages.values():
+        shutil.rmtree(stage, ignore_errors=True)
+    return counts
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
     """JSON-Lines sink (one document object per line) — what downstream
     tokenizer/training jobs ingest.  Optional codec (e.g. 'gzip', 'zstd');

@@ -308,6 +308,54 @@ def test_db_append_transactional_atomicity(spark, tmp_path):
     assert (tmp_path / "stage3").exists()
 
 
+def test_db_append_all_or_nothing_three_tables(spark, tmp_path):
+    """The reference's exact S7 shape: three tables in ONE transaction
+    (web_scraper.py:1286-1291).  A failure loading the THIRD table must
+    roll back the first two as well — no torn run."""
+    import duckdb
+    import pytest
+
+    from dffoo_data_pipeline_spark.sources import writers
+
+    db = str(tmp_path / "wh.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE raw_abilities (char_name VARCHAR, cap INT)")
+    con.execute("CREATE TABLE raw_bt_effects (char_name VARCHAR, turns INT)")
+    con.execute(
+        "CREATE TABLE raw_high_armor_caps (char_name VARCHAR, cap INT CHECK (cap >= 0))"
+    )
+    con.close()
+
+    ab = spark.createDataFrame([("vivi", 10), ("zack", 20)], "char_name string, cap int")
+    bt = spark.createDataFrame([("vivi", 3)], "char_name string, turns int")
+    ha_ok = spark.createDataFrame([("vivi", 5)], "char_name string, cap int")
+    ha_bad = spark.createDataFrame([("vivi", -5)], "char_name string, cap int")
+
+    counts = writers.write_db_append_all_or_nothing(
+        {"raw_abilities": ab, "raw_bt_effects": bt, "raw_high_armor_caps": ha_ok},
+        db,
+        str(tmp_path / "run1"),
+    )
+    assert counts == {"raw_abilities": 2, "raw_bt_effects": 1, "raw_high_armor_caps": 1}
+    assert not (tmp_path / "run1" / "raw_abilities").exists()  # stages GC'd
+
+    with pytest.raises(Exception):
+        writers.write_db_append_all_or_nothing(
+            {"raw_abilities": ab, "raw_bt_effects": bt, "raw_high_armor_caps": ha_bad},
+            db,
+            str(tmp_path / "run2"),
+        )
+    con = duckdb.connect(db)
+    # the failed run's FIRST TWO loads rolled back with the third
+    assert con.execute("SELECT count(*) FROM raw_abilities").fetchone()[0] == 2
+    assert con.execute("SELECT count(*) FROM raw_bt_effects").fetchone()[0] == 1
+    assert con.execute("SELECT count(*) FROM raw_high_armor_caps").fetchone()[0] == 1
+    con.close()
+    # every stage of the failed run kept for the retry
+    assert (tmp_path / "run2" / "raw_abilities").exists()
+    assert (tmp_path / "run2" / "raw_high_armor_caps").exists()
+
+
 def test_jdbc_append_real_roundtrip(spark, tmp_path):
     """S7 exercised END-TO-END through the real `df.write.jdbc` path:
     target table pre-created over a raw JDBC connection (the warehouse-
