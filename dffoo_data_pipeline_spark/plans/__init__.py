@@ -42,9 +42,11 @@ _PRIORITY = [
     "multimodal_audio_rms",
     "multimodal_image_pixel_stats",
     "abilities_parse_scaled",
-    # new this round: transactional streaming sink, oracle-certified
-    # exactly-once delivery (counts read back FROM the warehouse)
+    # new this round: transactional sinks, oracle-certified by counts
+    # read back FROM the warehouse (exactly-once stream; three-table
+    # single-transaction batch load)
     "streaming_db_exactly_once",
+    "pipeline_db_load",
     # (b) minhash-family consumers + measured-recall reports
     "dedup_lsh_verified",
     "dedup_lsh_quality_report",

@@ -182,5 +182,75 @@ def _latest_abilities_oracle() -> str:
     )
 
 
-QUERIES = {"pipeline_latest_abilities": pipeline_latest_abilities}
-ORACLES: dict = {"pipeline_latest_abilities": _latest_abilities_oracle()}
+_DUCK_TYPES = {
+    "string": "VARCHAR",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "array<string>": "VARCHAR[]",
+    "array<int>": "INTEGER[]",
+    "array<bigint>": "BIGINT[]",
+}
+
+
+def _duck_ddl(name: str, schema) -> str:
+    cols = ", ".join(
+        f'"{f.name}" {_DUCK_TYPES[f.dataType.simpleString()]}' for f in schema.fields
+    )
+    return f"CREATE TABLE {name} ({cols})"
+
+
+def pipeline_db_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E1 tail as a driver query: build the three output tables, load
+    them into the warehouse in ONE transaction
+    (writers.write_db_append_all_or_nothing — the reference's exact S7
+    shape, web_scraper.py:1286-1291), then report per-table row counts
+    READ BACK FROM THE WAREHOUSE.  The oracle computes the same counts
+    from the fixture SQL twins, so the hash certifies the full path:
+    parse → corrections → JP second pass → stage → single-transaction
+    bulk load → read-back.  A dropped table, a torn transaction, or a
+    miscounted load all become hash mismatches."""
+    import tempfile
+
+    import duckdb
+
+    outputs = build_outputs(spark)
+    root = tempfile.mkdtemp(prefix="sg_dbload_")
+    db = f"{root}/wh.duckdb"
+    con = duckdb.connect(db)
+    for name, df in outputs.items():
+        con.execute(_duck_ddl(name, df.schema))
+    con.close()
+    writers.write_db_append_all_or_nothing(outputs, db, f"{root}/stage")
+    con = duckdb.connect(db)
+    rows = [
+        (n, int(con.execute(f"SELECT count(*) FROM {n}").fetchone()[0]))
+        for n in outputs
+    ]
+    con.close()
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
+def _db_load_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.bt_ha import _bt_oracle, _ha_oracle
+
+    return (
+        "SELECT 'raw_abilities' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM (\n{_latest_abilities_oracle()}\n) a\n"
+        "UNION ALL SELECT 'raw_bt_effects', CAST(count(*) AS BIGINT) "
+        f"FROM (\n{_bt_oracle()}\n) b\n"
+        "UNION ALL SELECT 'raw_high_armor_caps', CAST(count(*) AS BIGINT) "
+        f"FROM (\n{_ha_oracle()}\n) h"
+    )
+
+
+QUERIES = {
+    "pipeline_latest_abilities": pipeline_latest_abilities,
+    "pipeline_db_load": pipeline_db_load,
+}
+ORACLES: dict = {
+    "pipeline_latest_abilities": _latest_abilities_oracle(),
+    "pipeline_db_load": _db_load_oracle(),
+}
