@@ -12,8 +12,10 @@ clusters are tiny cliques, so 2-4 rounds in practice).
 
 Scale: each iteration is one equi-join (edges ⋈ labels on the src id) +
 one min-aggregation — linear shuffles, no driver data collection (the
-convergence check is a scalar count).  `localCheckpoint` truncates the
-lineage each round so the plan doesn't grow unboundedly.  For
+convergence check is a scalar count).  Lineage is truncated each round
+so the plan doesn't grow unboundedly — reliable `checkpoint` when a
+checkpoint dir is set (fault-tolerant, the cluster mode), else
+`localCheckpoint` (see `_tracked_checkpoint`).  For
 billion-edge graphs the same loop holds; the well-known large-star/
 small-star variant halves the rounds but keeps this exact join shape.
 """
@@ -50,6 +52,20 @@ def _unpersist_ids(sc, ids: set) -> None:
 
 
 def _tracked_checkpoint(sc, df: DataFrame) -> tuple[DataFrame, set]:
+    """Truncate lineage between iterations.
+
+    Reliable (`df.checkpoint`) when a checkpoint dir is configured
+    (session honors SPARK_GRAFT_CHECKPOINT_DIR) — the production choice
+    at 100 TB, where localCheckpoint's executor-local blocks die with a
+    lost executor and take the whole iterative job down.  Falls back to
+    `localCheckpoint` (fast, no durable storage needed) when no dir is
+    set — fine on a healthy local run.  Reliable checkpoints live in the
+    checkpoint dir, not the block manager, so there is nothing to
+    unpersist (set `spark.cleaner.referenceTracking.cleanCheckpoints`
+    for automatic file cleanup on a long-lived cluster).
+    """
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True), set()
     before = _persistent_ids(sc)
     out = df.localCheckpoint(eager=True)
     return out, _persistent_ids(sc) - before
@@ -176,7 +192,8 @@ def pagerank(
     web-host scale both sides hash-partition on src; outw pre-joins
     edges once before the loop) + one SUM aggregation keyed by dst —
     the Pregel message pattern as two relational ops.  Lineage is
-    truncated every `checkpoint_interval` rounds (localCheckpoint) and
+    truncated every `checkpoint_interval` rounds (`_tracked_checkpoint`:
+    reliable with a checkpoint dir, else local) and
     superseded checkpoints freed, so executor storage holds ONE rank
     table, not `iterations` of them.  For a billion-node host graph
     keep the default interval of 1 (each round's shuffle output is the

@@ -95,4 +95,11 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
     jdbc_jar = find_jdbc_jar()
     if jdbc_jar:  # S7: makes df.write.jdbc exercisable end-to-end
         builder = builder.config("spark.jars", jdbc_jar)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # reliable checkpointing for iterative operators (operators/graph.py):
+    # point this at durable shared storage (HDFS/S3) on a real cluster so
+    # an executor loss mid-iteration recovers instead of killing the job
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    return spark

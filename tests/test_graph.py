@@ -58,3 +58,30 @@ def test_connected_components_frees_intermediate_checkpoints(spark):
     out.count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """With a checkpoint dir configured, iterations cut lineage through
+    RELIABLE checkpoints (durable files an executor loss can recover
+    from) instead of executor-local blocks — results identical, files
+    actually written.  The dir is unset afterwards so other tests keep
+    the localCheckpoint fast path."""
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], "src bigint, dst bigint"
+        )
+        got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+        walked = [
+            f for _, _, files in os.walk(tmp_path / "ckpt") for f in files
+        ]
+        assert walked, "reliable mode must write checkpoint files"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
