@@ -40,15 +40,36 @@ def _persistent_ids(sc) -> set:
     return ids
 
 
-def _unpersist_ids(sc, ids: set) -> None:
-    # free an intermediate checkpoint's storage (executor memory/disk
-    # accumulates across the iteration otherwise — at corpus scale
-    # that's max_iterations copies of the label table pinned at once)
+def _ckpt_rdd_dirs(sc) -> set:
+    """List the rdd-* checkpoint directories under the app's resolved
+    checkpoint dir (works for file://, hdfs://, s3a:// — whatever the
+    Hadoop FS of the configured dir is)."""
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    return {st.getPath().toString() for st in fs.listStatus(path)}
+
+
+def _unpersist_ids(sc, handles: set) -> None:
+    # free an intermediate checkpoint's storage — int handles are
+    # block-manager RDD ids (localCheckpoint mode: executor memory/disk
+    # accumulates max_iterations label-table copies otherwise), str
+    # handles are superseded reliable-checkpoint directories (durable
+    # storage accumulates one full table copy per iteration otherwise)
     m = sc._jsc.getPersistentRDDs()
-    for i in ids:
-        r = m.get(i)
-        if r is not None:
-            r.unpersist(False)
+    fs = None
+    for h in handles:
+        if isinstance(h, str):
+            jvm = sc._jvm
+            p = jvm.org.apache.hadoop.fs.Path(h)
+            fs = fs or p.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        else:
+            r = m.get(h)
+            if r is not None:
+                r.unpersist(False)
 
 
 def _tracked_checkpoint(sc, df: DataFrame) -> tuple[DataFrame, set]:
@@ -59,13 +80,17 @@ def _tracked_checkpoint(sc, df: DataFrame) -> tuple[DataFrame, set]:
     at 100 TB, where localCheckpoint's executor-local blocks die with a
     lost executor and take the whole iterative job down.  Falls back to
     `localCheckpoint` (fast, no durable storage needed) when no dir is
-    set — fine on a healthy local run.  Reliable checkpoints live in the
-    checkpoint dir, not the block manager, so there is nothing to
-    unpersist (set `spark.cleaner.referenceTracking.cleanCheckpoints`
-    for automatic file cleanup on a long-lived cluster).
+    set — fine on a healthy local run.  In reliable mode the returned
+    handle set names the new checkpoint directory, so superseded
+    generations are DELETED from durable storage by `_unpersist_ids`
+    exactly like superseded block-manager copies — without this, an
+    iterations-deep job leaks one full table copy per round into the
+    checkpoint volume.
     """
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True), set()
+        before = _ckpt_rdd_dirs(sc)
+        out = df.checkpoint(eager=True)
+        return out, _ckpt_rdd_dirs(sc) - before
     before = _persistent_ids(sc)
     out = df.localCheckpoint(eager=True)
     return out, _persistent_ids(sc) - before

@@ -196,10 +196,16 @@ _DUCK_TYPES = {
 
 
 def _duck_ddl(name: str, schema) -> str:
-    cols = ", ".join(
-        f'"{f.name}" {_DUCK_TYPES[f.dataType.simpleString()]}' for f in schema.fields
-    )
-    return f"CREATE TABLE {name} ({cols})"
+    cols = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _DUCK_TYPES:
+            raise TypeError(
+                f"unsupported Spark type {t!r} for column {f.name!r} of table"
+                f" {name!r} — extend _DUCK_TYPES"
+            )
+        cols.append(f'"{f.name}" {_DUCK_TYPES[t]}')
+    return f"CREATE TABLE {name} ({', '.join(cols)})"
 
 
 def pipeline_db_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,24 +218,31 @@ def pipeline_db_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse → corrections → JP second pass → stage → single-transaction
     bulk load → read-back.  A dropped table, a torn transaction, or a
     miscounted load all become hash mismatches."""
+    import shutil
     import tempfile
 
     import duckdb
 
     outputs = build_outputs(spark)
     root = tempfile.mkdtemp(prefix="sg_dbload_")
-    db = f"{root}/wh.duckdb"
-    con = duckdb.connect(db)
-    for name, df in outputs.items():
-        con.execute(_duck_ddl(name, df.schema))
-    con.close()
-    writers.write_db_append_all_or_nothing(outputs, db, f"{root}/stage")
-    con = duckdb.connect(db)
-    rows = [
-        (n, int(con.execute(f"SELECT count(*) FROM {n}").fetchone()[0]))
-        for n in outputs
-    ]
-    con.close()
+    try:
+        db = f"{root}/wh.duckdb"
+        con = duckdb.connect(db)
+        for name, df in outputs.items():
+            con.execute(_duck_ddl(name, df.schema))
+        con.close()
+        writers.write_db_append_all_or_nothing(outputs, db, f"{root}/stage")
+        con = duckdb.connect(db)
+        rows = [
+            (n, int(con.execute(f"SELECT count(*) FROM {n}").fetchone()[0]))
+            for n in outputs
+        ]
+        con.close()
+    finally:
+        # the counts are plain Python ints by now — the scratch warehouse
+        # (a full copy of all three tables per invocation) must not
+        # accumulate across driver sweeps and bench reps
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "table_name string, n_rows long")
 
 

@@ -31,6 +31,9 @@ import os
 from pyspark.sql import SparkSession
 
 
+_JDBC_JAR_CACHE: list = []  # [result] once resolved — the cache walk runs once per process
+
+
 def find_jdbc_jar() -> str | None:
     """Locate a JDBC driver jar for the S7 append sink, if one exists.
 
@@ -39,21 +42,47 @@ def find_jdbc_jar() -> str | None:
     warehouse the transactional sinks use) in the usual dependency
     caches.  Returns None when absent — callers (and the JDBC tests)
     degrade to the documented call-shape-only behavior.
-    """
-    override = os.environ.get("SPARK_GRAFT_JDBC_JAR")
-    if override:
-        return override if os.path.isfile(override) else None
-    import glob
 
+    SPARK_GRAFT_JDBC_JAR overrides: a path forces that jar (and raises
+    if the file is missing — an explicit override that cannot be
+    honored must not silently skip the end-to-end JDBC coverage); an
+    empty string disables discovery entirely.  The cache walk is
+    memoized per process and skips -sources/-javadoc jars, preferring
+    the numerically (not lexicographically) newest version.
+    """
+    if _JDBC_JAR_CACHE:
+        return _JDBC_JAR_CACHE[0]
+    override = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if override is not None:
+        if override == "":
+            return None
+        if not os.path.isfile(override):
+            raise FileNotFoundError(f"SPARK_GRAFT_JDBC_JAR={override} does not exist")
+        _JDBC_JAR_CACHE.append(override)
+        return override
+    import glob
+    import re
+
+    def version_key(p: str):
+        m = re.search(r"duckdb_jdbc-([0-9][0-9.]*)\.jar$", os.path.basename(p))
+        return tuple(int(x) for x in m.group(1).rstrip(".").split(".")) if m else ()
+
+    found = None
     for root in (
         os.path.expanduser("~/.cache/coursier"),
         os.path.expanduser("~/.m2/repository"),
         os.path.expanduser("~/.ivy2"),
     ):
-        hits = glob.glob(f"{root}/**/duckdb_jdbc*.jar", recursive=True)
+        hits = [
+            h
+            for h in glob.glob(f"{root}/**/duckdb_jdbc*.jar", recursive=True)
+            if not h.endswith(("-sources.jar", "-javadoc.jar"))
+        ]
         if hits:
-            return sorted(hits)[-1]
-    return None
+            found = max(hits, key=version_key)
+            break
+    _JDBC_JAR_CACHE.append(found)
+    return found
 
 
 def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
@@ -93,8 +122,15 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
     )
     jdbc_jar = find_jdbc_jar()
-    if jdbc_jar:  # S7: makes df.write.jdbc exercisable end-to-end
-        builder = builder.config("spark.jars", jdbc_jar)
+    if jdbc_jar:  # S7: makes df.write.jdbc exercisable end-to-end.
+        # MERGE with any spark.jars from spark-defaults / spark-submit —
+        # overwriting would silently drop the production warehouse driver
+        from pyspark import SparkConf
+
+        existing = SparkConf().get("spark.jars", None)
+        builder = builder.config(
+            "spark.jars", ",".join(filter(None, [existing, jdbc_jar]))
+        )
     spark = builder.getOrCreate()
     # reliable checkpointing for iterative operators (operators/graph.py):
     # point this at durable shared storage (HDFS/S3) on a real cluster so

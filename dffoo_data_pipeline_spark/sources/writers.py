@@ -257,11 +257,15 @@ def jdbc_execute(spark, url: str, driver_class: str, *statements: str) -> None:
     cl = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
     drv = cl.loadClass(driver_class).newInstance()
     conn = drv.connect(url, jvm.java.util.Properties())
+    if conn is None:  # the JDBC contract for a URL this driver rejects
+        raise ValueError(f"{driver_class} does not accept url {url!r}")
     try:
         st = conn.createStatement()
-        for sql in statements:
-            st.execute(sql)
-        st.close()
+        try:
+            for sql in statements:
+                st.execute(sql)
+        finally:
+            st.close()
     finally:
         conn.close()
 
@@ -290,19 +294,42 @@ def write_db_append_transactional(
     """
     import shutil
 
+    df.write.mode("overwrite").parquet(staging_dir)
+    counts = _bulk_load_one_txn(db_path, [(table, staging_dir, list(df.columns))])
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    return counts[table]
+
+
+def _bulk_load_one_txn(
+    db_path: str, loads: list[tuple[str, str, list[str]]]
+) -> dict[str, int]:
+    """Bulk-load every staged parquet dir into its target table inside a
+    SINGLE transaction — the shared protocol core of the one-table and
+    all-or-nothing writers (and, semantically, of the streaming sink's
+    per-batch commit): all loads land atomically, a failure rolls every
+    one back, and the ROLLBACK itself is guarded so a pre-BEGIN failure
+    propagates its real cause instead of a no-transaction error.
+    Callers own staging GC (delete after success, keep for retry).
+
+    ``loads`` is [(table, staged_parquet_dir, columns)]; returns rows
+    appended per table.
+    """
     import duckdb
 
-    df.write.mode("overwrite").parquet(staging_dir)
     con = duckdb.connect(db_path)
+    counts: dict[str, int] = {}
     in_txn = False
     try:
-        cols = ", ".join(f'"{c}"' for c in df.columns)
         con.execute("BEGIN")
         in_txn = True
-        n = con.execute(
-            f"INSERT INTO {table} ({cols}) "
-            f"SELECT {cols} FROM read_parquet('{staging_dir}/*.parquet')"
-        ).fetchone()[0]
+        for table, stage, columns in loads:
+            cols = ", ".join(f'"{c}"' for c in columns)
+            counts[table] = int(
+                con.execute(
+                    f"INSERT INTO {table} ({cols}) "
+                    f"SELECT {cols} FROM read_parquet('{stage}/*.parquet')"
+                ).fetchone()[0]
+            )
         con.execute("COMMIT")
     except Exception:
         if in_txn:  # bare ROLLBACK outside a txn raises and masks the root cause
@@ -313,8 +340,7 @@ def write_db_append_transactional(
         raise
     finally:
         con.close()
-    shutil.rmtree(staging_dir, ignore_errors=True)
-    return int(n)
+    return counts
 
 
 def write_db_append_all_or_nothing(
@@ -338,38 +364,13 @@ def write_db_append_all_or_nothing(
     """
     import shutil
 
-    import duckdb
-
-    stages = {}
+    loads = []
     for name, df in tables.items():
         stage = f"{staging_root.rstrip('/')}/{name}"
         df.write.mode("overwrite").parquet(stage)
-        stages[name] = (stage, list(df.columns))
-    con = duckdb.connect(db_path)
-    counts: dict[str, int] = {}
-    in_txn = False
-    try:
-        con.execute("BEGIN")
-        in_txn = True
-        for name, (stage, columns) in stages.items():
-            cols = ", ".join(f'"{c}"' for c in columns)
-            counts[name] = int(
-                con.execute(
-                    f"INSERT INTO {name} ({cols}) "
-                    f"SELECT {cols} FROM read_parquet('{stage}/*.parquet')"
-                ).fetchone()[0]
-            )
-        con.execute("COMMIT")
-    except Exception:
-        if in_txn:
-            try:
-                con.execute("ROLLBACK")
-            except Exception:
-                pass
-        raise
-    finally:
-        con.close()
-    for stage, _ in stages.values():
+        loads.append((name, stage, list(df.columns)))
+    counts = _bulk_load_one_txn(db_path, loads)
+    for _, stage, _ in loads:
         shutil.rmtree(stage, ignore_errors=True)
     return counts
 

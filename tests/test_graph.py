@@ -64,8 +64,10 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     """With a checkpoint dir configured, iterations cut lineage through
     RELIABLE checkpoints (durable files an executor loss can recover
     from) instead of executor-local blocks — results identical, files
-    actually written.  The dir is unset afterwards so other tests keep
-    the localCheckpoint fast path."""
+    actually written, and SUPERSEDED generations deleted from durable
+    storage (an iterations-deep job must not leak one table copy per
+    round into the checkpoint volume).  The dir is unset afterwards so
+    other tests keep the localCheckpoint fast path."""
     import os
 
     sc = spark.sparkContext
@@ -78,10 +80,11 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
         )
         got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
-        walked = [
-            f for _, _, files in os.walk(tmp_path / "ckpt") for f in files
-        ]
-        assert walked, "reliable mode must write checkpoint files"
+        resolved = sc.getCheckpointDir().removeprefix("file:")
+        remaining = [d for d in os.listdir(resolved) if d.startswith("rdd-")]
+        # the returned result's checkpoint is live; every superseded
+        # iteration/edge-table generation must be gone
+        assert len(remaining) == 1, remaining
     finally:
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
