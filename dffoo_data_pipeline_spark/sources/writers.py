@@ -44,6 +44,21 @@ def _swap_in(staging: str, path: str) -> None:
     shutil.rmtree(backup)
 
 
+def recover_swap(path: str) -> bool:
+    """Heal a `_swap_in` interrupted between its two renames: in that
+    window `path` is absent and `<path>.__old__` holds the ONLY committed
+    copy — restore it.  Every reader that treats "path absent" as "table
+    never existed" MUST call this first, else a crash-replayed batch
+    rebuilds the table from one batch's rows and silently discards all
+    prior state.  Returns whether the table exists after recovery."""
+    import os
+
+    backup = f"{path.rstrip('/')}.__old__"
+    if not os.path.isdir(path) and os.path.isdir(backup):
+        os.rename(backup, path)
+    return os.path.isdir(path)
+
+
 def write_checkpointed(df: DataFrame, path: str, partition_cols=("char_name", "game_version")) -> None:
     """Idempotent per-partition checkpoint sink (reference S5).
 
@@ -58,7 +73,9 @@ def write_checkpointed(df: DataFrame, path: str, partition_cols=("char_name", "g
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
-def write_run_stamped(df: DataFrame, path: str, run_id: str) -> None:
+def write_run_stamped(
+    df: DataFrame, path: str, run_id: str, overwrite_run: bool = False
+) -> None:
     """Append-mode load with a run dimension (reference S7 + README.md:71).
 
     Every row gets a `run_id` partition column; readers filter to the
@@ -68,18 +85,26 @@ def write_run_stamped(df: DataFrame, path: str, run_id: str) -> None:
     run_id must be an optional letter prefix + digits (``r001``,
     ``b000042``): `read_latest_run` orders by (length, value), which is
     numeric order for ids of this shape even without zero padding.
+
+    ``overwrite_run=True`` replaces the run's partition instead of
+    appending to it (dynamic partition overwrite — other runs untouched).
+    Callers that may legitimately retry the SAME run_id (foreachBatch
+    replays a crashed micro-batch under its original batch id) need this
+    for idempotence; a plain append would duplicate the batch's rows.
     """
     if not _RUN_ID_RE.fullmatch(run_id):
         raise ValueError(
             f"run_id {run_id!r} must match [A-Za-z]*digits so latest-run "
             "selection is order-safe (e.g. 'r001', 'b000042')"
         )
-    (
-        df.withColumn("run_id", F.lit(run_id))
-        .write.mode("append")
-        .partitionBy("run_id")
-        .parquet(path)
-    )
+    stamped = df.withColumn("run_id", F.lit(run_id))
+    if overwrite_run:
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        stamped.write.mode("overwrite").partitionBy("run_id").parquet(path)
+    else:
+        stamped.write.mode("append").partitionBy("run_id").parquet(path)
 
 
 def format_run_id(seq: int, prefix: str = "r", width: int = 6) -> str:

@@ -73,19 +73,27 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-_STAGE_DIRS: dict[str, str] = {}
+_STAGE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stage_file(sf_dir: str, filename: str) -> str:
+    """File stream sources monitor a DIRECTORY; the testdata table is one
+    file.  Stage it behind a symlink in a temp dir (no data copied) — on a
+    real deployment this is the landing directory new files arrive in.
+    The source dir is made absolute first: the symlink target is stored
+    verbatim, and a relative sf_dir would resolve against the /tmp
+    staging dir and dangle.  One cache + helper for every staged table
+    (events/documents/embeddings) so a fix here fixes all streams."""
+    key = (os.path.abspath(sf_dir.rstrip("/")), filename)
+    if key not in _STAGE_DIRS:
+        d = tempfile.mkdtemp(prefix=f"sg_{filename.split('.')[0]}_src_")
+        os.symlink(f"{key[0]}/{filename}", f"{d}/{filename}")
+        _STAGE_DIRS[key] = d
+    return _STAGE_DIRS[key]
 
 
 def _stage_dir(sf_dir: str) -> str:
-    """File stream sources monitor a DIRECTORY; the testdata table is one
-    file.  Stage it behind a symlink in a temp dir (no data copied) — on a
-    real deployment this is the landing directory new files arrive in."""
-    key = sf_dir.rstrip("/")
-    if key not in _STAGE_DIRS:
-        d = tempfile.mkdtemp(prefix="sg_events_src_")
-        os.symlink(f"{key}/events.parquet", f"{d}/events.parquet")
-        _STAGE_DIRS[key] = d
-    return _STAGE_DIRS[key]
+    return _stage_file(sf_dir, "events.parquet")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,11 +121,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+_SINK_VIEWS: list[str] = []
+
+
 def run_stream_to_table(result: DataFrame, output_mode: str) -> DataFrame:
     """Run a (finite) stream to exhaustion into a memory sink; return the
     materialized result.  AvailableNow processes every pending file then
     stops — the streaming analog of a batch run, with real incremental
-    state + checkpointing underneath."""
+    state + checkpointing underneath.
+
+    Memory-sink tables pin their full result in driver memory for the
+    session lifetime; a long-lived session running many streaming
+    queries would grow without bound, so only the most recent few sink
+    views are kept (callers consume a result promptly — the driver
+    collects it, tests assert on it — so dropping older views is safe).
+    """
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         result.writeStream.format("memory")
@@ -128,7 +146,11 @@ def run_stream_to_table(result: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    _SINK_VIEWS.append(name)
+    while len(_SINK_VIEWS) > 8:
+        spark.catalog.dropTempView(_SINK_VIEWS.pop(0))
+    return spark.table(name)
 
 
 @_register(
@@ -401,17 +423,20 @@ def stream_to_run_stamped(
     full replayable load log.
 
     Scale: foreachBatch reuses the batch writer (idempotent per batch id
-    on retry because the partition is overwritten by run, not appended
-    twice blindly — Spark re-runs a failed batch with the same batch_id).
-    Production callers MUST pass a durable ``checkpoint_dir``: batch ids
-    are scoped to one checkpoint lineage, and a fresh checkpoint restarts
-    numbering at 0 — overwriting prior run partitions.  The throwaway
-    default exists only for single-shot tests.
+    on retry because the partition is OVERWRITTEN by run —
+    ``overwrite_run=True`` — not appended twice blindly; Spark re-runs a
+    failed batch with the same batch_id).  Production callers MUST pass
+    a durable ``checkpoint_dir``: batch ids are scoped to one checkpoint
+    lineage, and a fresh checkpoint restarts numbering at 0 —
+    overwriting prior run partitions.  The throwaway default exists only
+    for single-shot tests.
     """
     from dffoo_data_pipeline_spark.sources.writers import write_run_stamped
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_run_stamped(batch_df, path, run_id=f"b{batch_id:06d}")
+        write_run_stamped(
+            batch_df, path, run_id=f"b{batch_id:06d}", overwrite_run=True
+        )
 
     q = (
         source.writeStream.foreachBatch(sink)
@@ -817,21 +842,13 @@ _DOCS_SCHEMA = T.StructType(
     ]
 )
 
-_DOCS_STAGE_DIRS: dict[str, str] = {}
-
-
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`documents` as an unbounded stream (file source standing in for
     the ingest landing bucket a crawler writes into)."""
-    key = sf_dir.rstrip("/")
-    if key not in _DOCS_STAGE_DIRS:
-        d = tempfile.mkdtemp(prefix="sg_docs_src_")
-        os.symlink(f"{key}/documents.parquet", f"{d}/documents.parquet")
-        _DOCS_STAGE_DIRS[key] = d
     return (
         spark.readStream.schema(_DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_DOCS_STAGE_DIRS[key])
+        .parquet(_stage_file(sf_dir, "documents.parquet"))
     )
 
 
@@ -897,19 +914,11 @@ _EMB_SCHEMA = T.StructType(
     ]
 )
 
-_EMB_STAGE_DIRS: dict[str, str] = {}
-
-
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = sf_dir.rstrip("/")
-    if key not in _EMB_STAGE_DIRS:
-        d = tempfile.mkdtemp(prefix="sg_emb_src_")
-        os.symlink(f"{key}/embeddings.parquet", f"{d}/embeddings.parquet")
-        _EMB_STAGE_DIRS[key] = d
     return (
         spark.readStream.schema(_EMB_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_EMB_STAGE_DIRS[key])
+        .parquet(_stage_file(sf_dir, "embeddings.parquet"))
     )
 
 
@@ -1036,12 +1045,28 @@ def apply_cdc_batch(
     deletes drop the key.  IDEMPOTENT by construction — re-applying the
     same batch reproduces the same table, which is what makes the
     foreachBatch runner below exactly-once under restart replay.
+
+    Determinism + robustness details that replay correctness hinges on:
+    the latest-per-key window breaks equal-seq ties deterministically
+    (upsert beats delete, then a full-row hash) so a replayed batch
+    picks the SAME winner; malformed rows with a NULL op or seq are
+    dropped up front (a NULL op would otherwise pass neither the upsert
+    filter nor be a delete, yet still anti-join its key out of the
+    table — a data-quality glitch silently deleting a live key); and
+    table existence is checked through `recover_swap`, which first heals
+    a swap interrupted between its renames (treating that window's
+    "absent" as "new table" would rebuild from one batch and discard
+    all prior keys).
     """
     from pyspark.sql import Window
 
-    from dffoo_data_pipeline_spark.sources.writers import _swap_in
+    from dffoo_data_pipeline_spark.sources.writers import _swap_in, recover_swap
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    batch = batch.where(F.col(op_col).isNotNull() & F.col(seq_col).isNotNull())
+    tie = F.xxhash64(*[F.col(c) for c in batch.columns])
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc(), tie.desc()
+    )
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -1049,11 +1074,10 @@ def apply_cdc_batch(
     )
     upserts = latest.where(F.col(op_col) != "D").drop(op_col)
     touched = latest.select(*key_cols).distinct()
-    try:
-        current = spark.read.parquet(path)
-    except Exception:
+    if not recover_swap(path):
         upserts.write.mode("overwrite").parquet(path)
         return
+    current = spark.read.parquet(path)  # real read errors must propagate
     kept = current.join(touched, key_cols, "left_anti")
     staging = f"{path.rstrip('/')}.__staging__"
     kept.unionByName(upserts).write.mode("overwrite").parquet(staging)
@@ -1139,7 +1163,7 @@ def run_incremental_rollup(
     """
     import os
 
-    from dffoo_data_pipeline_spark.sources.writers import _swap_in
+    from dffoo_data_pipeline_spark.sources.writers import _swap_in, recover_swap
 
     data_dir = f"{rollup_root.rstrip('/')}/data"
     ledger_dir = f"{rollup_root.rstrip('/')}/ledger"
@@ -1148,7 +1172,12 @@ def run_incremental_rollup(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        exists = os.path.isdir(data_dir)
+        # heal a swap interrupted between its renames BEFORE the existence
+        # check: in that window the root is absent and `.__old__` holds
+        # the only committed copy — treating it as "fresh rollup" would
+        # skip the ledger, rebuild from one batch's partials, and the
+        # next swap would destroy the backup (silent permanent undercount)
+        exists = recover_swap(rollup_root) and os.path.isdir(data_dir)
         if exists:
             applied = {r.batch_id for r in s.read.parquet(ledger_dir).collect()}
             if batch_id in applied:

@@ -60,6 +60,98 @@ def test_cdc_batch_apply_is_idempotent(spark, tmp_path):
     assert _table(spark, table) == first == {1: ("x", 1)}
 
 
+def test_cdc_batch_malformed_rows_and_equal_seq_ties(spark, tmp_path):
+    """A NULL-op row must be IGNORED, not act as a silent delete (it
+    passes neither the upsert filter nor the delete branch, but its key
+    would still anti-join out of the table); equal-seq ties must break
+    deterministically (upsert beats delete), so a crash replay picks the
+    same winner."""
+    from dffoo_data_pipeline_spark.streaming.jobs import apply_cdc_batch
+
+    table = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark,
+        spark.createDataFrame([(7, "I", "live", 1), (8, "I", "b", 1)], _SCHEMA),
+        table,
+        ["k"],
+    )
+    # malformed row for key 7 wins the window by seq — must be dropped,
+    # key 7 stays; key 8's equal-seq U/D tie resolves to the upsert
+    b = spark.createDataFrame(
+        [(7, None, None, 99), (8, "U", "b1", 9), (8, "D", None, 9)], _SCHEMA
+    )
+    apply_cdc_batch(spark, b, table, ["k"])
+    got = _table(spark, table)
+    assert got[7] == ("live", 1)  # not deleted by the malformed row
+    assert got[8] == ("b1", 9)  # upsert beat delete on the seq tie
+    apply_cdc_batch(spark, b, table, ["k"])  # replay: same winner
+    assert _table(spark, table) == got
+
+
+def test_cdc_batch_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between _swap_in's two renames: the table dir is
+    absent and `.__old__` holds the only committed copy.  The next apply
+    must RESTORE it and merge on top — not rebuild the table from the
+    replayed batch alone (which silently discards every other key)."""
+    import os
+
+    from dffoo_data_pipeline_spark.streaming.jobs import apply_cdc_batch
+
+    table = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark,
+        spark.createDataFrame([(1, "I", "a", 1), (2, "I", "b", 2)], _SCHEMA),
+        table,
+        ["k"],
+    )
+    os.rename(table, f"{table}.__old__")  # simulate the crash window
+    apply_cdc_batch(
+        spark, spark.createDataFrame([(3, "I", "c", 3)], _SCHEMA), table, ["k"]
+    )
+    assert _table(spark, table) == {1: ("a", 1), 2: ("b", 2), 3: ("c", 3)}
+
+
+def test_incremental_rollup_recovers_interrupted_swap(spark, tmp_path):
+    """Same crash window for the rollup root: the replayed batch must
+    merge into the RESTORED rollup (ledger consulted), not re-create a
+    rollup holding only its own partials."""
+    import os
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+    from dffoo_data_pipeline_spark.streaming.jobs import run_incremental_rollup
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF_SMOKE, "events")
+    events.limit(200).coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(events.schema).format("parquet").load(src)
+    )
+    run_incremental_rollup(spark, stream, root, ckpt)
+    before = {
+        (r.window_start, r.event_type): (r.n_events, r.total_cents)
+        for r in spark.read.parquet(f"{root}/data").collect()
+    }
+
+    os.rename(root, f"{root}.__old__")  # simulate the crash window
+    # new file arrives; the resumed run must first restore the root
+    events.limit(300).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(events.schema).format("parquet").load(src)
+    )
+    run_incremental_rollup(spark, stream2, root, ckpt)
+    after = {
+        (r.window_start, r.event_type): (r.n_events, r.total_cents)
+        for r in spark.read.parquet(f"{root}/data").collect()
+    }
+    # totals grew on top of the restored state (300 more event rows
+    # folded in), never shrank below the pre-crash rollup
+    assert sum(v[0] for v in after.values()) == sum(v[0] for v in before.values()) + 300
+
+
 def test_incremental_rollup_converges_to_batch_aggregate(spark, tmp_path):
     """Continuous-aggregate maintenance: after incrementally processing
     the event files in two separate runs (durable checkpoint, second

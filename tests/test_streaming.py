@@ -148,6 +148,13 @@ def test_foreachbatch_run_stamped_sink(spark, chunked_events_dir):
     latest = writers.read_latest_run(spark, out)
     assert latest.select("run_id").distinct().count() == 1
 
+    # replay idempotence: foreachBatch re-runs a crashed batch under its
+    # ORIGINAL batch id — the sink overwrites the run partition, so
+    # re-applying must not duplicate rows within it
+    b0 = spark.read.parquet(out).where(F.col("run_id") == runs[0]).drop("run_id")
+    writers.write_run_stamped(b0, out, run_id=runs[0], overwrite_run=True)
+    assert spark.read.parquet(out).count() == total
+
 
 def test_late_data_beyond_watermark_dropped(spark):
     """Watermark semantics: an event arriving a batch later, with event
