@@ -42,9 +42,14 @@ def asof_join(
     assert direction in ("backward", "forward")
     payload = F.struct(F.col(on).alias("__rt"), *[F.col(c) for c in value_cols])
     # union with a typed payload column: right rows carry it, left rows
-    # carry null of the same struct type
-    r_min = right.select(*by, F.col(on), payload.alias("__p")).withColumn(
-        "__side", F.lit(0)
+    # carry null of the same struct type.  Right rows with a NULL time
+    # cannot participate in time ordering (asc sorts them FIRST, where
+    # last(ignorenulls) would carry their payload into every left row
+    # preceding the first real right row) — drop them up front.
+    r_min = (
+        right.where(F.col(on).isNotNull())
+        .select(*by, F.col(on), payload.alias("__p"))
+        .withColumn("__side", F.lit(0))
     )
     l_min = left.withColumn(
         "__p", F.lit(None).cast(r_min.schema["__p"].dataType)
@@ -60,16 +65,20 @@ def asof_join(
         )
     )
 
+    # the trailing __p term makes the carried match DETERMINISTIC when
+    # several right rows share the same (by, on) instant: last() then
+    # picks the struct-largest payload every run, instead of whichever
+    # tied row the shuffle happened to sort last
     if direction == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.asc(on), F.asc("__side"))
+            .orderBy(F.asc(on), F.asc("__side"), F.asc("__p"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.desc(on), F.asc("__side"))
+            .orderBy(F.desc(on), F.asc("__side"), F.asc("__p"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))

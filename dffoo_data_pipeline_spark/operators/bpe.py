@@ -83,10 +83,23 @@ def learn_bpe_merges(vocab: DataFrame, n_merges: int = 8) -> list[tuple[int, str
     order; stops early when no adjacent pair remains.  The vocab frame
     stays distributed throughout — only the single argmax row per round
     reaches the driver.
+
+    Each round checkpoints the rewritten symbol table EAGERLY and frees
+    the superseded generation (graph.py's tracked-checkpoint seam):
+    without the free, a real tokenizer run (thousands of merges) pins
+    one full vocab copy per round in executor storage; eager matters
+    because a lazy checkpoint still reads the previous generation's
+    blocks when it materializes, so freeing them first would kill it.
     """
+    from dffoo_data_pipeline_spark.operators.graph import (
+        _tracked_checkpoint,
+        _unpersist_ids,
+    )
+
     spark = vocab.sparkSession
-    state = vocab.select(word_symbols(F.col("word")).alias("sym"), F.col("freq")).localCheckpoint(
-        eager=False
+    sc = spark.sparkContext
+    state, state_ids = _tracked_checkpoint(
+        sc, vocab.select(word_symbols(F.col("word")).alias("sym"), F.col("freq"))
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -107,9 +120,16 @@ def learn_bpe_merges(vocab: DataFrame, n_merges: int = 8) -> list[tuple[int, str
             break
         best = top[0]
         merges.append((rank, best.left, best.right, best.c))
-        state = state.select(
-            merge_adjacent(F.col("sym"), best.left, best.right).alias("sym"), "freq"
-        ).localCheckpoint(eager=False)
+        new_state, new_ids = _tracked_checkpoint(
+            sc,
+            state.select(
+                merge_adjacent(F.col("sym"), best.left, best.right).alias("sym"),
+                "freq",
+            ),
+        )
+        _unpersist_ids(sc, state_ids)
+        state, state_ids = new_state, new_ids
+    _unpersist_ids(sc, state_ids)  # only the merges list leaves this function
     return merges
 
 

@@ -28,6 +28,15 @@ def exact_keep_first(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
 
     Deterministic survivor choice (unlike `dropDuplicates`, whose survivor
     depends on partition order — fine for idempotence, wrong for oracles).
+
+    Normalization level is INTENTIONALLY stricter than
+    `functions.text.fingerprint_md5`: this hash is md5(lower(trim)) —
+    byte-level equality after case/edge-whitespace folding — while the
+    fingerprint (used by `dedup_against_seen` / `snapshot_diff`) also
+    collapses internal whitespace.  Near-byte-identical dedup and
+    content-identity tracking are different strictness tiers; pick the
+    hash that matches the question, don't assume they agree on docs
+    differing only in internal spacing.
     """
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col(text_col))))).orderBy(order_col)
     return (
@@ -247,7 +256,12 @@ def neardup_against_index(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    ids = probe.select(id_col).distinct()
+    # one row per NEW document — from the batch itself, not the probe
+    # table: a doc shorter than the shingle width yields zero shingles,
+    # never reaches the signature stage, and must still come back as
+    # novel=1 (dropping it would silently lose the doc from a pipeline
+    # that appends novel rows to the corpus index)
+    ids = new_df.select(id_col).distinct()
     return ids.join(best, id_col, "left").select(
         id_col,
         "matched_id",
@@ -440,12 +454,23 @@ def snapshot_diff(
     """
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
-    o = old.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp_old"))
-    n = new.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp_new"))
+    # presence is tracked by explicit markers, NOT fingerprint nullness —
+    # a NULL-text row fingerprints to NULL, which would misclassify a doc
+    # present in both snapshots as added/removed
+    o = old.select(
+        F.col(id_col),
+        fingerprint_md5(text_col).alias("__fp_old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        fingerprint_md5(text_col).alias("__fp_new"),
+        F.lit(True).alias("__in_new"),
+    )
     status = (
-        F.when(F.col("__fp_old").isNull(), "added")
-        .when(F.col("__fp_new").isNull(), "removed")
-        .when(F.col("__fp_old") != F.col("__fp_new"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("__fp_old").eqNullSafe(F.col("__fp_new")), "changed")
         .otherwise("unchanged")
     )
     return o.join(n, id_col, "full_outer").select(id_col, status.alias("status"))

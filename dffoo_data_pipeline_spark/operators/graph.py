@@ -282,4 +282,9 @@ def pagerank(
         else:
             pr = new_pr
     _unpersist_ids(sc, ew_ids)
+    # the returned frame is the final pr checkpoint — it no longer reads
+    # the node table's checkpoint, which would otherwise leak one copy
+    # per pagerank call (executor blocks locally; durable checkpoint
+    # dirs in reliable mode)
+    _unpersist_ids(sc, node_ids)
     return pr

@@ -122,7 +122,10 @@ def cosine_topk_bruteforce(
             part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []
             for r in range(S.shape[0]):
-                cand = part[r]
+                # finite guard: a duplicated id leaves extra -inf
+                # self-mask columns inside the top-k cut, and a zero-norm
+                # vector yields NaN scores — neither is a real neighbor
+                cand = part[r][np.isfinite(S[r, part[r]])]
                 order = np.lexsort((idx_ids[cand], -S[r, cand]))
                 sel = cand[order]
                 out_q.extend([q_ids[r]] * len(sel))
@@ -254,7 +257,10 @@ def ivf_topk(
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
     base = ensure_min_partitions(df.select(id_col, vec_col), id_col)
-    assigned = base.mapInPandas(assign_cells(n_probe), assigned_schema)
+    # a tiny corpus can have fewer cells than the requested probe count —
+    # argsort can only yield n_cells columns, so clamp or the repeat/ravel
+    # shapes disagree and the executor dies on a length mismatch
+    assigned = base.mapInPandas(assign_cells(min(n_probe, n_cells)), assigned_schema)
 
     out_schema = _out_schema(df, id_col)
 

@@ -29,16 +29,25 @@ def salted_agg(
     Only algebraic aggregates decompose this way (sum/count/min/max; avg =
     sum+count recombined by the caller).
 
-    The salt is a uniform random int per row: phase 1 spreads a hot key
-    over `num_salts` reducers; phase 2 reduces the (keys × salts) partials
-    — at most `num_salts` rows per key, trivially balanced.
+    The salt is a per-row CONTENT hash, not F.rand: a nondeterministic
+    expression evaluated before a shuffle is a known Spark correctness
+    hazard — after a shuffle-fetch failure the recomputed map partition
+    re-draws different salts for the same rows, so a row can land in two
+    salt partials (double-counted) or none.  xxhash64 over the full row
+    re-derives the SAME salt on recompute.  A hot key spreads over the
+    salts as long as its rows differ anywhere outside the group keys
+    (payload columns); fully identical rows share a salt — acceptable,
+    since identical rows collapse in map-side combine anyway.
 
     Note Spark's built-in hash aggregate already does map-side partial
     combine, which absorbs MOST skew; explicit salting is the tool for the
     residue: high-cardinality-payload aggs (collect_list/count distinct
     shuffles every row) or sort-based fallback paths.
     """
-    salted = df.withColumn("__salt", (F.rand(seed=7) * num_salts).cast("int"))
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts)),
+    )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
     )

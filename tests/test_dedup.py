@@ -204,6 +204,32 @@ def test_neardup_against_index_matches_and_novel(spark):
     assert got[12].matched_id is None and got[12].novel == 1
 
 
+def test_neardup_against_index_keeps_short_docs(spark):
+    """A new doc shorter than the shingle width yields zero shingles and
+    never reaches the signature stage — it must STILL come back as
+    novel=1 (one row per new document is the contract; dropping it would
+    silently lose the doc from an index-append pipeline)."""
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+        neardup_against_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "some indexed corpus document with plenty of words " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(20, "too short"), (21, "some indexed corpus document with plenty of words " * 3)],
+        "doc_id long, text string",
+    )
+    index = band_signatures(minhash_signatures(old, "doc_id", "text"), "doc_id")
+    got = {r.doc_id: r for r in neardup_against_index(new, index, "doc_id", "text").collect()}
+    assert set(got) == {20, 21}
+    assert got[20].matched_id is None and got[20].novel == 1
+    assert got[21].novel == 0
+
+
 def test_lsh_quality_report_contract(spark, sf_dir):
     from dffoo_data_pipeline_spark.plans.llm_ops import dedup_lsh_quality_report
 

@@ -19,6 +19,16 @@ def _pairs(df):
     return {(r.query_id, r.neighbor_id) for r in df.collect()}
 
 
+def test_ivf_topk_tiny_corpus_clamps_probes(spark):
+    """n_probe greater than the achievable cell count (1-row corpus →
+    n_cells=1) must clamp, not die on a pandas repeat/ravel length
+    mismatch in the executor.  The sole vector has no neighbors."""
+    one = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    assert similarity.ivf_topk(one, "vec_id", "embedding", n_probe=3).collect() == []
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb):
     exact = _pairs(similarity.cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5))
     approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)

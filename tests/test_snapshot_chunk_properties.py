@@ -15,6 +15,21 @@ from dffoo_data_pipeline_spark.plans.corpus import (
 )
 
 
+def test_snapshot_diff_null_text_presence(spark):
+    """Presence is tracked by markers, not fingerprint nullness: a doc
+    with NULL text in one snapshot and real text in the other is CHANGED
+    (it exists in both), never added/removed."""
+    old = spark.createDataFrame(
+        [(1, None), (2, "same"), (3, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text"), (2, "same"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "unchanged"}
+
+
 def test_snapshot_diff_all_statuses(spark):
     old = spark.createDataFrame(
         [(1, "kept the same"), (2, "will be edited"), (3, "will be deleted")],
