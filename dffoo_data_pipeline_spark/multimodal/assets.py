@@ -130,8 +130,12 @@ def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     (height, width) uint8 'pixel' grid.  Same signature/shape contract as
     decode_image so swapping in a real codec changes no Spark code."""
     buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) == 0:
+        # np.tile of an empty array stays empty regardless of reps — an
+        # empty payload decodes to an all-zero frame, not a task crash
+        buf = np.zeros(1, dtype=np.uint8)
     need = width * height
-    reps = -(-need // max(len(buf), 1))
+    reps = -(-need // len(buf))
     return np.tile(buf, reps)[:need].reshape(height, width)
 
 
@@ -418,9 +422,14 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "multimodal_modality_zscore",
+    # floor-based half-up rounding on BOTH engines (numeric.py's
+    # round_det convention): plain ROUND diverges at halfway points —
+    # Spark rounds the shortest-repr decimal HALF_UP, DuckDB rounds the
+    # binary double half-even
     """
     SELECT asset_id, modality,
-           ROUND((n_bytes - avg_b) / NULLIF(std_b, 0), 4) AS size_zscore
+           FLOOR(((n_bytes - avg_b) / NULLIF(std_b, 0)) * 10000 + 0.5) / 10000
+             AS size_zscore
     FROM (
         SELECT doc_id AS asset_id,
                ['image','audio','video'][(doc_id % 3) + 1] AS modality,
@@ -438,12 +447,14 @@ def multimodal_modality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline runs before outlier filtering)."""
     from pyspark.sql import Window
 
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
     a = documents_as_assets(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("modality")
     nb = F.col("meta.n_bytes")
     z = (nb - F.avg(nb).over(w)) / F.nullif(F.stddev_samp(nb).over(w), F.lit(0))
     return a.select(
-        "asset_id", "modality", F.round(z, 4).alias("size_zscore")
+        "asset_id", "modality", round_det(z, 4).alias("size_zscore")
     )
 
 
@@ -536,10 +547,24 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
     Output: asset_id, phash, n_same_hash (exact-dup group size),
     near_dup_of (lowest-id asset within max_hamming, null when none —
     the keep/drop decision keys on it).
+
+    Pairing runs over DISTINCT hash values, not assets: the docstring's
+    own motivating case — one boilerplate image repeated millions of
+    times — would otherwise put M identical entries into each band's
+    posting list and materialize ~M²/2 pair structs inside a single
+    unsplittable collect_list row.  Distinct hashes collapse that group
+    to ONE row; per-asset verdicts come back from a hash-level
+    cluster-minimum (min asset id over the hash's own group and every
+    hash within max_hamming), which is exactly the old per-asset-pair
+    min because each hash's minimum asset IS its representative.
     """
-    bands = codes.select(
-        "asset_id",
+    reps = codes.groupBy("phash").agg(
+        F.min("asset_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_same_hash"),
+    )
+    bands = reps.select(
         "phash",
+        "rep_id",
         F.explode(
             F.array(
                 *[
@@ -553,12 +578,12 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
                 ]
             )
         ).alias("b"),
-    ).select("asset_id", "phash", "b.band_idx", "b.band_val")
+    ).select("phash", "rep_id", "b.band_idx", "b.band_val")
     lists = (
         bands.groupBy("band_idx", "band_val")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("asset_id"), F.col("phash")))
+                F.collect_list(F.struct(F.col("rep_id"), F.col("phash")))
             ).alias("xs")
         )
         .where(F.size("xs") >= 2)
@@ -569,8 +594,8 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
             lambda x, i: F.transform(
                 F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
                 lambda y: F.struct(
-                    x["asset_id"].alias("a_id"),
-                    y["asset_id"].alias("b_id"),
+                    x["rep_id"].alias("a_rep"),
+                    y["rep_id"].alias("b_rep"),
                     x["phash"].alias("a_hash"),
                     y["phash"].alias("b_hash"),
                 ),
@@ -579,20 +604,32 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
     )
     pairs = (
         lists.select(F.explode(combos).alias("p"))
-        .select("p.a_id", "p.b_id", "p.a_hash", "p.b_hash")
+        .select("p.a_rep", "p.b_rep", "p.a_hash", "p.b_hash")
         .distinct()
         .where(
             F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))) <= max_hamming
         )
     )
-    marks = pairs.groupBy(F.col("b_id").alias("asset_id")).agg(
-        F.min("a_id").alias("near_dup_of")
+    neighbors = pairs.select(
+        F.col("a_hash").alias("phash"), F.col("b_rep").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("b_hash").alias("phash"), F.col("a_rep").alias("nbr"))
     )
-    sizes = codes.groupBy("phash").agg(F.count(F.lit(1)).cast("bigint").alias("n_same_hash"))
-    return (
-        codes.join(sizes, "phash")
-        .join(marks, "asset_id", "left")
-        .select("asset_id", "phash", "n_same_hash", "near_dup_of")
+    nm = neighbors.groupBy("phash").agg(F.min("nbr").alias("nbr_min"))
+    hash_info = reps.join(nm, "phash", "left").select(
+        "phash",
+        "n_same_hash",
+        F.least(F.coalesce("nbr_min", "rep_id"), F.col("rep_id")).alias(
+            "cluster_min"
+        ),
+    )
+    return codes.join(hash_info, "phash").select(
+        "asset_id",
+        "phash",
+        "n_same_hash",
+        F.when(
+            F.col("cluster_min") < F.col("asset_id"), F.col("cluster_min")
+        ).alias("near_dup_of"),
     )
 
 

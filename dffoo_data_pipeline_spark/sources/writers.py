@@ -65,12 +65,17 @@ def write_checkpointed(df: DataFrame, path: str, partition_cols=("char_name", "g
     `partitionOverwriteMode=dynamic` means only partitions present in `df`
     are replaced — a re-run of 30 characters rewrites 30 directories, not
     the table — the cluster-grade version of the reference's
-    one-CSV-per-character resume scheme.
+    one-CSV-per-character resume scheme.  The mode is set as a WRITER
+    option, not session conf: a session-wide flip would silently change
+    every later partitioned overwrite (e.g. write_partitioned_corpus
+    relies on full-overwrite semantics to drop stale partitions).
     """
     (
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
 def write_run_stamped(
@@ -99,10 +104,14 @@ def write_run_stamped(
         )
     stamped = df.withColumn("run_id", F.lit(run_id))
     if overwrite_run:
-        df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        # writer-scoped option — a session-wide conf flip would leak
+        # dynamic semantics into unrelated partitioned overwrites
+        (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .parquet(path)
         )
-        stamped.write.mode("overwrite").partitionBy("run_id").parquet(path)
     else:
         stamped.write.mode("append").partitionBy("run_id").parquet(path)
 
@@ -184,12 +193,16 @@ def upsert_by_key(
     formats (Delta/Iceberg) optimize with file-level pruning; the logical
     plan — anti-join + union — is identical there, so swapping the sink
     for a MERGE INTO is a one-line change.
+
+    Existence goes through `recover_swap` (heals an interrupted swap
+    first) and never a bare try/except: treating a transient read error
+    as "table never existed" would overwrite the table with one batch's
+    updates and silently lose every other row.
     """
-    try:
-        current = spark.read.parquet(path)
-    except Exception:
+    if not recover_swap(path):
         updates.write.mode("overwrite").parquet(path)
         return
+    current = spark.read.parquet(path)  # real read errors must propagate
     kept = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
     merged = kept.unionByName(updates)
     # stage ADJACENT to the table (same filesystem → rename is atomic),
@@ -217,10 +230,13 @@ def delete_by_key(
     plain-parquet form rewrites the table, which is the honest cost
     floor without a table format's file index.
     """
+    recover_swap(path)  # heal an interrupted swap before reading
     current = spark.read.parquet(path)
     k = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
     kept = current.join(k, [key_col], "left_anti")
-    removed = current.count() - kept.count()
+    # one semi-join count (key columns only reach the scan) instead of
+    # counting both sides — the rewrite below is the second, final scan
+    removed = current.join(k, [key_col], "semi").count()
     staging = f"{path.rstrip('/')}.__staging__"
     kept.write.mode("overwrite").parquet(staging)
     _swap_in(staging, path)
@@ -236,6 +252,7 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
     import math
     import os
 
+    recover_swap(path)  # heal an interrupted swap before reading
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
