@@ -558,6 +558,12 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
     hash within max_hamming), which is exactly the old per-asset-pair
     min because each hash's minimum asset IS its representative.
     """
+    # The decode+hash subtree feeds THREE consumers (reps → bands, reps →
+    # hash_info, and the final per-asset join) and `pairs` feeds the
+    # neighbors union twice; without a lineage cut Catalyst re-expands
+    # each consumer into its own documents scan + Python decode pass
+    # (4 scans measured).  One lazy localCheckpoint = one decode pass.
+    codes = codes.localCheckpoint(eager=False)
     reps = codes.groupBy("phash").agg(
         F.min("asset_id").alias("rep_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_same_hash"),

@@ -16,87 +16,21 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-5 window: burn down the 88-query backlog that has never had a
-# driver CORRECTNESS row (r04's window was not rotated, so r03∪r04 share
-# the same 50 entries).  Order, highest-risk first:
-#   (a) the two r3/r4 red rows, fixed this round (array cols now
-#       JSON/pystr-serialized at the query boundary) — must re-verify;
-#   (b) the MinHash-signature consumers whose hash family changed in r4
-#       (xxhash64 member derivation) — local pins were re-derived, the
-#       driver has never seen them; the two measured-recall reports
-#       retroactively justify every rows-only ANN/LSH adjudication;
-#   (c) the DECIMAL-heavy stats/ML family (most ANSI-divergence risk);
-#   (d) the graph quartet (recursive-CTE oracles);
-#   (e) showcase operators + the rest of the backlog up to the ~50-row
-#       driver window; positions 50+ are the r6 rotation, already in
-#       priority order — next round just delete the verified prefix.
-# Everything with an existing green row from r01∪r02∪r03 is appended
-# after _PRIORITY by all_queries() in module order.
+# Round-6 window: finish the never-verified backlog.  The round-5 window
+# front-loaded the first ~50 backlog entries (red-row re-verifies, the
+# minhash family, the DECIMAL stats/ML family, the graph quartet, the
+# showcase set); the 43 entries below are the remainder of the backlog —
+# the streaming/events/corpus/profile long tail — and have never had a
+# driver CORRECTNESS row.  Positions 44-50 re-front the seven
+# highest-risk round-5 entries (the two rows red in r3/r4 whose fixes
+# the driver may not yet have confirmed, the two new transactional-sink
+# queries, and the measured-recall reports that retroactively justify
+# the rows-only ANN/LSH adjudications) so they get a row even if the
+# round-5 driver run never landed (no CORRECTNESS_r05.json exists in the
+# repo).  Everything else from the round-5 window follows, then
+# all_queries() appends the r01-r03-verified queries in module order.
 _PRIORITY = [
-    # (a) fixed red rows — re-verify — and the three rows-only queries
-    # upgraded to full oracles this round (audio-RMS/pixel-stats via
-    # bit-exact integer-moment math; parse_scaled via the copies× closed
-    # form) — the driver should record the hash-verified upgrade
-    "multimodal_features",
-    "pipeline_latest_abilities",
-    "multimodal_audio_rms",
-    "multimodal_image_pixel_stats",
-    "abilities_parse_scaled",
-    # new this round: transactional sinks, oracle-certified by counts
-    # read back FROM the warehouse (exactly-once stream; three-table
-    # single-transaction batch load)
-    "streaming_db_exactly_once",
-    "pipeline_db_load",
-    # (b) minhash-family consumers + measured-recall reports
-    "dedup_lsh_verified",
-    "dedup_lsh_quality_report",
-    "dedup_incremental_neardup",
-    "similarity_ann_recall_report",
-    # (c) DECIMAL / stats / ML family
-    "lineitem_price_regression",
-    "text_classifier_train",
-    "embedding_kmeans_train",
-    "profile_bootstrap_mean",
-    "events_ks_test",
-    "corpus_chi2_independence",
-    "lineitem_regression_cv",
-    "lineitem_conformal_interval",
-    # (d) graph quartet
-    "graph_pagerank_nations",
-    "graph_triangle_count",
-    "graph_khop_distances",
-    "hierarchy_rollup_closure",
-    # (e) showcase + backlog, to the ~50-row window edge
-    "text_bm25_topk",
-    "dedup_semantic_int8",
-    "similarity_pq_topk",
-    "curation_leakage_safe_split",
-    "linkage_blocked_match",
-    "events_sketch_rollup",
-    "text_gopher_rules",
-    "dedup_prefix_filter_pairs",
-    "dedup_duplicate_spans",
-    "dedup_pair_evidence",
-    "multimodal_phash_neardup",
-    "multimodal_audio_segments",
-    "curation_k_anonymity",
-    "curation_mix_temperature",
-    "curation_dp_release",
-    "curation_dsir_weights",
-    "curation_dsir_resample",
-    "curation_epoch_mix",
-    "curation_gate_overlap",
-    "curation_contrastive_negatives",
-    "curation_trainonly_scaler",
-    "udaf_trimmed_mean_length",
-    "scalar_null_semantics",
-    "scalar_variant_extraction",
-    "abilities_from_pysource",
-    "retrieval_hybrid_rrf",
-    "integrity_report",
-    "embedding_covariance",
-    "embedding_pca_project",
-    # ---- ~50-row driver-window edge; below = r6 rotation, in order ----
+    # ---- (a) never-verified backlog tail: 43 entries ----
     "embedding_centroid_dist",
     "text_classifier_score",
     "text_compression_ratio",
@@ -140,6 +74,60 @@ _PRIORITY = [
     "events_isotonic_daily_rate",
     "profile_benford_audit",
     "corpus_loo_source_ablation",
+    # ---- (b) highest-risk round-5 re-verifies (window edge ~50) ----
+    "multimodal_features",
+    "pipeline_latest_abilities",
+    "streaming_db_exactly_once",
+    "pipeline_db_load",
+    "dedup_lsh_quality_report",
+    "similarity_ann_recall_report",
+    "abilities_parse_scaled",
+    # ---- (c) remainder of the round-5 window, original priority order ----
+    "multimodal_audio_rms",
+    "multimodal_image_pixel_stats",
+    "dedup_lsh_verified",
+    "dedup_incremental_neardup",
+    "lineitem_price_regression",
+    "text_classifier_train",
+    "embedding_kmeans_train",
+    "profile_bootstrap_mean",
+    "events_ks_test",
+    "corpus_chi2_independence",
+    "lineitem_regression_cv",
+    "lineitem_conformal_interval",
+    "graph_pagerank_nations",
+    "graph_triangle_count",
+    "graph_khop_distances",
+    "hierarchy_rollup_closure",
+    "text_bm25_topk",
+    "dedup_semantic_int8",
+    "similarity_pq_topk",
+    "curation_leakage_safe_split",
+    "linkage_blocked_match",
+    "events_sketch_rollup",
+    "text_gopher_rules",
+    "dedup_prefix_filter_pairs",
+    "dedup_duplicate_spans",
+    "dedup_pair_evidence",
+    "multimodal_phash_neardup",
+    "multimodal_audio_segments",
+    "curation_k_anonymity",
+    "curation_mix_temperature",
+    "curation_dp_release",
+    "curation_dsir_weights",
+    "curation_dsir_resample",
+    "curation_epoch_mix",
+    "curation_gate_overlap",
+    "curation_contrastive_negatives",
+    "curation_trainonly_scaler",
+    "udaf_trimmed_mean_length",
+    "scalar_null_semantics",
+    "scalar_variant_extraction",
+    "abilities_from_pysource",
+    "retrieval_hybrid_rrf",
+    "integrity_report",
+    "embedding_covariance",
+    "embedding_pca_project",
 ]
 
 

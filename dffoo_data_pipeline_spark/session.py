@@ -12,8 +12,9 @@ benchmark all run with identical semantics:
   driver's semantics makes the 468-test suite exercise exactly what the
   driver executes.  All plans are verified ANSI-safe as written (the full
   test suite runs ANSI-on); the one permissive boundary is untrusted
-  ingest, where readers use try_to_timestamp-style null-on-bad-row
-  parsing instead of relying on silent coercion.
+  ingest, where the CSV readers' PERMISSIVE mode (readers.py) nulls or
+  dead-letters malformed cells independently of ANSI, and all internal
+  timestamp casts are typed-to-typed, never raw-string coercions.
 - Arrow on: every Pandas-UDF boundary is Arrow-batched (the only sanctioned
   Python path; row-at-a-time UDFs are banned in this codebase).
 - AQE on with coalescing + skew-join handling: at 100 TB the runtime
