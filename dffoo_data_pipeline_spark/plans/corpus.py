@@ -205,7 +205,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect.  Ranked winner is deterministic: tfidf rounded at
     1e-6, ties broken by term.
     """
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
+    d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )
@@ -943,7 +944,8 @@ def corpus_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment sums — then the textbook slope formula runs on identical
     doubles in both engines.
     """
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
+    d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "source", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )

@@ -64,7 +64,11 @@ def flagship_pricing_under_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped 1→2 row split via explode → ordered projection.  This is
     the driver's `entry()` smoke query and the headline benchmark
     entry."""
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    # No fan-out: the when-ladder + partial agg is cheap relative to the
+    # round-robin exchange a local single-split scan would pay (A/B at
+    # sf0.1: 0.8s vs 1.5s); on multi-split cluster input fan-out is a
+    # no-op anyway, so the flag only ever cost local wall time here.
+    li = load_table(spark, sf_dir, "lineitem")
     # A3: when-ladder classification of each source line
     classified = li.select(
         "l_orderkey",

@@ -206,7 +206,8 @@ def profile_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dffoo_data_pipeline_spark.functions.numeric import round_det
 
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
+    li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
     m = li.agg(

@@ -71,7 +71,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of input size.  Filter reaches the parquet scan
     (PushedFilters on l_shipdate).
     """
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True).where(
+    # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
+    li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
     )
     disc_price = N.dec2("l_extendedprice") * (1 - N.dec_small("l_discount"))
@@ -1149,7 +1150,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape — pure scan-filter-aggregate, the pushdown benchmark:
     every predicate reaches the parquet reader, zero joins, one global agg
     (a single row crosses the shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -2208,7 +2210,8 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so the cumulative sums fold identical doubles in a unique
     (revenue DESC, suppkey) order in both engines.
     """
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
+    li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         N.money_sum(
             N.dec2("l_extendedprice") * (1 - N.dec2("l_discount"))
