@@ -10,6 +10,7 @@ from dffoo_data_pipeline_spark.multimodal.assets import (  # noqa: F401
     QUERIES,
     ORACLES,
     byte_histogram_features,
+    byte_histogram_rows,
     decode_image,
     documents_as_assets,
     fake_decode,

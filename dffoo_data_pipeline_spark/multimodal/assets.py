@@ -481,6 +481,106 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def byte_histogram_rows(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Integer-exact twin of `byte_histogram_features`: one row per
+    (asset, bin) with the raw histogram count plus the asset's byte count
+    and first two moments — int64 only, so every value is exact and any
+    downstream double (share, mean, std) is a fixed IEEE op sequence both
+    engines reproduce bit-identically.  Emits ALL `bins` rows per asset
+    (zero-count bins included), matching the dense vector the float twin
+    returns.  Same Arrow-batched mapInPandas crossing, whole-batch numpy.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+            T.StructField("byte_sumsq", T.LongType()),
+        ]
+    )
+    width = 256 // bins
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            out = []
+            for aid, payload in zip(pb["asset_id"], pb["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                h = np.bincount(b // width, minlength=bins)[:bins]
+                n, s, s2 = len(b), int(b.sum()), int((b * b).sum())
+                for i in range(bins):
+                    out.append((aid, i, int(h[i]), n, s, s2))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "bin", "cnt", "n_bytes", "byte_sum", "byte_sumsq"]
+            )
+
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(df.select("asset_id", "payload"), "asset_id").mapInPandas(
+        gen, schema
+    )
+
+
+@_register(
+    "multimodal_feature_bins",
+    # Oracle-exact: counts and moments are integers (Σb ≤ 255·len,
+    # Σb² ≤ 255²·len — far under 2^53), so share/mean/std are single IEEE
+    # op sequences over exact inputs, bit-identical across engines (the
+    # same discipline as the pixel-stats oracle above).  The LEFT JOIN to
+    # the dense bin range keeps zero-count bins, matching the dense
+    # feature vector the Python path emits.
+    """
+    WITH b AS (
+        SELECT doc_id AS asset_id,
+               CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+        FROM documents, unnest(range(1, octet_length(encode(text)) + 1)) AS t(i)
+    ),
+    mom AS (
+        SELECT asset_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
+        FROM b GROUP BY asset_id
+    ),
+    cnts AS (
+        SELECT asset_id, v // 16 AS bin, COUNT(*) AS c
+        FROM b GROUP BY asset_id, v // 16
+    )
+    SELECT m.asset_id,
+           CAST(r.bin AS INT) AS bin,
+           CAST(COALESCE(c.c, 0) AS DOUBLE) / m.n AS share,
+           CAST(m.s AS DOUBLE) / m.n AS byte_mean,
+           sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n))
+             AS byte_std
+    FROM mom m
+    CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) r
+    LEFT JOIN cnts c ON c.asset_id = m.asset_id AND c.bin = r.bin
+    """,
+)
+def multimodal_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable form of the feature-extraction slot: the SAME
+    Arrow-batched decode→histogram crossing as `multimodal_features`, but
+    emitting integer-exact (bin, count, moments) rows so the driver can
+    value-hash it against the DuckDB oracle (the float-vector twin is
+    rows-only because numpy's pairwise std is not a fixed op sequence).
+
+    Scale: one Python crossing, bins× row fan-out (bounded, 16), no
+    shuffle at all — share/mean/std are per-row expressions.
+    """
+    a = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    rows = byte_histogram_rows(a, bins=16)
+    n = F.col("n_bytes").cast("double")
+    mean = F.col("byte_sum") / n
+    return rows.select(
+        "asset_id",
+        "bin",
+        (F.col("cnt") / n).alias("share"),
+        mean.alias("byte_mean"),
+        F.sqrt(F.col("byte_sumsq") / n - mean * mean).alias("byte_std"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash near-dup (aHash over the decode slot + banded Hamming join)
 # ---------------------------------------------------------------------------
@@ -687,6 +787,11 @@ def audio_activity_segments(
     w = Window.partitionBy("asset_id").orderBy("window_no")
     active = rms_df.where(F.col("rms") >= threshold)
     grp = (F.col("window_no") - F.row_number().over(w)).alias("grp")
+    # sum_sq recovers each window's exact integer energy Σs² from its
+    # correctly-rounded rms (k = round(rms²·256); |error| ~2ulp·k ≪ 0.5
+    # for k ≤ 256·128²), so the segment total is an exact BIGINT no
+    # matter the aggregation order — the hash-verifiable energy stat,
+    # where mean_rms (an order-dependent double average) is not
     return (
         active.select("asset_id", "window_no", "rms", grp)
         .groupBy("asset_id", "grp")
@@ -695,17 +800,61 @@ def audio_activity_segments(
             F.max("window_no").alias("end_window"),
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
             F.round(F.avg("rms"), 4).alias("mean_rms"),
+            F.sum(
+                F.round(F.col("rms") * F.col("rms") * 256).cast("bigint")
+            ).alias("sum_sq"),
         )
         .drop("grp")
     )
 
 
-@_register("multimodal_audio_segments")  # rows-only: RMS kernel is Python DSP
+@_register(
+    "multimodal_audio_segments",
+    # Oracle-exact: window energy k = Σ(byte−128)² is an exact integer
+    # (≤ 256·128², far under 2^53); the activity gate rms ≥ 20 is the
+    # integer comparison k ≥ 20²·256 = 102400 (sqrt is monotone and the
+    # boundary is attained only at exactly k = 102400, where sqrt is
+    # exact); islands are the window_no − ROW_NUMBER() idiom; the
+    # segment energy is an integer SUM.  mean_rms stays out of the
+    # driver row — averaging irrational doubles is summation-order-
+    # dependent; consumers who want it use audio_activity_segments.
+    """
+    WITH audio AS (
+        SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    win AS (
+        SELECT asset_id, CAST(i // 256 AS INT) AS window_no,
+               SUM((CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) - 128)
+                   * (CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) - 128))
+                 AS k
+        FROM audio, unnest(range(0, (n // 256) * 256)) AS t(i)
+        GROUP BY asset_id, i // 256
+    ),
+    active AS (
+        SELECT asset_id, window_no, k,
+               window_no - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY window_no)
+                 AS grp
+        FROM win WHERE k >= 102400
+    )
+    SELECT asset_id,
+           MIN(window_no) AS start_window,
+           MAX(window_no) AS end_window,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(k) AS BIGINT) AS sum_sq
+    FROM active GROUP BY asset_id, grp
+    """,
+)
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity segments over the audio assets: 256-sample RMS windows
     (Arrow-batched kernel) → threshold → consecutive-run rollup.
     Segment semantics (runs, boundaries, single-window islands) are
-    pinned against constructed payloads in tests/test_multimodal.py."""
+    pinned against constructed payloads in tests/test_multimodal.py.
+    The driver row carries the exact-integer segment energy (sum_sq)
+    instead of mean_rms so the whole Python DSP path is value-hash
+    verified against the byte-level SQL oracle."""
     a = documents_as_assets(load_table(spark, sf_dir, "documents"))
     rms = audio_rms_windows(a.where(F.col("modality") == "audio"))
-    return audio_activity_segments(rms)
+    return audio_activity_segments(rms).select(
+        "asset_id", "start_window", "end_window", "n_windows", "sum_sq"
+    )

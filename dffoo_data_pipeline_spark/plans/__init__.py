@@ -75,6 +75,7 @@ _PRIORITY = [
     "profile_benford_audit",
     "corpus_loo_source_ablation",
     # ---- (b) highest-risk round-5 re-verifies (window edge ~50) ----
+    "multimodal_feature_bins",  # new r6: hash-verifiable twin of the feature slot
     "multimodal_features",
     "pipeline_latest_abilities",
     "streaming_db_exactly_once",

@@ -85,6 +85,31 @@ def test_byte_histogram_matches_numpy(spark, assets):
         assert abs(sum(r["features"]) - 1.0) < 1e-9
 
 
+def test_byte_histogram_rows_integer_exact(spark, assets):
+    """The hash-verifiable twin: integer counts/moments must equal numpy's
+    exactly (no tolerance — the oracle comparison is value-exact), every
+    asset must emit all 16 bins, and the per-asset counts must sum to
+    n_bytes."""
+    from dffoo_data_pipeline_spark.multimodal import byte_histogram_rows
+
+    rows = byte_histogram_rows(assets.limit(10), bins=16).collect()
+    payloads = {r["asset_id"]: r["payload"] for r in assets.limit(10).collect()}
+    by_asset: dict = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == set(payloads)
+    for aid, rs in by_asset.items():
+        b = np.frombuffer(bytes(payloads[aid]), dtype=np.uint8).astype(np.int64)
+        want = np.bincount(b // 16, minlength=16)[:16]
+        assert sorted(r["bin"] for r in rs) == list(range(16))
+        for r in rs:
+            assert r["cnt"] == int(want[r["bin"]])
+            assert r["n_bytes"] == len(b)
+            assert r["byte_sum"] == int(b.sum())
+            assert r["byte_sumsq"] == int((b * b).sum())
+        assert sum(r["cnt"] for r in rs) == len(b)
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...", "image/png")
