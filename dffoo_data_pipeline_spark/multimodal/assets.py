@@ -593,8 +593,13 @@ def image_ahash_codes(assets: DataFrame) -> DataFrame:
     """(asset_id, phash) — 64-bit average-hash per image asset.
 
     Decode (codec slot — fake_decode here, swap in a real codec and
-    nothing else changes) → 8×8 block-mean thumbnail → bit i set when
-    block i ≥ thumbnail mean.  Arrow-batched mapInPandas: one Python
+    nothing else changes) → 8×8 block-sum thumbnail → bit i set when
+    block i's mean ≥ the thumbnail mean.  The comparison is the INTEGER
+    cross-multiplication 64·Σblock ≥ Σcrop (all blocks are the same
+    bh×bw size, so the mean-of-block-means equals the crop mean as an
+    exact rational) — no float intermediates, so the hash is
+    bit-deterministic across numpy versions and reproducible in the
+    byte-level SQL oracle.  Arrow-batched mapInPandas: one Python
     crossing, whole-batch numpy, 8 bytes out per asset.
     """
     schema = T.StructType(
@@ -612,10 +617,10 @@ def image_ahash_codes(assets: DataFrame) -> DataFrame:
             ids, hashes = [], []
             for aid, payload, meta in zip(pb["asset_id"], pb["payload"], pb["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
-                px = fake_decode(bytes(payload), w, h).astype(np.float64)
+                px = fake_decode(bytes(payload), w, h).astype(np.int64)
                 bh, bw = h // 8, w // 8  # crop to 8×8 whole blocks
-                thumb = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-                bits = (thumb >= thumb.mean()).flatten()
+                s = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                bits = (64 * s >= s.sum()).flatten()
                 hashes.append(int((weights * bits).sum(dtype=np.uint64).astype(np.int64)))
                 ids.append(aid)
             yield pd.DataFrame({"asset_id": ids, "phash": hashes})
@@ -739,14 +744,125 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
     )
 
 
-@_register("multimodal_phash_neardup")  # rows-only: Python decode in the hash path
+@_register(
+    "multimodal_phash_neardup",
+    # Oracle-exact END TO END: the aHash bit rule is the integer
+    # comparison 64·Σblock ≥ Σcrop (see image_ahash_codes), so the SQL
+    # can rebuild every hash from bytes — block sums come from tiled
+    # prefix-sum range arithmetic (f(x) = (x // len)·total + pre[x%len],
+    # the pixel-stats oracle's closed form generalized to per-block-row
+    # ranges), the 64-bit word is assembled in two 32-bit halves and
+    # wrapped to a signed BIGINT exactly like numpy's uint64→int64 view,
+    # and the banded Hamming pairing is integer band extraction +
+    # bit_count(xor) — the same candidate-generation semantics as the
+    # Spark plan, expressed relationally.
+    """
+WITH img AS (
+    SELECT doc_id AS asset_id, text,
+           octet_length(encode(text)) AS len,
+           doc_id % 512 + 16 AS w,
+           doc_id % 256 + 16 AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+bytes AS (
+    SELECT asset_id, i,
+           CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS b
+    FROM img, unnest(range(0, len)) AS t(i)
+),
+pre AS (
+    SELECT asset_id, i,
+           COALESCE(SUM(b) OVER (PARTITION BY asset_id ORDER BY i
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum0
+    FROM bytes
+),
+tot AS (SELECT asset_id, SUM(b) AS tt FROM bytes GROUP BY asset_id),
+rows_ AS (
+    SELECT g.asset_id, g.len, bi.bi, bj.bj,
+           (bi.bi * (g.h // 8) + r.r) * g.w + bj.bj * (g.w // 8) AS a,
+           (bi.bi * (g.h // 8) + r.r) * g.w + (bj.bj + 1) * (g.w // 8) AS b2
+    FROM img g,
+         unnest(range(0, 8)) AS bi(bi),
+         unnest(range(0, 8)) AS bj(bj),
+         unnest(range(0, g.h // 8)) AS r(r)
+),
+rs AS (
+    SELECT r.asset_id, r.bi, r.bj,
+           (r.b2 // r.len - r.a // r.len) * t.tt + pb.cum0 - pa.cum0 AS rowsum
+    FROM rows_ r
+    JOIN tot t USING (asset_id)
+    JOIN pre pa ON pa.asset_id = r.asset_id AND pa.i = r.a % r.len
+    JOIN pre pb ON pb.asset_id = r.asset_id AND pb.i = r.b2 % r.len
+),
+blocks AS (
+    SELECT asset_id, bi, bj, SUM(rowsum) AS s,
+           SUM(SUM(rowsum)) OVER (PARTITION BY asset_id) AS s_crop
+    FROM rs GROUP BY asset_id, bi, bj
+),
+halves AS (
+    SELECT asset_id,
+           SUM(CASE WHEN 64 * s >= s_crop AND bi * 8 + bj < 32
+                    THEN 1::BIGINT << (bi * 8 + bj) ELSE 0 END) AS lo,
+           SUM(CASE WHEN 64 * s >= s_crop AND bi * 8 + bj >= 32
+                    THEN 1::BIGINT << (bi * 8 + bj - 32) ELSE 0 END) AS hi
+    FROM blocks GROUP BY asset_id
+),
+codes AS (
+    SELECT asset_id,
+           CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+                - CASE WHEN hi >= 2147483648 THEN CAST(18446744073709551616 AS HUGEINT)
+                       ELSE 0::HUGEINT END AS BIGINT) AS phash
+    FROM halves
+),
+reps AS (
+    SELECT phash, MIN(asset_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_same_hash
+    FROM codes GROUP BY phash
+),
+u AS (
+    SELECT phash, rep_id,
+           CAST(phash AS HUGEINT)
+           + CASE WHEN phash < 0 THEN CAST(18446744073709551616 AS HUGEINT)
+                  ELSE 0::HUGEINT END AS uh
+    FROM reps
+),
+bands AS (
+    SELECT u.phash, u.rep_id, d.k,
+           CAST((u.uh // d.dv) % 256 AS BIGINT) AS bv
+    FROM u, (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
+                    (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT),
+                    (5, 1099511627776::HUGEINT), (6, 281474976710656::HUGEINT),
+                    (7, 72057594037927936::HUGEINT)) AS d(k, dv)
+),
+pairs AS (
+    SELECT DISTINCT a.rep_id AS a_rep, b.rep_id AS b_rep,
+                    a.phash AS a_hash, b.phash AS b_hash
+    FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.rep_id < b.rep_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+),
+nbr AS (
+    SELECT a_hash AS phash, b_rep AS nb FROM pairs
+    UNION ALL
+    SELECT b_hash AS phash, a_rep AS nb FROM pairs
+),
+nm AS (SELECT phash, MIN(nb) AS nbr_min FROM nbr GROUP BY phash),
+hash_info AS (
+    SELECT r.phash, r.n_same_hash,
+           LEAST(COALESCE(nm.nbr_min, r.rep_id), r.rep_id) AS cluster_min
+    FROM reps r LEFT JOIN nm USING (phash)
+)
+SELECT c.asset_id, c.phash, h.n_same_hash,
+       CASE WHEN h.cluster_min < c.asset_id THEN h.cluster_min END AS near_dup_of
+FROM codes c JOIN hash_info h USING (phash)
+    """,
+)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by perceptual hash — the visual analog of
     MinHash-LSH for text: decode → aHash → banded Hamming join.  Pair
     quality (identical payloads collide, 1-byte edits stay within
     Hamming 6, unrelated images don't pair) is unit-tested
-    (tests/test_multimodal.py); engine-specific float means in the
-    thumbnail make the hash itself rows-only for the oracle.
+    (tests/test_multimodal.py); the integer-exact bit rule makes the
+    whole path — Python decode included — value-hash-verifiable against
+    the byte-level SQL oracle.
 
     Scale: hashing is one Arrow-batched pass (8 bytes out per asset);
     the candidate join shuffles on (band_idx, band_val) — 2048 distinct
