@@ -76,6 +76,7 @@ _PRIORITY = [
     "corpus_loo_source_ablation",
     # ---- (b) highest-risk round-5 re-verifies (window edge ~50) ----
     "multimodal_feature_bins",  # new r6: hash-verifiable twin of the feature slot
+    "curation_source_caps",  # new r6: skew-safe per-domain cap
     "multimodal_features",
     "pipeline_latest_abilities",
     "streaming_db_exactly_once",

@@ -93,6 +93,71 @@ def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topk(d, "lang", k=20).select("doc_id", "lang", "sample_rank")
 
 
+def source_caps(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-source document cap, quality-prioritized: keep at most `cap`
+    docs per source, preferring higher quality_score (ties broken on
+    doc_id) — the domain-cap every crawl-derived corpus applies so one
+    boilerplate-heavy domain cannot dominate the training mixture.
+
+    Scale: same two-phase shape as stratified_topk — a direct window per
+    source funnels a 100 TB mega-domain through ONE reducer; instead each
+    (source, salt) bucket keeps its local best `cap` (every task bounded
+    at cap rows out), then the true top-cap runs over ≤ salt_buckets·cap
+    survivors per source.  Result identical to the direct window: a doc
+    in the global top-cap is in its salt bucket's top-cap.
+    """
+    q = TX.quality_score("text").alias("__q")
+    salted = df.select(
+        "*", q, F.pmod("doc_id", F.lit(salt_buckets)).alias("__salt")
+    )
+    w1 = Window.partitionBy(stratum_col, "__salt").orderBy(
+        F.desc("__q"), "doc_id"
+    )
+    stage1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(F.desc("__q"), "doc_id")
+    return (
+        stage1.withColumn("keep_rank", F.row_number().over(w2))
+        .where(F.col("keep_rank") <= cap)
+        .withColumnRenamed("__q", "quality")
+    )
+
+
+def _source_caps_sql(cap: int) -> str:
+    from dffoo_data_pipeline_spark.functions.text import quality_score_sql
+
+    return f"""
+    SELECT doc_id, source, quality, keep_rank FROM (
+        SELECT doc_id, source,
+               {quality_score_sql("text")} AS quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {quality_score_sql("text")} DESC, doc_id)
+                 AS keep_rank
+        FROM documents)
+    WHERE keep_rank <= {cap}
+    """
+
+
+@_register("curation_source_caps", _source_caps_sql(15))
+def curation_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the 15 best-quality docs per source (deterministic ties on
+    doc_id) — the per-domain cap stage of a crawl-curation pipeline,
+    executed skew-safe (salted two-phase top-k, no single-reducer
+    domain funnels)."""
+    d = load_table(spark, sf_dir, "documents")
+    return source_caps(d, "source", cap=15).select(
+        "doc_id", "source", "quality", "keep_rank"
+    )
+
+
 # per-source mixture weights as md5-prefix cutoffs: a doc survives when
 # its 4-hex-digit hash prefix sorts below the stratum's cutoff.  Cutoff
 # 0x4000/0x10000 = keep ~25%, 0xC000 ≈ 75%, 0xFFFF+1 → keep all.

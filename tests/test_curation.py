@@ -28,6 +28,33 @@ def test_two_phase_stratified_equals_direct_window(spark):
     assert sorted(map(tuple, two_phase.collect())) == sorted(map(tuple, direct.collect()))
 
 
+def test_source_caps_two_phase_equals_direct_window(spark):
+    """The quality-prioritized per-domain cap must equal the naive
+    single-window formulation (keep the cap best per source, ties on
+    doc_id) and never exceed the cap in any source."""
+    from dffoo_data_pipeline_spark.functions.text import quality_score
+    from dffoo_data_pipeline_spark.plans.curation import source_caps
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    two_phase = source_caps(d, "source", cap=9).select(
+        "doc_id", "source", "keep_rank"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc(quality_score("text")), "doc_id"
+    )
+    direct = (
+        d.withColumn("keep_rank", F.row_number().over(w))
+        .where(F.col("keep_rank") <= 9)
+        .select("doc_id", "source", "keep_rank")
+    )
+    got = sorted(map(tuple, two_phase.collect()))
+    assert got == sorted(map(tuple, direct.collect()))
+    per_source: dict = {}
+    for _, src, _rank in got:
+        per_source[src] = per_source.get(src, 0) + 1
+    assert all(v <= 9 for v in per_source.values())
+
+
 def test_weighted_mix_rates_track_cutoffs(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     kept = weighted_source_mix(d, "source", [("src0", "8000")])
