@@ -509,6 +509,11 @@ def byte_histogram_rows(df: DataFrame, bins: int = 16) -> DataFrame:
             out = []
             for aid, payload in zip(pb["asset_id"], pb["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                if len(b) == 0:
+                    # no rows for an empty payload: share would be 0/0,
+                    # and the byte-level oracle (no byte rows) omits the
+                    # asset entirely — match it
+                    continue
                 h = np.bincount(b // width, minlength=bins)[:bins]
                 n, s, s2 = len(b), int(b.sum()), int((b * b).sum())
                 for i in range(bins):
@@ -762,7 +767,8 @@ WITH img AS (
            octet_length(encode(text)) AS len,
            doc_id % 512 + 16 AS w,
            doc_id % 256 + 16 AS h
-    FROM documents WHERE doc_id % 3 = 0
+    FROM documents
+    WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
 ),
 bytes AS (
     SELECT asset_id, i,
@@ -870,7 +876,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification is a JVM bit_count on candidates only.
     """
     a = documents_as_assets(load_table(spark, sf_dir, "documents")).where(
-        F.col("modality") == "image"
+        (F.col("modality") == "image") & (F.col("meta.n_bytes") > 0)
     )
     return phash_neardup(image_ahash_codes(a))
 
