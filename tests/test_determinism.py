@@ -23,12 +23,12 @@ ROWS_ONLY = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "multimodal_features",
-    "multimodal_phash_neardup",
     "text_sequence_packing",
 ]
 # upgraded to full oracles in round 5 (determinism now proven by the
 # DuckDB hash match): multimodal_audio_rms, multimodal_image_pixel_stats,
-# abilities_parse_scaled
+# abilities_parse_scaled; in round 6: multimodal_phash_neardup (integer-
+# exact bit rule), multimodal_audio_segments (exact integer energy)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
