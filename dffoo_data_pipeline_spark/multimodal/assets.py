@@ -503,23 +503,48 @@ def byte_histogram_rows(df: DataFrame, bins: int = 16) -> DataFrame:
     width = 256 // bins
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "asset_id": pd.Series(dtype="int64"),
+                "bin": pd.Series(dtype="int32"),
+                "cnt": pd.Series(dtype="int64"),
+                "n_bytes": pd.Series(dtype="int64"),
+                "byte_sum": pd.Series(dtype="int64"),
+                "byte_sumsq": pd.Series(dtype="int64"),
+            }
+        )
         for pb in batches:
-            if len(pb) == 0:
+            # whole-batch numpy: concatenate every payload, tag each byte
+            # with its owner row, and take all histograms/moments as THREE
+            # bincounts — no per-asset Python loop on the decode hot path.
+            # Empty payloads contribute no rows (share would be 0/0, and
+            # the byte-level oracle, which joins through per-byte rows,
+            # omits those assets entirely — match it).
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pb["payload"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            mask = lens > 0
+            if not mask.any():
+                yield empty
                 continue
-            out = []
-            for aid, payload in zip(pb["asset_id"], pb["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                if len(b) == 0:
-                    # no rows for an empty payload: share would be 0/0,
-                    # and the byte-level oracle (no byte rows) omits the
-                    # asset entirely — match it
-                    continue
-                h = np.bincount(b // width, minlength=bins)[:bins]
-                n, s, s2 = len(b), int(b.sum()), int((b * b).sum())
-                for i in range(bins):
-                    out.append((aid, i, int(h[i]), n, s, s2))
+            ids = pb["asset_id"].to_numpy()[mask]
+            lens = lens[mask]
+            flat = np.concatenate([a for a in arrs if len(a)]).astype(np.int64)
+            owner = np.repeat(np.arange(len(ids)), lens)
+            na = len(ids)
+            counts = np.bincount(owner * bins + flat // width, minlength=na * bins)
+            # weighted bincount accumulates in float64; per-asset sums are
+            # integer-valued and ≤ 255²·len ≪ 2^53, so exact
+            s = np.bincount(owner, weights=flat, minlength=na).astype(np.int64)
+            s2 = np.bincount(owner, weights=flat * flat, minlength=na).astype(np.int64)
             yield pd.DataFrame(
-                out, columns=["asset_id", "bin", "cnt", "n_bytes", "byte_sum", "byte_sumsq"]
+                {
+                    "asset_id": np.repeat(ids, bins),
+                    "bin": np.tile(np.arange(bins, dtype=np.int32), na),
+                    "cnt": counts.astype(np.int64),
+                    "n_bytes": np.repeat(lens, bins),
+                    "byte_sum": np.repeat(s, bins),
+                    "byte_sumsq": np.repeat(s2, bins),
+                }
             )
 
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions

@@ -40,6 +40,39 @@ def _doc_hash():
     return F.md5(F.col("doc_id").cast("string"))
 
 
+def _salted_topk(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    order_cols,
+    rank_name: str,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Skew-safe top-k per stratum under a caller-supplied TOTAL order.
+
+    Scale: a single window over the stratum would funnel a hot stratum
+    through ONE reducer — a 100 TB mega-domain or a 5-language corpus
+    both hit this.  Two-phase instead: per-(stratum, salt) local top-k
+    bounds every task at k rows out, then the global top-k runs over ≤
+    salt_buckets·k survivors per stratum.  Identical result to the
+    direct window (a row in the global top-k is necessarily in its salt
+    bucket's top-k), one extra cheap shuffle.  `order_cols` must be a
+    total order (include a unique tiebreak) or ranks are
+    nondeterministic.
+    """
+    salted = df.withColumn("__salt", F.pmod("doc_id", F.lit(salt_buckets)))
+    w1 = Window.partitionBy(stratum_col, "__salt").orderBy(*order_cols)
+    stage1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(*order_cols)
+    return stage1.withColumn(rank_name, F.row_number().over(w2)).where(
+        F.col(rank_name) <= k
+    )
+
+
 def stratified_topk(
     df: DataFrame,
     stratum_col: str,
@@ -48,30 +81,16 @@ def stratified_topk(
 ) -> DataFrame:
     """Deterministic k-per-stratum sample: the k docs with the smallest
     md5(doc_id) per stratum (hash order ≈ uniform random, but stable and
-    engine-independent).
-
-    Scale: a single window over the stratum would funnel each stratum
-    through ONE reducer — with 5 languages over 100 TB that is 5 hot
-    tasks.  Two-phase instead: per-(stratum, salt) local top-k bounds
-    every task at k rows out, then the global top-k runs over ≤
-    salt_buckets·k survivors per stratum.  Identical result to the direct
-    window (each salt bucket keeps its k best, and the global top-k of
-    the union is the true top-k), one extra cheap shuffle.
-    """
-    h = _doc_hash().alias("__h")
-    salted = df.select("*", h, F.pmod("doc_id", F.lit(salt_buckets)).alias("__salt"))
-    w1 = Window.partitionBy(stratum_col, "__salt").orderBy("__h", "doc_id")
-    stage1 = (
-        salted.withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") <= k)
-        .drop("__rn", "__salt")
-    )
-    w2 = Window.partitionBy(stratum_col).orderBy("__h", "doc_id")
-    return (
-        stage1.withColumn("sample_rank", F.row_number().over(w2))
-        .where(F.col("sample_rank") <= k)
-        .drop("__h")
-    )
+    engine-independent).  Skew-safety via _salted_topk."""
+    with_h = df.select("*", _doc_hash().alias("__h"))
+    return _salted_topk(
+        with_h,
+        stratum_col,
+        k,
+        order_cols=[F.col("__h"), F.col("doc_id")],
+        rank_name="sample_rank",
+        salt_buckets=salt_buckets,
+    ).drop("__h")
 
 
 @_register(
@@ -103,30 +122,27 @@ def source_caps(
     docs per source, preferring higher quality_score (ties broken on
     doc_id) — the domain-cap every crawl-derived corpus applies so one
     boilerplate-heavy domain cannot dominate the training mixture.
+    Skew-safety via _salted_topk (a direct per-source window would
+    funnel a 100 TB mega-domain through ONE reducer).
 
-    Scale: same two-phase shape as stratified_topk — a direct window per
-    source funnels a 100 TB mega-domain through ONE reducer; instead each
-    (source, salt) bucket keeps its local best `cap` (every task bounded
-    at cap rows out), then the true top-cap runs over ≤ salt_buckets·cap
-    survivors per source.  Result identical to the direct window: a doc
-    in the global top-cap is in its salt bucket's top-cap.
+    The token array is staged once and passed into quality_score —
+    the bare form re-inlines the interpreted split ~3× per row
+    (functions/text.py's own warning), tripling the dominant per-row
+    cost of a full-corpus scan.
     """
-    q = TX.quality_score("text").alias("__q")
-    salted = df.select(
-        "*", q, F.pmod("doc_id", F.lit(salt_buckets)).alias("__salt")
-    )
-    w1 = Window.partitionBy(stratum_col, "__salt").orderBy(
-        F.desc("__q"), "doc_id"
-    )
-    stage1 = (
-        salted.withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") <= cap)
-        .drop("__rn", "__salt")
-    )
-    w2 = Window.partitionBy(stratum_col).orderBy(F.desc("__q"), "doc_id")
+    staged = df.select("*", TX.tokens("text").alias("__toks"))
+    with_q = staged.select(
+        "*", TX.quality_score("text", toks=F.col("__toks")).alias("__q")
+    ).drop("__toks")
     return (
-        stage1.withColumn("keep_rank", F.row_number().over(w2))
-        .where(F.col("keep_rank") <= cap)
+        _salted_topk(
+            with_q,
+            stratum_col,
+            cap,
+            order_cols=[F.desc("__q"), F.col("doc_id")],
+            rank_name="keep_rank",
+            salt_buckets=salt_buckets,
+        )
         .withColumnRenamed("__q", "quality")
     )
 

@@ -92,8 +92,12 @@ def test_byte_histogram_rows_integer_exact(spark, assets):
     n_bytes."""
     from dffoo_data_pipeline_spark.multimodal import byte_histogram_rows
 
-    rows = byte_histogram_rows(assets.limit(10), bins=16).collect()
-    payloads = {r["asset_id"]: r["payload"] for r in assets.limit(10).collect()}
+    # one materialized sample drives both sides: two independent
+    # .limit(10) executions are not guaranteed to pick the same rows
+    sample = assets.limit(10).collect()
+    payloads = {r["asset_id"]: r["payload"] for r in sample}
+    picked = assets.where(F.col("asset_id").isin(list(payloads)))
+    rows = byte_histogram_rows(picked, bins=16).collect()
     by_asset: dict = {}
     for r in rows:
         by_asset.setdefault(r["asset_id"], []).append(r)
