@@ -24,6 +24,12 @@ ROWS_ONLY = [
     "similarity_ivf_topk",
     "multimodal_features",
     "text_sequence_packing",
+    "text_compression_ratio",
+    "embedding_pca_project",
+    "events_sketch_rollup",
+    "profile_approx_quantiles_lineitem",
+    "corpus_bpe_encode",
+    "dedup_lsh_quality_report",
 ]
 # upgraded to full oracles in round 5 (determinism now proven by the
 # DuckDB hash match): multimodal_audio_rms, multimodal_image_pixel_stats,
