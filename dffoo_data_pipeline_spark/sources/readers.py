@@ -180,6 +180,41 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> tuple[DataFrame, DataF
     return clean, rejects
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """XML source (Spark 4 native reader) — the structured-markup
+    ingestion shape of the reference's E-step (web_scraper.py parses
+    scraped HTML/markup into typed rows).  Schema-enforced PERMISSIVE
+    read with the same dead-letter contract as read_jsonl /
+    read_csv_with_rejects: returns (clean_rows, reject_rows) so a
+    malformed element is auditable instead of silently nulled or
+    job-fatal.
+
+    Scale: one XML record element per `row_tag`; files parallelize
+    per-split with the record tag as the boundary scanner.  An explicit
+    schema skips the inference pass (a full extra scan) and pins types
+    against drifting producers — same rationale as the JSONL reader.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .xml(path)
+        .cache()  # corrupt-record capture is only reliable materialized
+    )
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, rejects
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC columnar source: same DataSource-V2 scan benefits as parquet
     (predicate pushdown, column pruning, vectorized read) for corpora that

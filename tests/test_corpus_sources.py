@@ -54,6 +54,30 @@ def test_jsonl_dead_letter_routing(spark, tmp_path):
     assert any("NOT_A_NUMBER" in r for r in rej)
 
 
+def test_xml_read_with_dead_letter_routing(spark, tmp_path):
+    """Spark 4's native XML reader through the same schema-enforced
+    PERMISSIVE + dead-letter contract as the JSONL/CSV sources: well-
+    formed records parse typed, a type-broken record routes to the
+    reject frame instead of silently nulling or failing the job."""
+    from dffoo_data_pipeline_spark.sources.readers import read_xml
+
+    p = tmp_path / "docs.xml"
+    p.write_text(
+        "<?xml version=\"1.0\"?>\n<docs>\n"
+        "<doc><doc_id>1</doc_id><text>good doc</text><lang>en</lang></doc>\n"
+        "<doc><doc_id>2</doc_id><text>another good one</text><lang>de</lang></doc>\n"
+        "<doc><doc_id>NOT_A_NUMBER</doc_id><text>type-broken</text><lang>fr</lang></doc>\n"
+        "</docs>\n"
+    )
+    clean, rejects = read_xml(spark, str(p), "doc", DOC_SCHEMA)
+    try:
+        assert {(r.doc_id, r.lang) for r in clean.collect()} == {(1, "en"), (2, "de")}
+        rej = [r._corrupt_record for r in rejects.collect()]
+        assert len(rej) == 1 and "NOT_A_NUMBER" in rej[0]
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_orc_roundtrip(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     p = str(tmp_path / "docs_orc")
