@@ -433,6 +433,14 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink (Spark 4 native), mirror of readers.read_xml — for
+    consumers that require markup interchange.  Row-per-element under
+    `row_tag`; prefer parquet/JSONL for anything Spark re-reads (XML
+    carries no column statistics and no pushdown)."""
+    df.write.mode("overwrite").option("rowTag", row_tag).xml(path)
+
+
 def write_partitioned_corpus(
     df: DataFrame, path: str, partition_cols=("lang",)
 ) -> None:

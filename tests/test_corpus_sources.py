@@ -78,6 +78,38 @@ def test_xml_read_with_dead_letter_routing(spark, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """write_xml → read_xml reproduces the frame exactly (typed through
+    the explicit schema; zero rejects on well-formed output)."""
+    from dffoo_data_pipeline_spark.sources.readers import read_xml
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    p = str(tmp_path / "docs_xml")
+    writers.write_xml(docs, p, row_tag="doc")
+    clean, rejects = read_xml(spark, p, "doc", DOC_SCHEMA)
+    try:
+        assert rejects.count() == 0
+        got = {(r.doc_id, r.lang) for r in clean.collect()}
+        want = {(r.doc_id, r.lang) for r in docs.collect()}
+        assert got == want
+    finally:
+        spark.catalog.clearCache()
+    # markup characters must survive the escape/unescape roundtrip (the
+    # synthetic corpus is plain ASCII words, so cover it explicitly)
+    nasty = 'a <b> & "c" </b> done'
+    hostile = spark.createDataFrame(
+        [(99, nasty, "en")], "doc_id long, text string, lang string"
+    )
+    p2 = str(tmp_path / "hostile_xml")
+    writers.write_xml(hostile, p2, row_tag="doc")
+    clean2, rejects2 = read_xml(spark, p2, "doc", DOC_SCHEMA)
+    try:
+        assert rejects2.count() == 0
+        assert clean2.collect()[0].text == nasty
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_orc_roundtrip(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     p = str(tmp_path / "docs_orc")
