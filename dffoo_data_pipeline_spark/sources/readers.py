@@ -34,6 +34,13 @@ def load_table(
     physical type the file carries instead of assuming one.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC is this engine's session invariant (session.py), but the driver
+    # contract hands queries a FOREIGN SparkSession — pin the tz here so
+    # day windows / unix_micros over the int64-nanos physical variant
+    # (absolute instants) cannot shift against the UTC-naive oracle under
+    # a non-UTC host session.  The ntz variant is wall-time and already
+    # tz-invariant; this makes both variants driver-tz-proof.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
