@@ -218,3 +218,21 @@ def test_text_lines_feed_ability_parser(spark, tmp_path):
     a = sorted(map(tuple, from_files.collect()))
     b = sorted(map(tuple, from_memory.collect()))
     assert a == b and len(a) > 0
+
+
+def test_foreign_session_timezone_cannot_shift_results(spark, sf_dir):
+    """The driver contract hands queries a FOREIGN SparkSession whose
+    timezone this engine does not control; load_table pins UTC at the
+    load boundary so day windows and unix_micros cannot shift against
+    the UTC-naive oracle.  Simulate with newSession() (independent
+    runtime conf, shared context) configured to Asia/Tokyo."""
+    from dffoo_data_pipeline_spark.plans import all_queries
+
+    q, _ = all_queries()
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    for name in ("events_dau_wau", "events_sessionization"):
+        base = sorted(map(tuple, q[name](spark, sf_dir).collect()))
+        shifted = sorted(map(tuple, q[name](foreign, sf_dir).collect()))
+        assert base == shifted, f"{name} shifted under a non-UTC host session"
