@@ -162,11 +162,17 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
                 continue
             feats, means, stds = [], [], []
             for payload in pb["payload"]:
-                b = np.frombuffer(payload, dtype=np.uint8)
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 h = np.bincount(b // width, minlength=bins)[:bins]
                 feats.append((h / max(len(b), 1)).astype(np.float64))
-                means.append(float(b.mean()) if len(b) else 0.0)
-                stds.append(float(b.std()) if len(b) else 0.0)
+                # moments-exact mean/std (Σb, Σb² are exact int64): the
+                # same fixed IEEE op sequence as byte_histogram_rows'
+                # consumers, stable across numpy versions — np.std's
+                # pairwise summation is not
+                n = max(len(b), 1)
+                s, s2 = int(b.sum()), int((b * b).sum())
+                means.append(s / n)
+                stds.append(float(np.sqrt(s2 / n - (s / n) ** 2)))
             yield pd.DataFrame(
                 {
                     "asset_id": pb["asset_id"],
