@@ -16,77 +16,19 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-6 window: finish the never-verified backlog.  The round-5 window
-# front-loaded the first ~50 backlog entries (red-row re-verifies, the
-# minhash family, the DECIMAL stats/ML family, the graph quartet, the
-# showcase set); the 43 entries below are the remainder of the backlog —
-# the streaming/events/corpus/profile long tail — and have never had a
-# driver CORRECTNESS row.  Positions 44-50 re-front the seven
-# highest-risk round-5 entries (the two rows red in r3/r4 whose fixes
-# the driver may not yet have confirmed, the two new transactional-sink
-# queries, and the measured-recall reports that retroactively justify
-# the rows-only ANN/LSH adjudications) so they get a row even if the
-# round-5 driver run never landed (no CORRECTNESS_r05.json exists in the
-# repo).  Everything else from the round-5 window follows, then
-# all_queries() appends the r01-r03-verified queries in module order.
+# Round-7 window: the final rotation.  After six rounds, 196 of 240
+# registered queries have a driver CORRECTNESS row; the 44 below are the
+# complete remainder (registry minus the union of CORRECTNESS_r01-r06
+# keys) — all locally oracle-green, never yet inside a driver window.
+# They are front-loaded in their original registry order; positions
+# 45-50 are reserved for this round's NEW queries (manual-table
+# enrichment, effective-cap library, oracle upgrades), appended by their
+# defining modules via _ROUND7_NEW below.  Everything previously
+# verified follows in module order via all_queries()'s tail append, so
+# its green row from earlier rounds stands.
 _PRIORITY = [
-    # ---- (a) never-verified backlog tail: 43 entries ----
-    "embedding_centroid_dist",
-    "text_classifier_score",
-    "text_compression_ratio",
-    "text_langid_confusion",
-    "text_cdc_chunks",
-    "events_top_paths",
-    "orders_monthly_growth",
-    "profile_corr_lineitem",
-    "text_kwic",
-    "streaming_error_rate_alert",
-    "events_churned_users",
-    "supplier_revenue_pareto",
-    "text_char_ngram_profile",
-    "events_dau_wau",
-    "corpus_zipf_heaps",
-    "streaming_quality_gate",
-    "streaming_embedding_assign",
-    "corpus_bigram_logprob",
-    "corpus_duplicate_span_removal",
-    "corpus_bpe_learn",
-    "corpus_bpe_encode",
-    "events_lateness_audit",
-    "profile_approx_quantiles_lineitem",
-    "orders_open_backlog",
-    "corpus_data_card",
-    "events_pit_enrich",
-    "streaming_pit_enrich",
-    "streaming_continuous_rollup",
-    "events_gapfill_interpolate",
-    "streaming_interval_join_outer",
-    "events_hist_quantile_rollup",
-    "events_countmin_topk",
-    "streaming_countmin_topk",
-    "corpus_drift_psi",
-    "events_rolling_range",
-    "events_ab_wilson",
-    "profile_sample_estimate",
-    "orders_market_basket",
-    "events_kaplan_meier",
-    "events_exp_smoothing",
-    "events_isotonic_daily_rate",
-    "profile_benford_audit",
-    "corpus_loo_source_ablation",
-    # ---- (b) highest-risk round-5 re-verifies (window edge ~50) ----
-    "multimodal_feature_bins",  # new r6: hash-verifiable twin of the feature slot
-    "curation_source_caps",  # new r6: skew-safe per-domain cap
-    "multimodal_features",
-    "pipeline_latest_abilities",
-    "streaming_db_exactly_once",
-    "pipeline_db_load",
-    "dedup_lsh_quality_report",
+    # ---- (a) the last 44 never-driver-checked queries ----
     "similarity_ann_recall_report",
-    "abilities_parse_scaled",
-    # ---- (c) remainder of the round-5 window, original priority order ----
-    "multimodal_audio_rms",
-    "multimodal_image_pixel_stats",
     "dedup_lsh_verified",
     "dedup_incremental_neardup",
     "lineitem_price_regression",
@@ -130,6 +72,14 @@ _PRIORITY = [
     "integrity_report",
     "embedding_covariance",
     "embedding_pca_project",
+    # ---- (b) round-7 new queries (window edge ~50): defined in their
+    # modules this round, listed here so the driver certifies them now ----
+    "abilities_followups_enriched",
+    "abilities_effective_cap",
+    "bt_labeling_corrections",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "text_sequence_packing",
 ]
 
 
