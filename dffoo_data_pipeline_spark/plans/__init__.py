@@ -97,6 +97,7 @@ def all_queries():
         linkage,
         linkgraph,
         llm_ops,
+        manual_tables,
         profile,
         relational,
         retrieval,
@@ -105,7 +106,7 @@ def all_queries():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph, linkage):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph, linkage, manual_tables):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

@@ -78,6 +78,55 @@ FOLLOWUPS_MANUAL_ENTRY_RAW = T.StructType(
     ]
 )
 
+# T4b followups_manual_entry — the REAL reference file's physical layout
+# (datasets/followups_manual_entry.csv, 15 columns; raw_sources.yml:97-171).
+# FOLLOWUPS_MANUAL_ENTRY_RAW above is the hand-shaped 10-column staging
+# subset used by unit fixtures; this one reads the shipped file byte-for-
+# byte: attribute_list arrives as a stringified Python list, timestamps as
+# 'M/d/yyyy H:mm' local strings (kept as text here — parsed only at the
+# staging boundary, never silently coerced by the reader).
+FOLLOWUPS_MANUAL_ENTRY_FILE = T.StructType(
+    [
+        T.StructField("char_name", T.StringType(), False),
+        T.StructField("ability_name", T.StringType(), False),
+        T.StructField("ability_id", T.IntegerType(), True),  # blank on synthesized followups
+        T.StructField("main_target_hp_attacks", T.ShortType(), True),
+        T.StructField("non_target_hp_attacks", T.ShortType(), True),
+        T.StructField("hp_dmg_cap_up_perc", T.ShortType(), True),
+        T.StructField("attribute_list", T.StringType(), True),  # "['Magic', 'FollowUp']"
+        T.StructField("game_version", T.StringType(), False),
+        T.StructField("scrape_started_at_utc", T.StringType(), True),
+        T.StructField("scrape_ended_at_utc", T.StringType(), True),
+        T.StructField("timing", T.StringType(), True),
+        T.StructField("triggers", T.StringType(), True),
+        T.StructField("default", T.StringType(), True),
+        T.StructField("during_bt", T.StringType(), True),
+        T.StructField("double_during_bt", T.StringType(), True),
+    ]
+)
+
+# T6 bt_special_effect_labeling — the second hand-maintained CSV source
+# (reference S8, datasets/bt_special_effect_labeling.csv): per-character
+# BT cap labels plus free-text `special_effect_for_hp_dmg_cap_on_turn`
+# and `issue_to_fix` correction notes.  Physical quirks pinned here: the
+# header row ends with a trailing comma, so every record carries an empty
+# 10th field (`_trailing`), and the timestamps are LOCAL 'M/d/yyyy H:mm'
+# strings without the `_utc` suffix the scraped tables use.
+BT_SPECIAL_EFFECT_LABELING_FILE = T.StructType(
+    [
+        T.StructField("char_name", T.StringType(), False),
+        T.StructField("bt_personal_hp_dmg_cap_up", T.ShortType(), False),
+        T.StructField("bt_party_hp_dmg_cap_up", T.ShortType(), False),
+        T.StructField("enemy_count_apply_list", T.StringType(), True),  # "[1, 2, 3]" or "2"
+        T.StructField("game_version", T.StringType(), False),
+        T.StructField("scrape_started_at", T.StringType(), True),
+        T.StructField("scrape_ended_at", T.StringType(), True),
+        T.StructField("special_effect_for_hp_dmg_cap_on_turn", T.StringType(), True),
+        T.StructField("issue_to_fix", T.StringType(), True),
+        T.StructField("_trailing", T.StringType(), True),
+    ]
+)
+
 # T7 ability_html_lines — the parse layer's true input (SURVEY.md §1 item 7):
 # one prettified-HTML line per row, offset-addressable by line_no.
 ABILITY_HTML_LINES = T.StructType(

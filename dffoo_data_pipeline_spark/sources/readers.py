@@ -157,6 +157,68 @@ def stage_followups(raw: DataFrame) -> DataFrame:
     )
 
 
+def stage_followups_file(raw: DataFrame) -> DataFrame:
+    """Typed staging for the REAL followups file layout
+    (FOLLOWUPS_MANUAL_ENTRY_FILE): 'T'/'F' → boolean, comma-joined
+    `triggers` and stringified-Python `attribute_list` → real arrays,
+    'M/d/yyyy H:mm' local timestamps → TIMESTAMP (reference stg_abilities.sql
+    P2 pattern applied to the manual table raw_sources.yml:97-171 keeps as
+    text)."""
+    from pyspark.sql import functions as F
+
+    tf = lambda c: (F.col(c) == "T").alias(c)  # noqa: E731
+    ts = lambda c: F.to_timestamp(F.col(c), "M/d/yyyy H:mm").alias(c)  # noqa: E731
+    return raw.select(
+        "char_name",
+        "ability_name",
+        "ability_id",
+        "main_target_hp_attacks",
+        "non_target_hp_attacks",
+        "hp_dmg_cap_up_perc",
+        F.regexp_extract_all("attribute_list", F.lit(r"'([^']+)'"), 1).alias(
+            "attribute_list"
+        ),
+        "game_version",
+        ts("scrape_started_at_utc"),
+        ts("scrape_ended_at_utc"),
+        "timing",
+        F.split("triggers", r",\s*").alias("triggers"),
+        tf("default"),
+        tf("during_bt"),
+        tf("double_during_bt"),
+    )
+
+
+def stage_bt_labeling(raw: DataFrame) -> DataFrame:
+    """Typed staging for the BT special-effect labeling table (reference
+    S8 second manual table, datasets/bt_special_effect_labeling.csv).
+
+    Normalizations pinned by tests: the stringified enemy list ("[1, 2, 3]"
+    or a bare "2") becomes array<int>; free-text columns are ''→NULL
+    normalized (the CSV writes empty strings); the trailing phantom column
+    from the header's trailing comma is dropped; local 'M/d/yyyy H:mm'
+    timestamps become TIMESTAMP."""
+    from pyspark.sql import functions as F
+
+    ts = lambda c: F.to_timestamp(F.col(c), "M/d/yyyy H:mm").alias(c)  # noqa: E731
+    return raw.select(
+        "char_name",
+        "bt_personal_hp_dmg_cap_up",
+        "bt_party_hp_dmg_cap_up",
+        F.transform(
+            F.regexp_extract_all("enemy_count_apply_list", F.lit(r"\d+"), 0),
+            lambda x: x.cast("int"),
+        ).alias("enemy_count_apply_list"),
+        "game_version",
+        ts("scrape_started_at"),
+        ts("scrape_ended_at"),
+        F.nullif(F.trim("special_effect_for_hp_dmg_cap_on_turn"), F.lit("")).alias(
+            "special_effect_for_hp_dmg_cap_on_turn"
+        ),
+        F.nullif(F.trim("issue_to_fix"), F.lit("")).alias("issue_to_fix"),
+    )
+
+
 def read_jsonl(spark: SparkSession, path: str, schema) -> tuple[DataFrame, DataFrame]:
     """JSON-Lines corpus source — the de-facto interchange format for LLM
     training data (one document object per line).  Schema-enforced
