@@ -300,6 +300,182 @@ def ivf_topk(
     )
 
 
+def int_lsh_weights(dim: int, planes: int) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000].
+
+    A multiplicative-congruential hash over the flat (plane, dim) index
+    (Knuth's 1103515245/12345 constants) — pure integer arithmetic, so
+    ANY engine reproduces the exact weights from the formula alone.
+    Uniform-cube directions instead of gaussian: fine for sign-LSH
+    (Achlioptas 2003 shows even ±1 entries preserve the projection
+    guarantees), and the integer lattice is what makes the bucket
+    assignment bit-for-bit verifiable cross-engine.
+    """
+    return [
+        [((1103515245 * (p * dim + i) + 12345) % 2001) - 1000 for i in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def _intdot_col(a, b_lits: list[int]):
+    """Exact BIGINT dot of an array<bigint> column with literal weights."""
+    w = F.array(*[F.lit(x).cast("bigint") for x in b_lits])
+    return F.aggregate(
+        F.zip_with(a, w, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _exact_cos_topk_kernel(id_col: str, k: int, out_schema):
+    """applyInPandas kernel: exact-integer cosine top-k inside one group.
+
+    Expects columns (id, c, n2, is_probe); index = non-probe rows.  All
+    dot products are int64 matmuls (exact); the ORDER key d·|d|/(n2a·n2b)
+    and the reported cos d/√(n2a·n2b) are single correctly-rounded IEEE
+    ops on exact ≤2⁵³ integers — bit-identical in any engine, so the
+    DuckDB oracle can replay the ranking with no float tolerance
+    (dedup_semantic_int8's contract, plans/embeddings.py:533).
+    """
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf[~pdf["is_probe"]]
+        if len(idx) == 0 or len(pdf) < 2:
+            return pd.DataFrame({c.name: [] for c in out_schema})
+        ids_q = pdf[id_col].to_numpy()
+        ids_i = idx[id_col].to_numpy()
+        Q = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        M = np.stack(idx["c"].to_numpy()).astype(np.int64)
+        n2_q = pdf["n2"].to_numpy().astype(np.int64)
+        n2_i = idx["n2"].to_numpy().astype(np.int64)
+        D = Q @ M.T  # exact: |entries| ≤ 128²·dim < 2³¹
+        den = np.outer(n2_q, n2_i)  # ≤ 2⁴⁰, exact in int64 AND float64
+        key = (D * np.abs(D)).astype(np.float64) / den.astype(np.float64)
+        key[ids_q[:, None] == ids_i[None, :]] = -np.inf
+        kk = min(k, D.shape[1])
+        part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for r in range(D.shape[0]):
+            cand = part[r][np.isfinite(key[r, part[r]])]
+            order = np.lexsort((ids_i[cand], -key[r, cand]))
+            sel = cand[order]
+            out_q.extend([ids_q[r]] * len(sel))
+            out_n.extend(ids_i[sel])
+            out_s.extend(
+                D[r, sel].astype(np.float64)
+                / np.sqrt((n2_q[r] * n2_i[sel]).astype(np.float64))
+            )
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+        )
+
+    return rank_group
+
+
+def _int_out_schema(codes: DataFrame, id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("query_id", codes.schema[id_col].dataType),
+            T.StructField("neighbor_id", codes.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+
+def lsh_topk_int(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    prefix_bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH top-k over integer codes — the
+    driver-verifiable twin of `lsh_topk`.
+
+    Input is a quantized-codes frame (id, c: array<bigint>, n2) —
+    `plans/embeddings.int8_codes`' output.  Bucket = sign bits of integer
+    hyperplane projections (`int_lsh_weights`), so assignment is exact
+    integer arithmetic any engine reproduces; within-bucket re-rank uses
+    the exact-int cosine kernel.  Same plan shape as `lsh_topk` (one
+    shuffle on bucket, quadratic only inside buckets, nothing broadcast);
+    the float-hyperplane variant stays for callers with raw embeddings.
+    """
+    W = int_lsh_weights(dim, prefix_bits)
+    bits = [(_intdot_col(F.col("c"), W[p]) > 0).cast("bigint") for p in range(prefix_bits)]
+    bucket = sum(
+        (bit * F.lit(1 << i) for i, bit in enumerate(bits[1:], start=1)), bits[0]
+    )
+    bucketed = codes.where(F.col("n2") > 0).select(
+        F.col(id_col), "c", "n2", bucket.alias("bucket"), F.lit(False).alias("is_probe")
+    )
+    out_schema = _int_out_schema(codes, id_col)
+    return bucketed.groupBy("bucket").applyInPandas(
+        _exact_cos_topk_kernel(id_col, k, out_schema), out_schema
+    )
+
+
+def ivf_topk_int(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Seeded IVF top-k over integer codes — the driver-verifiable twin of
+    `ivf_topk`.
+
+    Cells are seeded by the `n_cells` lowest-id vectors (the
+    dedup_semantic_int8 convention: deterministic, no trained state), so
+    cell assignment is an exact-integer argmax any engine replays; the
+    kmeans-trained variant (`ivf_topk`) stays as the quality path with
+    measured recall.  Every vector joins its 1 nearest cell as index
+    member and its `n_probe` nearest as query; exact-int re-rank per
+    cell, then global top-k per query (a superset-of-per-cell-top-k cut,
+    so the two-stage ranking equals ranking the union directly).
+
+    Scale: one broadcast of n_cells integer code rows + one shuffle on
+    cell id — the IVF-Flat shape; nothing grows with corpus size on the
+    driver.
+    """
+    live = codes.where(F.col("n2") > 0)
+    seeds = live.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col("c").alias("sc"), F.col("n2").alias("sn2")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("c"), F.col("sc"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = live.crossJoin(F.broadcast(seeds)).select(
+        id_col, "c", "n2", "cell", "sn2", d.alias("d")
+    )
+    # assignment key d·|d|/sn2 is monotone in cosine-to-seed; exact ints
+    # ≤2⁴⁰ through one IEEE division — deterministic in any engine
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc((F.col("d") * F.abs("d")).cast("double") / F.col("sn2").cast("double")),
+        F.asc("cell"),
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max(n_probe, 1))
+        .select(
+            id_col, "c", "n2", "cell", (F.col("rn") > 1).alias("is_probe")
+        )
+    )
+    out_schema = _int_out_schema(codes, id_col)
+    per_cell = assigned.groupBy("cell").applyInPandas(
+        _exact_cos_topk_kernel(id_col, k, out_schema), out_schema
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        per_cell.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed → stable buckets)."""
     rng = np.random.RandomState(seed)

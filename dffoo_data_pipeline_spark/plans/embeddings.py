@@ -468,10 +468,12 @@ def int8_codes(e: DataFrame) -> DataFrame:
     )
 
 
-# Shared CTE chain: raw embeddings → centered int8 codes → seed argmax
-# assignment.  Reused by the streaming ingest router's oracle
-# (streaming/jobs.py:streaming_embedding_assign).
-_SEM_ASSIGN_SQL = f"""
+# Shared CTE chain: raw embeddings → centered int8 codes + squared norms.
+# Reused by the semantic-dedup oracle below, the streaming ingest
+# router's oracle (streaming/jobs.py:streaming_embedding_assign), and the
+# integer-exact ANN oracles (plans/llm_ops.py: similarity_lsh_topk /
+# similarity_ivf_topk).
+CODES_NORMS_SQL = """
 WITH base AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb,
            list_min(embedding::DOUBLE[]) AS lo,
@@ -489,7 +491,9 @@ codes AS (
 norms AS (
     SELECT vec_id, c,
            CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
-    FROM codes),
+    FROM codes)"""
+
+_SEM_ASSIGN_SQL = CODES_NORMS_SQL + f""",
 seeds AS (
     SELECT vec_id AS seed_id, c AS sc, n2 AS sn2
     FROM norms WHERE vec_id < {_SEM_N_SEEDS} AND n2 > 0),

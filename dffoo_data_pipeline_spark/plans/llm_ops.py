@@ -666,39 +666,172 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("text_sequence_packing")  # rows-only: bin layout is partition-dependent
+_PACKING_ORACLE = r"""
+WITH RECURSIVE docs AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS chunk
+    FROM documents),
+seq AS (
+    SELECT doc_id, n, chunk,
+           ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY n DESC, doc_id) AS rn
+    FROM docs),
+pack AS (
+    SELECT chunk, rn, doc_id, n,
+           CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off, n AS fill
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.chunk, s.rn, s.doc_id, s.n,
+           CASE WHEN p.fill + s.n <= 512 THEN p.bin ELSE p.bin + 1 END,
+           CASE WHEN p.fill + s.n <= 512 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+           CASE WHEN p.fill + s.n <= 512 THEN p.fill + s.n ELSE s.n END
+    FROM pack p JOIN seq s ON s.chunk = p.chunk AND s.rn = p.rn + 1)
+SELECT doc_id, n AS n_tokens,
+       chunk || ':' || CAST(bin AS VARCHAR) AS bin_id,
+       off AS "offset"
+FROM pack
+"""
+
+
+@_register("text_sequence_packing", _PACKING_ORACLE)
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window packing: documents first-fit-decreasing packed into
-    512-token bins per partition (operators/packing.py) — the
-    training-throughput operator; invariants tested in tests/test_packing.py."""
+    """Context-window packing into 512-token bins, deterministic variant:
+    next-fit-decreasing within md5-hash chunks
+    (operators/packing.py:pack_sequences_deterministic), so the bin
+    layout is a pure function of the data and the DuckDB oracle replays
+    it exactly with a recursive CTE.  The physical-partition
+    first-fit packer (`pack_sequences`, fastest layout) remains the
+    throughput path; its invariants are pinned in tests/test_packing.py.
+    """
     from dffoo_data_pipeline_spark.functions import text as TX
-    from dffoo_data_pipeline_spark.operators.packing import pack_sequences
+    from dffoo_data_pipeline_spark.operators.packing import (
+        pack_sequences_deterministic,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
     )
-    return pack_sequences(d, "doc_id", "n_tokens", budget=512)
+    return pack_sequences_deterministic(d, "doc_id", "n_tokens", budget=512)
 
 
-@_register("similarity_ivf_topk")  # rows-only: k-means cells are seed-specific
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: spherical-kmeans cells trained on a bounded sample,
-    corpus partitioned by nearest cell, exact re-rank within probed cells
-    (n_probe=2).  The FAISS-IVF shape distributed over Spark — recall vs
-    brute force measured in tests/test_similarity_ivf.py."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        e, id_col="vec_id", vec_col="embedding", k=5, n_cells=16, n_probe=2
+def _ivf_int_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.embeddings import CODES_NORMS_SQL
+
+    return (
+        CODES_NORMS_SQL
+        + """,
+seeds AS (
+    SELECT vec_id AS cell, c AS sc, n2 AS sn2
+    FROM norms WHERE vec_id < 16 AND n2 > 0),
+scored AS (
+    SELECT v.vec_id, s.cell, s.sn2,
+           CAST(list_sum(list_transform(list_zip(v.c, s.sc),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d
+    FROM norms v CROSS JOIN seeds s WHERE v.n2 > 0),
+assigned AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(sn2 AS DOUBLE) DESC,
+                        cell) AS rn
+    FROM scored),
+members AS (
+    SELECT a.vec_id, a.cell, n.c, n.n2
+    FROM assigned a JOIN norms n USING (vec_id) WHERE a.rn = 1),
+probes AS (
+    SELECT a.vec_id, a.cell, n.c, n.n2
+    FROM assigned a JOIN norms n USING (vec_id) WHERE a.rn <= 2),
+cand AS (
+    SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.c, m.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           q.n2 AS na2, m.n2 AS nb2
+    FROM probes q JOIN members m ON q.cell = m.cell AND q.vec_id <> m.vec_id),
+ranked AS (
+    SELECT query_id, neighbor_id, d, na2, nb2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                        neighbor_id) AS rn
+    FROM cand)
+SELECT query_id, neighbor_id,
+       CAST(d AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos_sim
+FROM ranked WHERE rn <= 5
+"""
     )
 
 
-@_register("similarity_lsh_topk")  # rows-only: random-hyperplane signs are seed/hash-specific
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH bucketing: candidates share a sign
-    signature prefix; exact cosine re-ranking within buckets.  Recall vs
-    brute force is unit-tested (tests/test_similarity.py)."""
+@_register("similarity_ivf_topk", _ivf_int_oracle())
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN, driver-verifiable form: cells seeded by the 16
+    lowest-id vectors over centered int8 codes, every vector indexed in
+    its 1 nearest cell and probing its 2 nearest, exact-integer cosine
+    re-rank per cell (operators/similarity.py:ivf_topk_int).  Cell
+    assignment and ranking are BIGINT dot products + one correctly-
+    rounded IEEE division, so the DuckDB oracle replays the WHOLE
+    index+search bit-for-bit.  The kmeans-trained float variant
+    (`similarity.ivf_topk`) remains the quality path, recall-measured in
+    tests/test_similarity_ivf.py and similarity_ann_recall_report."""
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(e, id_col="vec_id", vec_col="embedding", k=5, planes=16, prefix_bits=6)
+    return similarity.ivf_topk_int(int8_codes(e), k=5, n_cells=16, n_probe=2)
+
+
+def _lsh_int_oracle() -> str:
+    from dffoo_data_pipeline_spark.operators.similarity import int_lsh_weights
+    from dffoo_data_pipeline_spark.plans.embeddings import CODES_NORMS_SQL
+
+    W = int_lsh_weights(64, 6)
+    plane_rows = ",\n  ".join(f"({p}, {W[p]}::BIGINT[])" for p in range(6))
+    return (
+        CODES_NORMS_SQL
+        + f""",
+planes(p, w) AS (VALUES
+  {plane_rows}),
+bits AS (
+    SELECT n.vec_id, pl.p,
+           CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+                          i -> n.c[i] * pl.w[i])) AS BIGINT) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+    FROM norms n CROSS JOIN planes pl WHERE n.n2 > 0),
+buckets AS (
+    SELECT vec_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id),
+mem AS (
+    SELECT b.vec_id, b.bucket, n.c, n.n2
+    FROM buckets b JOIN norms n USING (vec_id)),
+cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+    SELECT query_id, neighbor_id, d, na2, nb2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                        neighbor_id) AS rn
+    FROM cand)
+SELECT query_id, neighbor_id,
+       CAST(d AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos_sim
+FROM ranked WHERE rn <= 5
+"""
+    )
+
+
+@_register("similarity_lsh_topk", _lsh_int_oracle())
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH bucketing, driver-verifiable form: buckets from
+    integer hyperplane projections over centered int8 codes
+    (operators/similarity.py:lsh_topk_int — deterministic lattice
+    weights, Achlioptas-style), exact-integer cosine re-rank inside each
+    bucket.  The float-hyperplane variant (`similarity.lsh_topk`) stays
+    for raw-embedding callers; recall vs brute force is unit-tested
+    (tests/test_similarity.py) and reported by
+    similarity_ann_recall_report."""
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_int(int8_codes(e), k=5, prefix_bits=6, dim=64)
 
 
 _CONTAINMENT_ORACLE = r"""
@@ -1081,9 +1214,12 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floors in tests/test_similarity_ivf.py pin regressions, this
     query makes the number a first-class pipeline output.
 
-    Parameters deliberately MATCH the registered production queries
-    (similarity_lsh_topk / similarity_ivf_topk) — the audit measures the
-    path users run, not a tuned showcase.  On this synthetic corpus the
+    Four methods are audited with parameters deliberately MATCHING the
+    production configurations: the float-hyperplane LSH and kmeans IVF
+    quality paths, and the integer-exact lsh_int/ivf_int variants that
+    back the registered similarity_lsh_topk / similarity_ivf_topk
+    queries — the audit measures the paths users run, not a tuned
+    showcase.  On this synthetic corpus the
     vectors are near-isotropic (no cluster structure), so absolute
     recall is low — which is exactly what the report should say: these
     embeddings need brute force or better index parameters, and the
@@ -1121,13 +1257,25 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("recall"), 4).alias("min_recall"),
         )
 
-    lsh = recall_row(
-        "lsh", sim.lsh_topk(e, "vec_id", "embedding", k=k, planes=16, prefix_bits=6)
-    )
-    ivf = recall_row(
-        "ivf", sim.ivf_topk(e, "vec_id", "embedding", k=k, n_cells=16, n_probe=2)
-    )
-    return lsh.unionByName(ivf)
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    codes = int8_codes(e).localCheckpoint(eager=False)  # shared by both int paths
+    rows = [
+        recall_row(
+            "lsh", sim.lsh_topk(e, "vec_id", "embedding", k=k, planes=16, prefix_bits=6)
+        ),
+        recall_row(
+            "ivf", sim.ivf_topk(e, "vec_id", "embedding", k=k, n_cells=16, n_probe=2)
+        ),
+        # the integer-exact driver-verified variants (the registered
+        # similarity_lsh_topk / similarity_ivf_topk paths since round 7)
+        recall_row("lsh_int", sim.lsh_topk_int(codes, k=k, prefix_bits=6, dim=64)),
+        recall_row("ivf_int", sim.ivf_topk_int(codes, k=k, n_cells=16, n_probe=2)),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @_register("dedup_lsh_quality_report")  # rows-only: minhash is engine-specific

@@ -20,10 +20,7 @@ ROWS_ONLY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
     "multimodal_features",
-    "text_sequence_packing",
     "text_compression_ratio",
     "embedding_pca_project",
     "events_sketch_rollup",
@@ -34,7 +31,10 @@ ROWS_ONLY = [
 # upgraded to full oracles in round 5 (determinism now proven by the
 # DuckDB hash match): multimodal_audio_rms, multimodal_image_pixel_stats,
 # abilities_parse_scaled; in round 6: multimodal_phash_neardup (integer-
-# exact bit rule), multimodal_audio_segments (exact integer energy)
+# exact bit rule), multimodal_audio_segments (exact integer energy); in
+# round 7: similarity_lsh_topk / similarity_ivf_topk (integer-lattice
+# bucketing + exact-int cosine ranking), text_sequence_packing
+# (hash-chunked next-fit replayed by a recursive-CTE oracle)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
