@@ -594,6 +594,7 @@ def prefix_filter_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    sample_hex_cutoff: str | None = None,
 ) -> DataFrame:
     """All-pairs similarity join with PREFIX FILTERING (Chaudhuri et al.
     2006; Bayardo et al. 2007 "Scaling Up All Pairs"): order every
@@ -619,7 +620,21 @@ def prefix_filter_pairs(
     Keep ``threshold`` a dyadic rational (0.5, 0.25, 0.75) if oracle
     parity matters: ``ceil(t·sz)`` is then exact in IEEE arithmetic on
     both engines.
+
+    ``sample_hex_cutoff`` scopes an AUDIT run: only documents whose
+    md5-prefix sorts below the 4-hex cutoff participate (e.g. "1000" ≈
+    1/16 of the corpus — the curation md5-cutoff idiom, deterministic and
+    partitioning-independent).  The exhaustive pair check is this
+    operator's contract, and at 100 TB you prove losslessness on a
+    deterministic corpus slice rather than paying the full posting-list
+    volume; the result is exact for every pair WITHIN the slice.  None
+    (default) audits everything.
     """
+    if sample_hex_cutoff is not None:
+        df = df.where(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+            < F.lit(sample_hex_cutoff)
+        )
     sh = df.select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)

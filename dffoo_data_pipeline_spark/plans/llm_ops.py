@@ -474,7 +474,13 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle cap — hot shingles never generate pairs because they
     rank last and fall outside every prefix; posting-list volume drops
     to ~(1−t) of the corpus shingles, and pair fan-out concentrates in
-    RARE shingles whose lists are short by definition.
+    RARE shingles whose lists are short by definition.  Heavy by
+    contract (it is the exactness auditor for the LSH path); at 100 TB
+    scope the audit with ``sample_hex_cutoff`` — a deterministic md5
+    corpus slice, exact for every pair within it
+    (tests/test_dedup.py::test_prefix_filter_sample_slice_is_exact).
+    The registered query audits the full corpus (cutoff None) so the
+    losslessness proof stays corpus-wide at driver scale.
     """
     d = load_table(spark, sf_dir, "documents")
     return dedup.prefix_filter_pairs(

@@ -309,6 +309,43 @@ def test_prefix_filter_lossless_and_hot_shingle_safe(spark, sf_dir):
     assert (3, 4) not in got
 
 
+def test_prefix_filter_sample_slice_is_exact(spark, sf_dir):
+    """The audit-sampling knob (sample_hex_cutoff) must return exactly
+    the full result restricted to pairs whose BOTH endpoints fall in the
+    md5 slice — a deterministic sub-audit, not an approximation."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators.dedup import prefix_filter_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cut = "8000"  # ~half the corpus
+    in_slice = {
+        r.doc_id
+        for r in d.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < cut
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(in_slice) < d.count()
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    sampled = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(
+            d, "doc_id", "text", threshold=0.5, sample_hex_cutoff=cut
+        ).collect()
+    }
+    want = {
+        pair: j
+        for pair, j in full.items()
+        if pair[0] in in_slice and pair[1] in in_slice
+    }
+    assert sampled == want
+
+
 def test_compression_ratio_separates_boilerplate(spark, sf_dir):
     """The zlib signal's discriminative contract: heavily repeated text
     compresses far better than the organic corpus tail."""
