@@ -520,33 +520,41 @@ def byte_histogram_rows(df: DataFrame, bins: int = 16) -> DataFrame:
             }
         )
         for pb in batches:
-            # whole-batch numpy: concatenate every payload, tag each byte
-            # with its owner row, and take all histograms/moments as THREE
-            # bincounts — no per-asset Python loop on the decode hot path.
+            # per-asset numpy slices, NOT a whole-batch concat: the old
+            # flat-int64 + flat*flat formulation amplified batch memory to
+            # ~16-24× the raw payload bytes.  Each payload is processed as
+            # its own uint8 view (bincount stays uint8-indexed) and the
+            # exact integer moments use one transient int64 view of ONE
+            # payload at a time — peak extra memory ≈ 9× the LARGEST
+            # payload, independent of maxRecordsPerBatch.  The loop is
+            # per ASSET (numpy-vectorized within), not per byte.
             # Empty payloads contribute no rows (share would be 0/0, and
             # the byte-level oracle, which joins through per-byte rows,
             # omits those assets entirely — match it).
             arrs = [np.frombuffer(p, dtype=np.uint8) for p in pb["payload"]]
-            lens = np.array([len(a) for a in arrs], dtype=np.int64)
-            mask = lens > 0
-            if not mask.any():
+            kept = [(i, a) for i, a in enumerate(arrs) if len(a)]
+            if not kept:
                 yield empty
                 continue
-            ids = pb["asset_id"].to_numpy()[mask]
-            lens = lens[mask]
-            flat = np.concatenate([a for a in arrs if len(a)]).astype(np.int64)
-            owner = np.repeat(np.arange(len(ids)), lens)
-            na = len(ids)
-            counts = np.bincount(owner * bins + flat // width, minlength=na * bins)
-            # weighted bincount accumulates in float64; per-asset sums are
-            # integer-valued and ≤ 255²·len ≪ 2^53, so exact
-            s = np.bincount(owner, weights=flat, minlength=na).astype(np.int64)
-            s2 = np.bincount(owner, weights=flat * flat, minlength=na).astype(np.int64)
+            ids = pb["asset_id"].to_numpy()[[i for i, _ in kept]]
+            na = len(kept)
+            counts = np.empty(na * bins, dtype=np.int64)
+            lens = np.empty(na, dtype=np.int64)
+            s = np.empty(na, dtype=np.int64)
+            s2 = np.empty(na, dtype=np.int64)
+            for j, (_, a) in enumerate(kept):
+                counts[j * bins : (j + 1) * bins] = np.bincount(
+                    a // width, minlength=bins
+                )
+                lens[j] = len(a)
+                s[j] = a.sum(dtype=np.int64)  # exact: ≤ 255·len ≪ 2⁶³
+                ai = a.astype(np.int64)  # the one transient per-slice view
+                s2[j] = np.dot(ai, ai)  # exact: ≤ 255²·len ≪ 2⁶³
             yield pd.DataFrame(
                 {
                     "asset_id": np.repeat(ids, bins),
                     "bin": np.tile(np.arange(bins, dtype=np.int32), na),
-                    "cnt": counts.astype(np.int64),
+                    "cnt": counts,
                     "n_bytes": np.repeat(lens, bins),
                     "byte_sum": np.repeat(s, bins),
                     "byte_sumsq": np.repeat(s2, bins),
@@ -704,6 +712,13 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
     # neighbors union twice; without a lineage cut Catalyst re-expands
     # each consumer into its own documents scan + Python decode pass
     # (4 scans measured).  One lazy localCheckpoint = one decode pass.
+    # Fault-tolerance trade accepted: localCheckpoint TRUNCATES lineage,
+    # so on executor loss the 8-byte-per-asset code blocks cannot be
+    # recomputed (the query fails and is re-run) and they stay pinned
+    # until the session ends.  For codes this small that beats persist()
+    # + an unpersist hook the query lifecycle doesn't have yet; a
+    # cluster deployment with preemptible executors should swap in
+    # reliable checkpointing (sparkContext.setCheckpointDir) here.
     codes = codes.localCheckpoint(eager=False)
     reps = codes.groupBy("phash").agg(
         F.min("asset_id").alias("rep_id"),

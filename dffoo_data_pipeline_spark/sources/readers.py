@@ -27,6 +27,18 @@ def load_table(
     Parquet scan — scale path: on a cluster this same call reads a
     partitioned table directory; filters/projections compose into the scan.
 
+    SESSION-MUTATION CONTRACT: this call permanently sets
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the CALLER'S
+    SparkSession and does not restore them.  UTC is this engine's
+    invariant (session.py); pinning it here makes every registered query
+    correct under a FOREIGN driver session regardless of its host
+    timezone.  Spark resolves the session timezone at EXECUTION time,
+    so a caller that re-sets its timezone between plan construction and
+    collect shifts results — foreign-session callers that need a
+    non-UTC zone for their own queries must re-set it after the engine's
+    frames have been fully collected.
+
     `events.ts` has shipped as either TIMESTAMP(NANOS)-stored-as-INT64
     (needs `nanosAsLong` + truncation to µs, matching DuckDB's own
     truncation) or as a plain TIMESTAMP(MICROS) column (no conversion
