@@ -105,11 +105,15 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # decoupled from CPUS for the robustness matrix (PERF.md): the
+    # degenerate shuffle.partitions=1 sweep proves no plan depends on
+    # shuffle layout, while executor parallelism stays at `cpus`
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
