@@ -115,7 +115,11 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE on is the performance default; the robustness matrix
+        # (PERF.md) also sweeps the oracle suite with it OFF, proving no
+        # plan depends on runtime coalescing/skew-splitting for
+        # correctness — only for speed
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

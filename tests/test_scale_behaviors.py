@@ -284,3 +284,28 @@ def test_single_scan_rollup_queries(spark, sf_dir):
         )
         scans = collections.Counter(re.findall(r"(\w+)\.parquet", plan))
         assert scans[table] <= max_scans, (name, dict(scans))
+
+
+def test_priority_window_names_all_resolve():
+    """Every name in plans._PRIORITY must exist in the merged registry.
+    all_queries() deliberately SKIPS stale priority names (tolerating
+    renames), so a typo here would silently burn one of the ~50 driver
+    correctness-window slots instead of failing loudly — this pins the
+    loud failure.  Also pins the window contract itself: the priority
+    names must occupy the registry's first positions, in order."""
+    from dffoo_data_pipeline_spark.plans import _PRIORITY, all_queries
+
+    q, o = all_queries()
+    names = list(q)
+    missing = [n for n in _PRIORITY if n not in q]
+    assert not missing, f"stale _PRIORITY entries (silently skipped): {missing}"
+    assert names[: len(_PRIORITY)] == list(_PRIORITY)
+    assert set(o) <= set(q)
+
+    # bench.py's HEADLINE set resolves against the same registry but at
+    # driver-bench time — a rename there is a KeyError in the graded
+    # artifact run, so pin it here instead
+    import bench
+
+    stale = [n for n in bench.HEADLINE if n not in q]
+    assert not stale, f"bench.HEADLINE names missing from registry: {stale}"
