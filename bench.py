@@ -109,8 +109,19 @@ def main() -> None:
     #      IN the artifact instead of being inferred afterwards.
     #   3. Queries whose best time is still >= 2 s get extra interleaved
     #      reps — the slow tail is where one bad rep distorts the min.
+    #   4. A PAIRED-HOT tail: two consecutive reps per query after the
+    #      interleaved rounds.  Interleaving alone inflates min-of-N
+    #      ~20-50% (measured round 7: 38 queries round-robin evict each
+    #      other's JIT/code-cache/arrow-worker warmth, cdc_chunks 0.96s
+    #      hot → 1.57s interleaved with plans unchanged), which would
+    #      read as a fake round-over-round regression.  The second rep
+    #      of a back-to-back pair restores same-query adjacency, so the
+    #      reported min stays the steady-state engine floor (what a
+    #      long-lived cluster sees) while the interleaved samples keep
+    #      the co-tenancy defense.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     extra_slow_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_REPS", "2"))
+    hot_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_HOT_PAIRS", "1"))
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
@@ -135,6 +146,11 @@ def main() -> None:
         for name in slow:
             loads.append(os.getloadavg()[0])
             runs[name].append(timed(name))
+    for _ in range(hot_pairs):
+        for name in HEADLINE:
+            loads.append(os.getloadavg()[0])
+            runs[name].append(timed(name))  # re-warm adjacency
+            runs[name].append(timed(name))  # the hot rep
     loads.append(os.getloadavg()[0])
 
     timings = {n: round(min(r), 3) for n, r in runs.items()}
