@@ -489,8 +489,10 @@ def abilities_from_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dffoo_data_pipeline_spark.sources import pysource
 
-    pysource.register(spark)
-    lines = spark.read.format("charwiki").load()
+    # read_charwiki negotiates filter pushdown against the live session
+    # conf — a raw format("charwiki") read with a pushFilters reader is
+    # a hard planning error under a stock (pushdown-off) driver session
+    lines = pysource.read_charwiki(spark)
     return parse_ability_lines(lines).select(
         "char_name",
         "ability_name",

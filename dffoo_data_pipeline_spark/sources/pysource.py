@@ -64,9 +64,36 @@ class _CharPartition(InputPartition):
 
 
 class CharacterWikiReader(DataSourceReader):
+    """Base reader: stock-session safe.  It deliberately does NOT
+    define ``pushFilters`` — Spark 4.1 refuses to plan a Python
+    DataSource whose reader overrides it while
+    ``spark.sql.python.filterPushdown.enabled`` is false
+    (DATA_SOURCE_PUSHDOWN_DISABLED), and false is the STOCK DEFAULT,
+    so a pushdown-only reader breaks under any foreign driver session
+    that didn't opt in.  Partition pruning is still available through
+    the ``char_name`` option; predicate pushdown lives in the
+    ``CharacterWikiPushdownReader`` subclass, selected by
+    ``option("pushdown", "true")`` (see ``read_charwiki``, which sets
+    it from the live session conf)."""
+
     def __init__(self, options: dict):
         self.game_version = options.get("game_version", "GL")
         self.only_char: str | None = options.get("char_name")
+
+    def partitions(self):
+        chars = _all_chars()
+        if self.only_char is not None:
+            chars = [c for c in chars if c == self.only_char]
+        return [_CharPartition(c) for c in chars]
+
+    def read(self, partition: _CharPartition):
+        yield from _char_rows(partition.char, self.game_version)
+
+
+class CharacterWikiPushdownReader(CharacterWikiReader):
+    """Pushdown-capable variant, used only when the session has
+    ``spark.sql.python.filterPushdown.enabled=true`` (our tuned
+    session turns it on; stock Spark leaves it off)."""
 
     def pushFilters(self, filters):
         """Accept EqualTo on char_name (partition pruning — the
@@ -77,15 +104,6 @@ class CharacterWikiReader(DataSourceReader):
                 self.only_char = f.value
             else:
                 yield f
-
-    def partitions(self):
-        chars = _all_chars()
-        if self.only_char is not None:
-            chars = [c for c in chars if c == self.only_char]
-        return [_CharPartition(c) for c in chars]
-
-    def read(self, partition: _CharPartition):
-        yield from _char_rows(partition.char, self.game_version)
 
 
 class CharacterWikiStreamReader(SimpleDataSourceStreamReader):
@@ -124,6 +142,10 @@ class CharacterWikiDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema) -> CharacterWikiReader:
+        # decided via option, not session conf: reader() runs in the
+        # planning worker, which has no SparkSession to consult
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return CharacterWikiPushdownReader(self.options)
         return CharacterWikiReader(self.options)
 
     def simpleStreamReader(self, schema) -> CharacterWikiStreamReader:
@@ -133,3 +155,24 @@ class CharacterWikiDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the charwiki format."""
     spark.dataSource.register(CharacterWikiDataSource)
+
+
+def read_charwiki(spark, game_version: str | None = None, char_name: str | None = None):
+    """Batch-read the charwiki source with pushdown negotiated against
+    the LIVE session: ``option("pushdown", "true")`` only when
+    ``spark.sql.python.filterPushdown.enabled`` is actually on.  Always
+    use this instead of a raw ``spark.read.format("charwiki")`` — under
+    a stock session (pushdown conf false, the Spark default) a reader
+    that defines pushFilters is a hard planning error, not a silent
+    no-pushdown fallback (caught by the stock-driver-twin sweep,
+    PERF.md round 7)."""
+    register(spark)
+    r = spark.read.format("charwiki")
+    if game_version is not None:
+        r = r.option("game_version", game_version)
+    if char_name is not None:
+        r = r.option("char_name", char_name)
+    enabled = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    if str(enabled).lower() == "true":
+        r = r.option("pushdown", "true")
+    return r.load()

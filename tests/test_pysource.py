@@ -11,8 +11,7 @@ from dffoo_data_pipeline_spark.sources import pysource
 
 
 def _read(spark):
-    pysource.register(spark)
-    return spark.read.format("charwiki").load()
+    return pysource.read_charwiki(spark)
 
 
 def test_batch_read_matches_fixture_and_parallelizes(spark):
@@ -33,9 +32,33 @@ def test_filter_pushdown_prunes_partitions(spark):
 
 
 def test_option_switches_game_version(spark):
-    pysource.register(spark)
-    jp = spark.read.format("charwiki").option("game_version", "JP").load()
+    jp = pysource.read_charwiki(spark, game_version="JP")
     assert jp.select("game_version").distinct().collect()[0][0] == "JP"
+
+
+def test_stock_session_pushdown_off_still_reads(spark):
+    """The foreign-driver shape: spark.sql.python.filterPushdown.enabled
+    at its STOCK DEFAULT (false).  Spark 4.1 hard-errors on any reader
+    that defines pushFilters under that conf, so read_charwiki must
+    negotiate down to the base reader — same rows, filter evaluated
+    post-scan instead of pruning partitions.  (Caught live by the
+    round-7 stock-driver-twin sweep: abilities_from_pysource was the
+    one red in an otherwise green 244-test run.)"""
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        df = pysource.read_charwiki(spark).where("char_name = 'aerith'")
+        # NOT pruned (no pushdown path) — but correct, and no planning error
+        assert df.rdd.getNumPartitions() == len(GOLDEN_FIXTURES)
+        got = {tuple(r) for r in df.collect()}
+        want = {r for r in ability_line_rows() if r[0] == "aerith"}
+        assert got == want
+        # option-based pruning stays available without pushdown
+        one = pysource.read_charwiki(spark, char_name="aerith")
+        assert one.rdd.getNumPartitions() == 1
+    finally:
+        spark.conf.set(conf_key, prior)
 
 
 def test_stream_delivers_all_characters_and_resumes(spark):
