@@ -708,3 +708,219 @@ def prefix_filter_pairs(
     return joined.where(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 15,
+    bands: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an ENGINE-PORTABLE hash family.
+
+    The xxhash64 family (`minhash_lsh_candidates`) is the fast path, but
+    its hash values are Spark-specific, so its output can only be
+    rows-only-checked against another engine.  This variant defines the
+    i-th signature member as
+
+        h_i(doc) = MIN over shingles s of md5(concat('<i>:', s))
+
+    — a plain STRING min over lowercase md5 hex digests, bit-identical in
+    any engine that has md5 (Spark, DuckDB, Trino, Postgres...), so the
+    whole near-dup definition — signatures, band keys, candidate set,
+    verified pairs — is reproducible cross-engine and SQL-oracle-able.
+    Band key = md5 of the '|'-joined signature slice.  Candidates sharing
+    ≥1 of the `bands` band keys are verified with exact Jaccard and kept
+    at or above `threshold`.
+
+    Default S-curve: bands=5 × rows=3 over 15 hashes ⇒ ~50% capture at
+    Jaccard ≈ (1/5)^(1/3) ≈ 0.58, ~88% at the 0.7 verify threshold —
+    a candidate generator matched to a high-precision near-dup gate.
+
+    Scale: identical plan shape to `minhash_lsh_candidates` — the 15 mins
+    are one grouped aggregation (map-side combined) over the exploded
+    shingle stream; one shuffle on (band_id, band_hash); quadratic work
+    only inside buckets with the same `max_bucket` degenerate guard; then
+    the candidate-bounded exact-Jaccard verify join.  md5-per-shingle
+    costs ~2× xxhash64 JVM-side — the price of portability; at 100 TB
+    pick this variant when signatures must be probed by a NON-Spark
+    engine (e.g. a DuckDB/Trino dedup auditor over the same lakehouse).
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)  # feeds signatures + both verify sides
+    posts = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    sig = posts.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    lists = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    lists = lists.where(F.size("ids") >= 2)
+    if max_bucket is not None:
+        lists = lists.where(F.size("ids") <= max_bucket)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        lists.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    isect = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - isect
+    jac = isect / union
+    return joined.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sig_bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with an ENGINE-PORTABLE hash family.
+
+    Per-token hash = the top 60 bits of md5 read as a BIGINT
+    (`conv(substr(md5(tok),1,15),16,10)` here; DuckDB spells the same
+    value `CAST('0x'||substr(md5(tok),1,15) AS BIGINT)`), of which the
+    low `sig_bits` feed the signature.  Per bit: vote ±1 per token
+    OCCURRENCE (frequency-weighted, like `simhash`); signature bit k is
+    1 iff the vote sum is strictly positive.  Candidates share ≥1 of the
+    `bands` (sig_bits/bands)-wide bit-slices — complete for hamming ≤
+    bands−1 by pigeonhole — and are verified with exact
+    bit_count(sig_a XOR sig_b) ≤ `max_hamming`.
+
+    Every step is integer/string arithmetic both engines evaluate
+    identically, so unlike the xxhash64 `simhash` this pair set has a
+    full SQL oracle (the cross-engine contract matters when a non-Spark
+    auditor re-derives near-dup evidence from the same tables).
+
+    Scale: one grouped aggregation over the exploded token stream (the
+    `sig_bits` votes are map-side-combined sums), one shuffle on the
+    band bucket, pair fan-out bounded by bucket sizes, exact popcount
+    verify on 8-byte signatures.  Band cardinality is 2^(sig_bits/bands)
+    (4096 at the 48/4 default) — at corpus scale pass `max_bucket` to
+    drop degenerate buckets (boilerplate-heavy corpora collapse many
+    docs onto one band value; like `minhash_lsh_candidates`' guard, such
+    docs are better handled by exact dedup first).  The registered query
+    leaves it None so the DuckDB oracle — which has no guard — remains
+    the exact twin.
+    """
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    band_width = sig_bits // bands
+    toks = (
+        ensure_min_partitions(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(TX.tokens(TX.normalized_text(F.col(text_col)))).alias("tok"),
+        )
+        .withColumn(
+            "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(sig_bits)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(sig_bits)
+    ]
+    sig = votes.select(id_col, sum(bit_terms[1:], bit_terms[0]).alias("sig"))
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sig"), band_width * b)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "sig", "b.band_id", "b.band_val")
+    lists = banded.groupBy("band_id", "band_val").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig")))
+        ).alias("ds")
+    ).where(F.size("ds") >= 2)
+    if max_bucket is not None:
+        lists = lists.where(F.size("ds") <= max_bucket)
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        lists.select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -80,6 +80,11 @@ _PRIORITY = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "text_sequence_packing",
+    # ---- (c) past the ~50-entry window edge: round-7 portable-hash
+    # dedup twins (locally oracle-green; first in line for the r8
+    # window if the driver stops at 50) ----
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
 ]
 
 

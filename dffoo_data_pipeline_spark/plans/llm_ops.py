@@ -613,6 +613,143 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
 
 
+def _minhash_portable_oracle(num_hashes: int = 15, bands: int = 5, threshold: float = 0.7) -> str:
+    """DuckDB twin of `dedup.minhash_portable_pairs`: the md5-string-min
+    hash family makes every stage — signature, band key, candidate set,
+    verified pairs — bit-identical cross-engine."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band_id, md5({key}) AS band_hash FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM shingles GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS isect
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.isect * 1.0 / (sa.sz + sb.sz - i.isect), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+             JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.isect * 1.0 / (sa.sz + sb.sz - i.isect) >= {threshold}
+"""
+
+
+@_register("dedup_minhash_portable", _minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the engine-PORTABLE md5 hash family
+    (operators/dedup.py:minhash_portable_pairs): h_i = string-MIN of
+    md5('<i>:'||shingle), band key = md5 of the joined signature slice,
+    candidates verified with exact Jaccard ≥ 0.7.  Unlike the xxhash64
+    fast path (dedup_minhash_lsh, rows-only), every value here is
+    reproducible by any engine with md5 — so the full LSH pipeline gets a
+    value-hash DuckDB oracle, and a non-Spark auditor can re-derive the
+    same pair evidence from the same parquet."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_portable_pairs(
+        d, id_col="doc_id", text_col="text", n=3, num_hashes=15, bands=5, threshold=0.7
+    )
+
+
+def _simhash_portable_oracle(sig_bits: int = 48, bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB twin of `dedup.simhash_portable_pairs`: per-token 60-bit
+    md5-derived integers, ±1 frequency-weighted bit votes, band-sliced
+    candidate join, exact popcount verify — all integer arithmetic both
+    engines evaluate identically."""
+    width = sig_bits // bands
+    votes = ",\n           ".join(
+        f"SUM(((th >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(sig_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(sig_bits)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, sig, {b} AS band_id,"
+        f" (sig >> {width * b}) & {(1 << width) - 1} AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+    FROM toks
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id, {bits} AS sig FROM votes
+),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= {max_hamming}
+"""
+
+
+@_register("dedup_simhash_portable", _simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-PORTABLE md5 hash family
+    (operators/dedup.py:simhash_portable_pairs): per-token hash = top 60
+    md5 bits as BIGINT, 48-bit signature from frequency-weighted ±1 bit
+    votes, 4×12-bit band candidates (pigeonhole-complete for hamming ≤ 3),
+    exact popcount verify.  The portable twin of dedup_simhash_pairs
+    (xxhash64, rows-only) — this one's full pipeline is value-hash
+    oracled against DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_portable_pairs(
+        d, id_col="doc_id", text_col="text", sig_bits=48, bands=4, max_hamming=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

@@ -370,3 +370,107 @@ def test_compression_ratio_separates_boilerplate(spark, sf_dir):
     for _, row in spam.toPandas().iterrows():
         b = row.text.encode()
         assert len(zlib.compress(b, 6)) / len(b) < 0.25 < median
+
+
+# ---------------------------------------------------------------------------
+# Portable (md5-family) MinHash / SimHash — python twins pin the exact
+# hash semantics the DuckDB oracles re-derive (tests/test_oracle.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_minhash_portable(texts, n=3, num_hashes=15, bands=5, threshold=0.7):
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    rows = num_hashes // bands
+    sh = {}
+    for d, t in texts.items():
+        w = t.lower().strip().split()
+        sh[d] = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    sig = {
+        d: [min(md5(f"{i}:{s}") for s in ss) for i in range(num_hashes)]
+        for d, ss in sh.items()
+        if ss
+    }
+    bkeys = {
+        d: {
+            (b, md5("|".join(hs[b * rows : (b + 1) * rows])))
+            for b in range(bands)
+        }
+        for d, hs in sig.items()
+    }
+    out = {}
+    docs = sorted(sig)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            if not (bkeys[a] & bkeys[b]):
+                continue
+            isect = len(sh[a] & sh[b])
+            jac = isect / (len(sh[a]) + len(sh[b]) - isect)
+            if jac >= threshold:
+                out[(a, b)] = round(jac, 4)
+    return out
+
+
+def _py_simhash_portable(texts, sig_bits=48, bands=4, max_hamming=3):
+    import hashlib
+
+    width = sig_bits // bands
+    sigs = {}
+    for d, t in texts.items():
+        toks = t.lower().strip().split() or [""]
+        votes = [0] * sig_bits
+        for tok in toks:
+            th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for k in range(sig_bits):
+                votes[k] += 1 if (th >> k) & 1 else -1
+        sigs[d] = sum(1 << k for k in range(sig_bits) if votes[k] > 0)
+    out = {}
+    docs = sorted(sigs)
+    mask = (1 << width) - 1
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            shares = any(
+                (sigs[a] >> (width * k)) & mask == (sigs[b] >> (width * k)) & mask
+                for k in range(bands)
+            )
+            if not shares:
+                continue
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= max_hamming:
+                out[(a, b)] = ham
+    return out
+
+
+PORTABLE_TEXTS = {
+    1: "the quick brown fox jumps over the lazy dog again and again today",
+    2: "the quick brown fox jumps over the lazy dog again and again tonight",
+    3: "completely different content with no overlap whatsoever in any window",
+    4: "the quick brown fox jumps over the lazy dog again and again today",  # exact dup of 1
+    5: "one two three four five six seven eight nine ten eleven twelve",
+}
+
+
+def test_minhash_portable_matches_python_twin(spark):
+    got = _collect_pairs(
+        dedup.minhash_portable_pairs(_docs_df(spark, PORTABLE_TEXTS), "doc_id", "text")
+    )
+    want = _py_minhash_portable(PORTABLE_TEXTS)
+    assert got == pytest.approx(want)
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup always banded together
+    assert all(j >= 0.7 for j in got.values())
+
+
+def test_simhash_portable_matches_python_twin(spark):
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_portable_pairs(
+            _docs_df(spark, PORTABLE_TEXTS), "doc_id", "text"
+        ).collect()
+    }
+    want = _py_simhash_portable(PORTABLE_TEXTS)
+    assert got == want
+    assert got[(1, 4)] == 0  # identical text -> identical signature
+    # pigeonhole: any pair within max_hamming MUST share a band, so the
+    # band prefilter loses nothing — the python twin enumerates all pairs
+    # and found exactly the same set
