@@ -710,6 +710,107 @@ def prefix_filter_pairs(
     )
 
 
+def _portable_bands_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash) from a (id, sh: array<string>) frame via
+    the md5-string-min portable hash family: h_i = MIN over shingles of
+    md5('<i>:'||shingle); band key = md5 of the '|'-joined signature
+    slice.  One grouped aggregation (the mins partial-combine map-side)
+    plus a projection — shared by `minhash_portable_pairs` (self-pairing)
+    and `portable_neardup_against_index` (batch-vs-index probing), and
+    this band table IS the persistable cross-engine near-dup index (any
+    engine with md5 can rebuild or probe it)."""
+    rows_per_band = num_hashes // bands
+    posts = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    sig = posts.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def portable_neardup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 15,
+    bands: int = 5,
+) -> DataFrame:
+    """Probe a NEW batch against an existing corpus with the PORTABLE md5
+    band family — the cross-engine twin of `neardup_against_index`
+    (xxhash64).  Because every band hash is md5-derived, the index built
+    here is probe-able (and re-derivable) by any engine with md5, and the
+    whole probe result has an exact SQL oracle.
+
+    Returns one row per new document: (id, matched_id, n_shared_bands,
+    novel) — matched_id is the strongest index match (most shared bands,
+    ties to the smallest id), NULL + novel=1 when no band collides.
+    Zero-shingle docs (shorter than the shingle width) never reach the
+    signature stage and still return novel=1.
+
+    Scale: same contract as `neardup_against_index` — the probe joins on
+    (band_id, band_hash), batch-sized × the colliding slice of the index;
+    in steady state `index_df` is the persisted band table (hash-bucketed
+    on the join key at write time) so only the batch is shingled per run.
+    """
+    probe_sh = new_df.select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    )
+    probe = _portable_bands_from_shingles(probe_sh, id_col, num_hashes, bands)
+    idx_sh = index_df.select(
+        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    )
+    idx = _portable_bands_from_shingles(idx_sh, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("matched_id"), "band_id", "band_hash"
+    )
+    hits = (
+        probe.join(idx, ["band_id", "band_hash"])
+        .groupBy(id_col, "matched_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("n_shared_bands").desc(), F.col("matched_id")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ids = new_df.select(id_col).distinct()
+    return ids.join(best, id_col, "left").select(
+        id_col,
+        "matched_id",
+        F.coalesce("n_shared_bands", F.lit(0)).cast("bigint").alias("n_shared_bands"),
+        F.col("matched_id").isNull().cast("int").alias("novel"),
+    )
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     id_col: str,
@@ -750,39 +851,10 @@ def minhash_portable_pairs(
     pick this variant when signatures must be probed by a NON-Spark
     engine (e.g. a DuckDB/Trino dedup auditor over the same lakehouse).
     """
-    rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)  # feeds signatures + both verify sides
-    posts = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    sig = posts.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _portable_bands_from_shingles(sh, id_col, num_hashes, bands)
     lists = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )

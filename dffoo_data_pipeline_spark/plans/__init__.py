@@ -85,6 +85,7 @@ _PRIORITY = [
     # window if the driver stops at 50) ----
     "dedup_minhash_portable",
     "dedup_simhash_portable",
+    "dedup_incremental_portable",
 ]
 
 

@@ -1348,6 +1348,80 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_against_index(new, index, id_col="doc_id", text_col="text")
 
 
+def _incremental_portable_oracle(num_hashes: int = 15, bands: int = 5) -> str:
+    """DuckDB twin of `dedup.portable_neardup_against_index` over the same
+    batch/index split as dedup_incremental_neardup (doc_id % 10)."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band_id, md5({key}) AS band_hash FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM shingles GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+hits AS (
+    SELECT p.doc_id, i.doc_id AS matched_id, COUNT(*) AS n_shared_bands
+    FROM bands p JOIN bands i
+      ON p.band_id = i.band_id AND p.band_hash = i.band_hash
+    WHERE p.doc_id % 10 = 0 AND i.doc_id % 10 != 0
+    GROUP BY p.doc_id, i.doc_id
+),
+best AS (
+    SELECT doc_id, matched_id, n_shared_bands FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY n_shared_bands DESC, matched_id) AS rn
+        FROM hits)
+    WHERE rn = 1
+)
+SELECT d.doc_id, b.matched_id,
+       CAST(COALESCE(b.n_shared_bands, 0) AS BIGINT) AS n_shared_bands,
+       CAST(b.matched_id IS NULL AS INT) AS novel
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN best b USING (doc_id)
+"""
+
+
+@_register("dedup_incremental_portable", _incremental_portable_oracle())
+def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_neardup's cross-engine twin: probe the incoming
+    batch (doc_id % 10 == 0) against the corpus band index built with the
+    PORTABLE md5 family (operators/dedup.py:portable_neardup_against_index).
+    Because the band hashes are md5-derived, the persisted index is
+    probe-able by any engine with md5 — and unlike the xxhash64 original
+    (rows-only), this probe's full result — strongest match, shared-band
+    count, novel flag — is value-hash oracled against DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    return dedup.portable_neardup_against_index(
+        new, old, id_col="doc_id", text_col="text", n=3, num_hashes=15, bands=5
+    )
+
+
 @_register("similarity_ann_recall_report")  # rows-only: LSH/IVF are seed-specific
 def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured — not guessed — ANN quality: recall@5 of the LSH and IVF

@@ -474,3 +474,34 @@ def test_simhash_portable_matches_python_twin(spark):
     # pigeonhole: any pair within max_hamming MUST share a band, so the
     # band prefilter loses nothing — the python twin enumerates all pairs
     # and found exactly the same set
+
+
+def test_portable_neardup_against_index_contract(spark):
+    """The portable (md5-family) probe keeps the xxhash probe's exact
+    contract: one verdict per new doc, exact copies collide on every
+    band, zero-shingle docs still come back novel=1."""
+    from dffoo_data_pipeline_spark.operators.dedup import portable_neardup_against_index
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank " * 3
+    old = spark.createDataFrame(
+        [(1, base), (2, "entirely different content about spark shuffles and joins " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact copy of old doc 1 -> every band collides
+            (11, base.replace("lazy", "sleepy")),  # near copy -> should match doc 1
+            (12, "completely novel text with no overlap whatsoever in any shingle " * 3),
+            (13, "too short"),  # zero shingles -> still one novel row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in portable_neardup_against_index(new, old, "doc_id", "text").collect()
+    }
+    assert set(got) == {10, 11, 12, 13}
+    assert got[10].matched_id == 1 and got[10].novel == 0 and got[10].n_shared_bands == 5
+    assert got[11].matched_id == 1 and got[11].novel == 0
+    assert got[12].matched_id is None and got[12].novel == 1
+    assert got[13].matched_id is None and got[13].novel == 1
