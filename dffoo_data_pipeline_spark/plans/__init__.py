@@ -86,6 +86,7 @@ _PRIORITY = [
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_incremental_portable",
+    "streaming_neardup_probe",
 ]
 
 

@@ -902,6 +902,72 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(out, "complete")
 
 
+def _streaming_neardup_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.llm_ops import _incremental_portable_oracle
+
+    return _incremental_portable_oracle()
+
+
+@_register("streaming_neardup_probe", _streaming_neardup_oracle())
+def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup the INGEST STREAM against the corpus band index — the
+    streaming half of continuous-ingest near-dup (the batch half is
+    dedup_incremental_portable; the EXACT-dedup streaming half is
+    streaming_dedup_against_ledger).  Each arriving micro-batch of
+    documents (doc_id % 10 == 0 plays the incoming slice) is probed via
+    foreachBatch with the portable md5 band family against the static
+    already-indexed corpus; verdicts append to the output table as
+    batches commit.
+
+    Per-doc verdicts touch only the document itself and the STATIC
+    index — never other stream members — so any micro-batching yields
+    the batch twin's exact result, and the two share one DuckDB oracle.
+
+    Scale: foreachBatch re-plans the index side per batch (a growing
+    index is picked up without restart); in steady state the index is
+    the PERSISTED band table (`_portable_bands_from_shingles` output,
+    hash-bucketed on the band key at write time) so only the batch is
+    shingled/hashed per trigger, and the probe join shuffles the batch
+    against the colliding index slice only.  The parquet-append sink
+    here stands in for the downstream novelty table; the checkpoint
+    makes replays idempotent at the file-source level.
+    """
+    from dffoo_data_pipeline_spark.operators import dedup
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    docs = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    index_docs = (
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
+    )
+    out_dir = tempfile.mkdtemp(prefix="sg_neardup_out_")
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = dedup.portable_neardup_against_index(
+            batch_df, index_docs, id_col="doc_id", text_col="text"
+        )
+        res.write.mode("append").parquet(out_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("matched_id", T.LongType()),
+                T.StructField("n_shared_bands", T.LongType()),
+                T.StructField("novel", T.IntegerType()),
+            ]
+        )
+    ).parquet(out_dir)
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest router: assign incoming embeddings to semantic shards
 # ---------------------------------------------------------------------------

@@ -455,3 +455,56 @@ def test_stream_db_append_rollback_on_midload_failure(spark, chunked_events_dir)
     con.close()
     # failed stage kept for the retry
     assert _os.path.isdir(f"{root}/stage/b000000")
+
+
+def test_multibatch_neardup_probe_matches_batch(spark):
+    """streaming_neardup_probe's per-doc verdicts must be micro-batch-
+    invariant: probe the same incoming slice split into 3 files (3
+    availableNow batches) and assert exact equality with the batch
+    operator's one-shot result."""
+    import tempfile
+
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        portable_neardup_against_index,
+    )
+    from dffoo_data_pipeline_spark.streaming.jobs import _DOCS_SCHEMA
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+
+    src = tempfile.mkdtemp(prefix="sg_chunked_docs_")
+    new.repartition(3).write.mode("overwrite").parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="sg_neardup_mb_")
+    n_batches = []
+
+    def probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        n_batches.append(batch_id)
+        portable_neardup_against_index(
+            batch_df, old, id_col="doc_id", text_col="text"
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 3  # the split genuinely ran as >=3 micro-batches
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(
+        map(
+            tuple,
+            portable_neardup_against_index(
+                new, old, id_col="doc_id", text_col="text"
+            ).collect(),
+        )
+    )
+    assert got == want
