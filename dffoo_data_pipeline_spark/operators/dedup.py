@@ -753,6 +753,57 @@ def _portable_bands_from_shingles(
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
+def _portable_candidates_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs sharing ≥1 portable band
+    key — the bucketed posting-list pairing over
+    `_portable_bands_from_shingles`, shared by the pair operator and the
+    banding quality report."""
+    banded = _portable_bands_from_shingles(sh, id_col, num_hashes, bands)
+    lists = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    lists = lists.where(F.size("ids") >= 2)
+    if max_bucket is not None:
+        lists = lists.where(F.size("ids") <= max_bucket)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_portable_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 15,
+    bands: int = 5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct portable-band candidate pairs WITHOUT the exact-Jaccard
+    verify — the raw S-curve output, for quality measurement
+    (dedup_portable_quality_report) and for pipelines that verify
+    downstream."""
+    sh = df.select(F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh"))
+    return _portable_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
+
+
 def portable_neardup_against_index(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -854,27 +905,7 @@ def minhash_portable_pairs(
     sh = df.select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)  # feeds signatures + both verify sides
-    banded = _portable_bands_from_shingles(sh, id_col, num_hashes, bands)
-    lists = banded.groupBy("band_id", "band_hash").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    lists = lists.where(F.size("ids") >= 2)
-    if max_bucket is not None:
-        lists = lists.where(F.size("ids") <= max_bucket)
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    cand = (
-        lists.select(F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
-    )
+    cand = _portable_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")

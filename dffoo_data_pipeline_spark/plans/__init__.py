@@ -87,6 +87,7 @@ _PRIORITY = [
     "dedup_simhash_portable",
     "dedup_incremental_portable",
     "streaming_neardup_probe",
+    "dedup_portable_quality_report",
 ]
 
 

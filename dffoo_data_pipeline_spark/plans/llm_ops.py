@@ -735,6 +735,110 @@ WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= {max_hamming}
 """
 
 
+def _portable_quality_oracle(num_hashes: int = 15, bands: int = 5) -> str:
+    """DuckDB twin of dedup_portable_quality_report: exact sharing-pair
+    Jaccard vs portable-band capture, rolled up per Jaccard decile."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band_id, md5({key}) AS band_hash FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM shingles GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.isect * 1.0 / (sa.sz + sb.sz - i.isect), 4) AS jac
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+SELECT CAST(LEAST(FLOOR(p.jac * 10), 9) AS BIGINT) AS jaccard_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_captured,
+       FLOOR(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS capture_rate
+FROM pairs p LEFT JOIN cand c
+  ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+GROUP BY 1
+"""
+
+
+@_register("dedup_portable_quality_report", _portable_quality_oracle())
+def dedup_portable_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED S-curve of the portable banding: exact Jaccard for every
+    sharing pair (posting-list plan, no banding) left-joined against the
+    portable band candidates, rolled up per Jaccard decile →
+    (jaccard_bucket, n_pairs, n_captured, capture_rate).  The portable
+    twin of dedup_lsh_quality_report — and because the md5 band family is
+    engine-portable, the MEASUREMENT itself carries a full DuckDB value
+    oracle, not just a contract test: capture rates must rise with the
+    decile exactly as the 5-band/3-row S-curve predicts, in both engines.
+
+    Scale: the exact side is the quadratic auditor (run it on a
+    deterministic corpus slice at 100 TB — the prefix-filter
+    `sample_hex_cutoff` idiom); the candidate side is the linear
+    production path being audited.
+    """
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.0)
+    cand = dedup.minhash_portable_candidates(d, id_col="doc_id", text_col="text").withColumn(
+        "captured", F.lit(1)
+    )
+    j = pairs.join(cand, ["doc_a", "doc_b"], "left")
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
+    return (
+        j.groupBy(bucket.alias("jaccard_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("captured"), F.lit(0))).cast("bigint").alias("n_captured"),
+        )
+        .select(
+            "jaccard_bucket",
+            "n_pairs",
+            "n_captured",
+            round_det(F.col("n_captured") / F.col("n_pairs"), 6).alias("capture_rate"),
+        )
+    )
+
+
 @_register("dedup_simhash_portable", _simhash_portable_oracle())
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the engine-PORTABLE md5 hash family
