@@ -30,6 +30,21 @@ def test_dedup_operators_empty(spark, empty_docs):
     assert dedup.simhash(empty_docs, "doc_id", "text").count() == 0
 
 
+def test_portable_dedup_operators_empty(spark, empty_docs):
+    out = dedup.minhash_portable_pairs(empty_docs, "doc_id", "text")
+    assert out.count() == 0 and out.columns == ["doc_a", "doc_b", "jaccard"]
+    out = dedup.simhash_portable_pairs(empty_docs, "doc_id", "text")
+    assert out.count() == 0 and out.columns == ["doc_a", "doc_b", "hamming"]
+    assert dedup.minhash_portable_candidates(empty_docs, "doc_id", "text").count() == 0
+    # empty BATCH -> empty verdicts; empty INDEX -> every batch doc novel
+    some = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")], "doc_id bigint, text string"
+    )
+    assert dedup.portable_neardup_against_index(empty_docs, some, "doc_id", "text").count() == 0
+    got = dedup.portable_neardup_against_index(some, empty_docs, "doc_id", "text").collect()
+    assert len(got) == 1 and got[0].novel == 1 and got[0].matched_id is None
+
+
 def test_similarity_empty(spark):
     e = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     out = similarity.cosine_topk_bruteforce(e, "vec_id", "embedding", k=3)

@@ -266,3 +266,56 @@ def test_ks_and_chi2_report_correct_negatives(spark):
     assert chi.significant is False, chi
     # statistic should sit near its dof under the null (E[chi2] = dof)
     assert 76 * 0.4 <= chi.chi2 <= 76 * 2.0, chi.chi2
+
+
+# ---------------------------------------------------------------------------
+# Portable (md5-family) near-dup: Spark result == pure-python twin for ANY
+# corpus, not just the fixed texts in test_dedup.py — cheap insurance that
+# the band/verify plumbing has no hidden dependence on row order,
+# partitioning, or corpus shape.
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_settings
+@given(texts=_texts)
+def test_minhash_portable_equals_python_twin_on_random_corpora(spark, texts):
+    from dffoo_data_pipeline_spark.operators import dedup
+    from tests.test_dedup import _py_minhash_portable
+
+    corpus = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(corpus.items())], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_portable_pairs(df, "doc_id", "text").collect()
+    }
+    want = _py_minhash_portable(corpus)
+    assert got == pytest.approx(want)
+
+
+@_settings
+@given(texts=_texts)
+def test_simhash_portable_equals_python_twin_on_random_corpora(spark, texts):
+    from dffoo_data_pipeline_spark.operators import dedup
+    from tests.test_dedup import _py_simhash_portable
+
+    corpus = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(corpus.items())], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_portable_pairs(df, "doc_id", "text").collect()
+    }
+    want = _py_simhash_portable(corpus)
+    assert got == want
