@@ -1613,6 +1613,11 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (doc_a, doc_b) pair key.  At 100 TB you audit a deterministic
     corpus slice — the md5-prefix sampling idiom of
     curation_sample_stratified — not every pair.
+
+    This is rows-only because xxhash64 has no cross-engine twin; the
+    SAME measurement over the portable md5 band family is fully
+    value-hash oracled as dedup_portable_quality_report (per-decile
+    capture curve).
     """
     d = load_table(spark, sf_dir, "documents")
     truth = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
