@@ -88,6 +88,7 @@ _PRIORITY = [
     "dedup_incremental_portable",
     "streaming_neardup_probe",
     "dedup_portable_quality_report",
+    "similarity_lsh_recall_report",
 ]
 
 

@@ -1081,6 +1081,146 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_int(int8_codes(e), k=5, prefix_bits=6, dim=64)
 
 
+def _lsh_recall_oracle() -> str:
+    from dffoo_data_pipeline_spark.operators.similarity import int_lsh_weights
+    from dffoo_data_pipeline_spark.plans.embeddings import CODES_NORMS_SQL
+
+    W = int_lsh_weights(64, 6)
+    plane_rows = ",\n  ".join(f"({p}, {W[p]}::BIGINT[])" for p in range(6))
+    return (
+        CODES_NORMS_SQL
+        + f""",
+planes(p, w) AS (VALUES
+  {plane_rows}),
+bits AS (
+    SELECT n.vec_id, pl.p,
+           CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+                          i -> n.c[i] * pl.w[i])) AS BIGINT) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+    FROM norms n CROSS JOIN planes pl WHERE n.n2 > 0),
+buckets AS (
+    SELECT vec_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id),
+mem AS (
+    SELECT b.vec_id, b.bucket, n.c, n.n2
+    FROM buckets b JOIN norms n USING (vec_id)),
+lsh_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+lsh AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                            neighbor_id) AS rn
+        FROM lsh_cand)
+    WHERE rn <= 5),
+live AS (SELECT vec_id, c, n2 FROM norms WHERE n2 > 0),
+truth_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM live a JOIN live b ON a.vec_id <> b.vec_id),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                            neighbor_id) AS rn
+        FROM truth_cand)
+    WHERE rn <= 5)
+SELECT CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       FLOOR(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall_at_5
+FROM truth t LEFT JOIN lsh l
+  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+"""
+    )
+
+
+@_register("similarity_lsh_recall_report", _lsh_recall_oracle())
+def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the integer-lattice sign-LSH path against the EXACT
+    top-5 over the same int8 codes — one summary row (n_queries, n_truth,
+    n_hits, recall_at_5).  similarity_ann_recall_report measures the
+    float/seed-specific production paths and is necessarily rows-only;
+    every quantity here — bucket assignment, both rankings, the overlap
+    count — is exact integer arithmetic, so the recall MEASUREMENT itself
+    is value-hash oracled against DuckDB (the ANN analog of
+    dedup_portable_quality_report).
+
+    Scale: the LSH side is the linear production plan being audited; the
+    exact side is the quadratic auditor — a broadcast-NLJ all-pairs rank
+    (the sanctioned audit shape; at 100 TB run it on a deterministic
+    md5-prefix corpus slice, the prefix-filter `sample_hex_cutoff`
+    idiom, never the full corpus).
+
+    Interpreting the number: single-probe 6-bit sign-LSH restricts
+    candidates to one 64-bucket cell, so recall on the near-uniform
+    synthetic embeddings is low by design (~0.05–0.09 here, agreeing
+    with similarity_ann_recall_report's lsh_int row) — the knob is
+    prefix_bits/multi-probe, and the IVF path (n_probe=2) measures ~3–5×
+    higher on the same data.  The point of this query is that the audit
+    itself is engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = int8_codes(e).localCheckpoint(eager=False)  # feeds LSH + truth
+    lsh5 = similarity.lsh_topk_int(codes, k=5, prefix_bits=6, dim=64).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    live = codes.where(F.col("n2") > 0)
+    a = live.select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("ca"), F.col("n2").alias("na2")
+    )
+    b = live.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cb"), F.col("n2").alias("nb2")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"), "na2", "nb2")
+    )
+    # same monotone-in-cosine integer key as the LSH re-rank: exact ints
+    # ≤2^40 through one IEEE division — deterministic in any engine
+    key = (F.col("d") * F.abs("d")).cast("double") / (
+        F.col("na2") * F.col("nb2")
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.col("neighbor_id"))
+    truth5 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    joined = truth5.join(lsh5, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        round_det(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_5"),
+    )
+
+
 _CONTAINMENT_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id,
