@@ -135,22 +135,31 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
     loads: list[float] = []
+    # execution-order (query, elapsed, loadavg_before) triples: lets a
+    # reader correlate an individual slow rep with a co-tenant load
+    # spike directly from the artifact, without re-running anything
+    rep_trace: list[tuple[str, float, float]] = []
+
+    def run_rep(name: str) -> None:
+        load = os.getloadavg()[0]
+        loads.append(load)
+        elapsed = timed(name)
+        runs[name].append(elapsed)
+        rep_trace.append((name, round(elapsed, 3), round(load, 2)))
+
     for name in HEADLINE:
         queries[name](spark, sf_dir)  # warm pass: file listing, codegen, UDF fork
     for _ in range(reps):
         for name in HEADLINE:
-            loads.append(os.getloadavg()[0])
-            runs[name].append(timed(name))
+            run_rep(name)
     slow = [n for n in HEADLINE if min(runs[n]) >= 2.0]
     for _ in range(extra_slow_reps):
         for name in slow:
-            loads.append(os.getloadavg()[0])
-            runs[name].append(timed(name))
+            run_rep(name)
     for _ in range(hot_pairs):
         for name in HEADLINE:
-            loads.append(os.getloadavg()[0])
-            runs[name].append(timed(name))  # re-warm adjacency
-            runs[name].append(timed(name))  # the hot rep
+            run_rep(name)  # re-warm adjacency
+            run_rep(name)  # the hot rep
     loads.append(os.getloadavg()[0])
 
     timings = {n: round(min(r), 3) for n, r in runs.items()}
@@ -184,7 +193,12 @@ def main() -> None:
             ),
             default=0,
         )
-        local = dict(result, queries_runs={n: [round(x, 3) for x in r] for n, r in runs.items()}, loadavg_trace=[round(x, 2) for x in loads])
+        local = dict(
+            result,
+            queries_runs={n: [round(x, 3) for x in r] for n, r in runs.items()},
+            loadavg_trace=[round(x, 2) for x in loads],
+            rep_trace=[list(t) for t in rep_trace],
+        )
         with open(Path(_REPO) / f"BENCH_local_r{nxt:02d}.json", "w") as fh:
             json.dump(local, fh, indent=1, sort_keys=True)
     except OSError:

@@ -721,6 +721,13 @@ def _portable_bands_from_shingles(
     and `portable_neardup_against_index` (batch-vs-index probing), and
     this band table IS the persistable cross-engine near-dup index (any
     engine with md5 can rebuild or probe it)."""
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands "
+            f"({bands}): a ragged split would silently drop the trailing "
+            f"{num_hashes % bands if bands > 0 else num_hashes} hashes from every "
+            "band key, quietly weakening recall instead of failing loudly"
+        )
     rows_per_band = num_hashes // bands
     posts = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     sig = posts.groupBy(id_col).agg(
@@ -956,6 +963,14 @@ def simhash_portable_pairs(
     """
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
+    if bands <= 0 or sig_bits % bands:
+        raise ValueError(
+            f"sig_bits ({sig_bits}) must be a positive multiple of bands "
+            f"({bands}): a ragged band split leaves the top "
+            f"{sig_bits % bands if bands > 0 else sig_bits} signature bits outside "
+            "every band, silently voiding the pigeonhole completeness guarantee "
+            "for hamming <= bands-1"
+        )
     band_width = sig_bits // bands
     toks = (
         ensure_min_partitions(df, id_col)

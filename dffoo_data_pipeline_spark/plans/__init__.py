@@ -16,79 +16,75 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-7 window: the final rotation.  After six rounds, 196 of 240
-# registered queries have a driver CORRECTNESS row; the 44 below are the
-# complete remainder (registry minus the union of CORRECTNESS_r01-r06
-# keys) — all locally oracle-green, never yet inside a driver window.
-# They are front-loaded in their original registry order; positions
-# 45-50 are reserved for this round's NEW queries (manual-table
-# enrichment, effective-cap library, oracle upgrades), appended by their
-# defining modules via _ROUND7_NEW below.  Everything previously
+# Round-8 window.  After seven rounds every §2 component is implemented
+# and 243/249 queries have a driver row; this rotation (a) certifies the
+# last 6 never-driver-checked queries (the round-7 portable-hash family,
+# registered after the r7 window froze), (b) re-certifies the 3 queries
+# whose driver row is a stale `no_oracle` from before their oracle
+# upgrade, (c) certifies this round's 2 NEW queries (the sampled
+# prefix-filter audit and the IVF recall report), and (d) spends the
+# window's remaining ~39 slots re-certifying the STALEST green rows —
+# r01-verified relational queries, five rounds of refactors ago — so no
+# green row's evidence predates the current code.  Everything previously
 # verified follows in module order via all_queries()'s tail append, so
-# its green row from earlier rounds stands.
+# its existing green row stands.
 _PRIORITY = [
-    # ---- (a) the last 44 never-driver-checked queries ----
-    "similarity_ann_recall_report",
-    "dedup_lsh_verified",
-    "dedup_incremental_neardup",
-    "lineitem_price_regression",
-    "text_classifier_train",
-    "embedding_kmeans_train",
-    "profile_bootstrap_mean",
-    "events_ks_test",
-    "corpus_chi2_independence",
-    "lineitem_regression_cv",
-    "lineitem_conformal_interval",
-    "graph_pagerank_nations",
-    "graph_triangle_count",
-    "graph_khop_distances",
-    "hierarchy_rollup_closure",
-    "text_bm25_topk",
-    "dedup_semantic_int8",
-    "similarity_pq_topk",
-    "curation_leakage_safe_split",
-    "linkage_blocked_match",
-    "events_sketch_rollup",
-    "text_gopher_rules",
-    "dedup_prefix_filter_pairs",
-    "dedup_duplicate_spans",
-    "dedup_pair_evidence",
-    "multimodal_phash_neardup",
-    "multimodal_audio_segments",
-    "curation_k_anonymity",
-    "curation_mix_temperature",
-    "curation_dp_release",
-    "curation_dsir_weights",
-    "curation_dsir_resample",
-    "curation_epoch_mix",
-    "curation_gate_overlap",
-    "curation_contrastive_negatives",
-    "curation_trainonly_scaler",
-    "udaf_trimmed_mean_length",
-    "scalar_null_semantics",
-    "scalar_variant_extraction",
-    "abilities_from_pysource",
-    "retrieval_hybrid_rrf",
-    "integrity_report",
-    "embedding_covariance",
-    "embedding_pca_project",
-    # ---- (b) round-7 new queries (window edge ~50): defined in their
-    # modules this round, listed here so the driver certifies them now ----
-    "abilities_followups_enriched",
-    "abilities_effective_cap",
-    "bt_labeling_corrections",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "text_sequence_packing",
-    # ---- (c) past the ~50-entry window edge: round-7 portable-hash
-    # dedup twins (locally oracle-green; first in line for the r8
-    # window if the driver stops at 50) ----
+    # ---- (a) never driver-checked: round-7 portable-hash family ----
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_incremental_portable",
     "streaming_neardup_probe",
     "dedup_portable_quality_report",
     "similarity_lsh_recall_report",
+    # ---- (b) stale no_oracle rows predating their oracle upgrade ----
+    "abilities_parse_scaled",
+    "multimodal_audio_rms",
+    "multimodal_image_pixel_stats",
+    # ---- (c) new this round ----
+    "dedup_prefix_filter_sampled",
+    "similarity_ivf_recall_report",
+    # ---- (d) drift re-certification: stalest r01 green rows, registry
+    # order (their code has been refactored across r02-r08; a fresh green
+    # row proves the CURRENT code passes, not round-1 code) ----
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scan_filter_pushdown",
+    "typed_projection",
+    "derived_columns",
+    "regex_line_gates",
+    "join_broadcast_correction",
+    "join_semi",
+    "join_anti_skip_parsed",
+    "join_outer_full",
+    "join_range_buckets",
+    "join_asof_last_click",
+    "window_rank_top_orders",
+    "window_lead_lag_gap",
+    "window_rolling_frame",
+    "sort_global_topk",
+    "agg_rollup_date",
+    "agg_cube_flags",
+    "agg_count_distinct",
+    "set_union_distinct_routing",
+    "set_intersect_except",
+    "explode_row_split",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_case_ladder",
+    "scalar_json_extraction",
+    "array_functions_agg",
+    "agg_salted_hot_keys",
+    "agg_skew_safe_count_distinct",
+    "subquery_small_qty_revenue",
+    "subquery_exists_open_orders",
+    "window_range_frame_trailing_hour",
+    "agg_pivot_status",
+    "agg_grouping_sets",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_revenue_ratio",
+    "window_distribution_analytics",
 ]
 
 

@@ -488,6 +488,37 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the same exhaustive oracle restricted to the md5-prefix corpus slice:
+# the sampled audit must be EXACT for every pair within the slice
+_PREFIX_SAMPLED_ORACLE = _PREFIX_PAIRS_ORACLE.replace(
+    "FROM documents",
+    "FROM documents\n"
+    "    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'",
+)
+
+
+@_register("dedup_prefix_filter_sampled", _PREFIX_SAMPLED_ORACLE)
+def dedup_prefix_filter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED prefix-filter audit — `dedup_prefix_filter_pairs` with
+    ``sample_hex_cutoff="1000"``: only documents whose md5(doc_id) 4-hex
+    prefix sorts below '1000' (≈ 1/16 of the corpus, deterministic and
+    partitioning-independent) enter the exhaustive Jaccard ≥ 0.5 pair
+    check, which is then EXACT for every pair within the slice.
+
+    At 100 TB this IS the product: the full audit's posting-list volume
+    is a corpus-sized quadratic-tail cost you pay once, while the
+    per-ingest losslessness proof runs on a rotating deterministic slice
+    (vary the cutoff window to cover the corpus across runs).  md5 is
+    engine-portable, so the oracle applies the identical slice predicate
+    — the sampled audit itself is value-hash verified, not just the
+    mechanism (measured vs the full audit in PERF.md round 8).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.5, sample_hex_cutoff="1000"
+    )
+
+
 _SURVIVOR_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id,
@@ -679,10 +710,23 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast path (dedup_minhash_lsh, rows-only), every value here is
     reproducible by any engine with md5 — so the full LSH pipeline gets a
     value-hash DuckDB oracle, and a non-Spark auditor can re-derive the
-    same pair evidence from the same parquet."""
+    same pair evidence from the same parquet.
+
+    max_bucket=None matches dedup_simhash_portable's convention: the
+    DuckDB oracle has no degenerate-bucket cap, so the registered plan
+    must not drop buckets either — a >1000-doc band bucket at driver
+    scale would otherwise silently diverge from the value oracle.  The
+    guard stays available on the operator for at-scale production runs."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_portable_pairs(
-        d, id_col="doc_id", text_col="text", n=3, num_hashes=15, bands=5, threshold=0.7
+        d,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        num_hashes=15,
+        bands=5,
+        threshold=0.7,
+        max_bucket=None,  # oracle has no bucket cap — keep the twin exact
     )
 
 
@@ -814,14 +858,22 @@ def dedup_portable_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame
     deterministic corpus slice at 100 TB — the prefix-filter
     `sample_hex_cutoff` idiom); the candidate side is the linear
     production path being audited.
+
+    Both guards are disabled here (max_doc_frequency=None,
+    max_bucket=None) because the DuckDB oracle has neither: a hot
+    shingle or degenerate band bucket at driver scale must show up
+    identically on both sides of the comparison, not get dropped on
+    the Spark side only.
     """
     from dffoo_data_pipeline_spark.functions.numeric import round_det
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.0)
-    cand = dedup.minhash_portable_candidates(d, id_col="doc_id", text_col="text").withColumn(
-        "captured", F.lit(1)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.0, max_doc_frequency=None
     )
+    cand = dedup.minhash_portable_candidates(
+        d, id_col="doc_id", text_col="text", max_bucket=None
+    ).withColumn("captured", F.lit(1))
     j = pairs.join(cand, ["doc_a", "doc_b"], "left")
     bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
     return (
@@ -1209,6 +1261,144 @@ def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     joined = truth5.join(lsh5, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        round_det(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_5"),
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.embeddings import CODES_NORMS_SQL
+
+    return (
+        CODES_NORMS_SQL
+        + """,
+seeds AS (
+    SELECT vec_id AS cell, c AS sc, n2 AS sn2
+    FROM norms WHERE vec_id < 16 AND n2 > 0),
+scored AS (
+    SELECT v.vec_id, s.cell, s.sn2,
+           CAST(list_sum(list_transform(list_zip(v.c, s.sc),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d
+    FROM norms v CROSS JOIN seeds s WHERE v.n2 > 0),
+assigned AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(sn2 AS DOUBLE) DESC,
+                        cell) AS rn
+    FROM scored),
+members AS (
+    SELECT a.vec_id, a.cell, n.c, n.n2
+    FROM assigned a JOIN norms n USING (vec_id) WHERE a.rn = 1),
+probes AS (
+    SELECT a.vec_id, a.cell, n.c, n.n2
+    FROM assigned a JOIN norms n USING (vec_id) WHERE a.rn <= 2),
+ivf_cand AS (
+    SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.c, m.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           q.n2 AS na2, m.n2 AS nb2
+    FROM probes q JOIN members m ON q.cell = m.cell AND q.vec_id <> m.vec_id),
+ivf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                            neighbor_id) AS rn
+        FROM ivf_cand)
+    WHERE rn <= 5),
+live AS (SELECT vec_id, c, n2 FROM norms WHERE n2 > 0),
+truth_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM live a JOIN live b ON a.vec_id <> b.vec_id),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                            neighbor_id) AS rn
+        FROM truth_cand)
+    WHERE rn <= 5)
+SELECT CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       FLOOR(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall_at_5
+FROM truth t LEFT JOIN ivf i
+  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+"""
+    )
+
+
+@_register("similarity_ivf_recall_report", _ivf_recall_oracle())
+def similarity_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the seeded-IVF path (similarity_ivf_topk's exact plan:
+    16 lowest-id seed cells, n_probe=2, exact-integer re-rank) against
+    the EXACT top-5 over the same int8 codes — one summary row
+    (n_queries, n_truth, n_hits, recall_at_5), the IVF twin of
+    similarity_lsh_recall_report.  Both rankings and the overlap count
+    are exact integer arithmetic through single IEEE divisions, so the
+    recall MEASUREMENT itself is value-hash oracled against DuckDB.
+
+    Scale: the IVF side is the linear production plan being audited
+    (one broadcast of 16 seed code rows + one shuffle on cell id); the
+    exact side is the quadratic auditor — at 100 TB run it on a
+    deterministic md5-prefix corpus slice (the prefix-filter
+    `sample_hex_cutoff` idiom), never the full corpus.
+
+    Interpreting the number: 16 cells / 2 probes covers 2/16 of the
+    space per query on the near-uniform synthetic embeddings, so expect
+    recall well above the single-probe 64-bucket LSH path (~3–5× in
+    similarity_ann_recall_report) but far below a trained index; the
+    point of this query is that the audit itself is engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = int8_codes(e).localCheckpoint(eager=False)  # feeds IVF + truth
+    ivf5 = similarity.ivf_topk_int(codes, k=5, n_cells=16, n_probe=2).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    live = codes.where(F.col("n2") > 0)
+    a = live.select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("ca"), F.col("n2").alias("na2")
+    )
+    b = live.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cb"), F.col("n2").alias("nb2")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"), "na2", "nb2")
+    )
+    key = (F.col("d") * F.abs("d")).cast("double") / (
+        F.col("na2") * F.col("nb2")
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.col("neighbor_id"))
+    truth5 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    joined = truth5.join(ivf5, ["query_id", "neighbor_id"], "left")
     return joined.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries"),
         F.count(F.lit(1)).cast("bigint").alias("n_truth"),

@@ -928,9 +928,13 @@ def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PERSISTED band table (`_portable_bands_from_shingles` output,
     hash-bucketed on the band key at write time) so only the batch is
     shingled/hashed per trigger, and the probe join shuffles the batch
-    against the colliding index slice only.  The parquet-append sink
-    here stands in for the downstream novelty table; the checkpoint
-    makes replays idempotent at the file-source level.
+    against the colliding index slice only.  The parquet sink stands in
+    for the downstream novelty table and is idempotent END-TO-END: the
+    checkpoint dedups source replays, and each micro-batch OVERWRITES
+    its own batch_id-keyed subdirectory, so a batch replayed after a
+    partial write replaces its own output instead of appending a
+    duplicate — the verdicts table equals the batch twin's result under
+    any failure/replay schedule.
     """
     from dffoo_data_pipeline_spark.operators import dedup
     from dffoo_data_pipeline_spark.sources.readers import load_table
@@ -947,7 +951,9 @@ def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = dedup.portable_neardup_against_index(
             batch_df, index_docs, id_col="doc_id", text_col="text"
         )
-        res.write.mode("append").parquet(out_dir)
+        # overwrite a per-batch subdir: replaying batch N after a partial
+        # write replaces its rows instead of duplicating them
+        res.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{batch_id:05d}"))
 
     q = (
         docs.writeStream.foreachBatch(probe)
@@ -956,16 +962,20 @@ def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(
-        T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("matched_id", T.LongType()),
-                T.StructField("n_shared_bands", T.LongType()),
-                T.StructField("novel", T.IntegerType()),
-            ]
+    return (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("matched_id", T.LongType()),
+                    T.StructField("n_shared_bands", T.LongType()),
+                    T.StructField("novel", T.IntegerType()),
+                ]
+            )
         )
-    ).parquet(out_dir)
+        .option("recursiveFileLookup", "true")  # per-batch subdirs
+        .parquet(out_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

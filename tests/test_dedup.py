@@ -505,3 +505,20 @@ def test_portable_neardup_against_index_contract(spark):
     assert got[11].matched_id == 1 and got[11].novel == 0
     assert got[12].matched_id is None and got[12].novel == 1
     assert got[13].matched_id is None and got[13].novel == 1
+
+
+def test_portable_band_split_must_divide(spark):
+    """A ragged band split must fail LOUDLY: num_hashes % bands != 0 would
+    silently drop trailing hashes from every band key, and sig_bits %
+    bands != 0 leaves high signature bits outside every band — quietly
+    voiding the pigeonhole completeness guarantee (ADVICE r7)."""
+    d = _docs_df(spark, PORTABLE_TEXTS)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.minhash_portable_pairs(d, "doc_id", "text", num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.minhash_portable_candidates(d, "doc_id", "text", num_hashes=14, bands=4)
+    with pytest.raises(ValueError, match="sig_bits"):
+        dedup.simhash_portable_pairs(d, "doc_id", "text", sig_bits=50, bands=4)
+    # the divisible configs still construct fine
+    dedup.minhash_portable_pairs(d, "doc_id", "text", num_hashes=10, bands=5)
+    dedup.simhash_portable_pairs(d, "doc_id", "text", sig_bits=48, bands=3)

@@ -59,3 +59,47 @@ def test_auto_neardup_routes_and_verifies(emb):
     # ordering/dedup invariants
     bad = similarity.lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
     assert bad.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_exact_int_kernel_breaks_boundary_ties_by_id():
+    """Exactly-tied ranking keys at the k-boundary (plausible with integer
+    dot products, e.g. orthogonal codes -> key 0) must resolve to the
+    LOWEST neighbor ids — the oracle's ORDER BY key DESC, neighbor_id —
+    regardless of the input row order (ADVICE r7: argpartition picked
+    arbitrarily among ties)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dffoo_data_pipeline_spark.operators.similarity import _exact_cos_topk_kernel
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    # ids deliberately scrambled; vecs 2..5 are all orthogonal to vec 1
+    # (key exactly 0.0 — a four-way tie straddling the k=3 boundary)
+    rows = [
+        (5, [0, 1]), (1, [1, 0]), (3, [0, 1]), (7, [-1, 0]),
+        (2, [0, 1]), (6, [1, 0]), (4, [0, 1]),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "c": [np.array(r[1], dtype=np.int64) for r in rows],
+            "n2": [1] * len(rows),
+            "is_probe": [False] * len(rows),
+        }
+    )
+    out = _exact_cos_topk_kernel("vec_id", 3, out_schema)(pdf)
+    got_q1 = out[out["query_id"] == 1]["neighbor_id"].tolist()
+    # key ranking for query 1: 6 (dot 1), then the 0-ties {2,3,4,5} ->
+    # lowest ids 2, 3 fill the remaining two slots; 7 (dot -1) never
+    assert got_q1 == [6, 2, 3]
+    # and for a tied-at-top query (vec 2): ties {3,4,5} at cos 1.0 plus
+    # {1,6,7} at 0/-1; k=3 must take 3, 4, 5 in id order
+    got_q2 = out[out["query_id"] == 2]["neighbor_id"].tolist()
+    assert got_q2 == [3, 4, 5]
