@@ -430,6 +430,90 @@ def lsh_topk_int(
     )
 
 
+def lsh_multiprobe_topk_int(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    prefix_bits: int = 6,
+    dim: int = 64,
+    n_flip: int = 2,
+) -> DataFrame:
+    """MULTI-PROBE sign-LSH top-k over integer codes (after Lv et al.
+    2007, "Multi-Probe LSH"): each query additionally probes the
+    `n_flip` buckets obtained by flipping its lowest-margin sign bits —
+    the planes whose integer projection |d_p| is smallest are the ones a
+    true neighbor most plausibly lands on the other side of, so probing
+    them buys most of a second hash table's recall for zero extra index.
+
+    Index membership stays single-bucket (the `lsh_topk_int` table,
+    unchanged); only the QUERY side fans out 1+n_flip ways, so the
+    shuffle grows by the probe factor while the index does not — the
+    standard multi-probe trade.  Every step is exact integer arithmetic
+    (margin = |d_p| with ties on plane index, probe bucket = XOR of one
+    bit), so the whole probe schedule and ranking replays in any engine
+    and the full pipeline carries a value-hash oracle.  Candidates per
+    (query, neighbor) pair are unique — a neighbor is indexed in exactly
+    one bucket and the probed buckets are distinct — so the global top-k
+    over per-bucket top-ks equals ranking the candidate union directly
+    (the `ivf_topk_int` cut argument).
+
+    Recall vs the single-probe path is measured in
+    tests/test_similarity_routing.py (monotone: the candidate set is a
+    strict superset) and reported oracle-checked by
+    `similarity_lsh_recall_report`'s multiprobe twin.
+    """
+    W = int_lsh_weights(dim, prefix_bits)
+    dots = [
+        _intdot_col(F.col("c"), W[p]).alias(f"d{p}") for p in range(prefix_bits)
+    ]
+    base = codes.where(F.col("n2") > 0).select(F.col(id_col), "c", "n2", *dots)
+    bits = [(F.col(f"d{p}") > 0).cast("bigint") for p in range(prefix_bits)]
+    bucket = sum(
+        (bit * F.lit(1 << i) for i, bit in enumerate(bits[1:], start=1)), bits[0]
+    )
+    # margin-ordered probe schedule: array_sort on (|d_p|, p, mask)
+    # structs = ORDER BY abs(d), p — the mask rides along so the flip is
+    # a pure XOR downstream (F.shiftleft needs a literal bit count)
+    margin = F.array(
+        *[
+            F.struct(
+                F.abs(F.col(f"d{p}")).alias("m"),
+                F.lit(p).alias("p"),
+                F.lit(1 << p).cast("bigint").alias("mask"),
+            )
+            for p in range(prefix_bits)
+        ]
+    )
+    flips = F.slice(F.array_sort(margin), 1, min(n_flip, prefix_bits))
+    with_bucket = base.select(
+        F.col(id_col), "c", "n2", bucket.alias("bucket"), flips.alias("flips")
+    ).localCheckpoint(eager=False)  # feeds the member AND probe branches
+    member = with_bucket.select(
+        F.col(id_col), "c", "n2", "bucket", F.lit(False).alias("is_probe")
+    )
+    probes = with_bucket.select(
+        F.col(id_col),
+        "c",
+        "n2",
+        F.explode(
+            F.transform(F.col("flips"), lambda s: F.col("bucket").bitwiseXOR(s["mask"]))
+        ).alias("bucket"),
+        F.lit(True).alias("is_probe"),
+    )
+    out_schema = _int_out_schema(codes, id_col)
+    per_bucket = member.unionByName(probes).groupBy("bucket").applyInPandas(
+        _exact_cos_topk_kernel(id_col, k, out_schema), out_schema
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        per_bucket.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_topk_int(
     codes: DataFrame,
     id_col: str = "vec_id",

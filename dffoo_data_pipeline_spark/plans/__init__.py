@@ -43,6 +43,8 @@ _PRIORITY = [
     # ---- (c) new this round ----
     "dedup_prefix_filter_sampled",
     "similarity_ivf_recall_report",
+    "similarity_lsh_multiprobe_topk",
+    "similarity_lsh_multiprobe_recall_report",
     # ---- (d) drift re-certification: stalest r01 green rows, registry
     # order (their code has been refactored across r02-r08; a fresh green
     # row proves the CURRENT code passes, not round-1 code) ----
@@ -83,8 +85,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "q6_forecast_revenue",
     "q12_shipmode_priority",
-    "q14_promo_revenue_ratio",
-    "window_distribution_analytics",
 ]
 
 

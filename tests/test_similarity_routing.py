@@ -103,3 +103,50 @@ def test_exact_int_kernel_breaks_boundary_ties_by_id():
     # {1,6,7} at 0/-1; k=3 must take 3, 4, 5 in id order
     got_q2 = out[out["query_id"] == 2]["neighbor_id"].tolist()
     assert got_q2 == [3, 4, 5]
+
+
+def test_multiprobe_lsh_superset_and_recall_lift(spark):
+    """Multi-probe candidates are a strict superset of single-probe ones
+    (membership unchanged, query side adds flipped buckets), so recall@k
+    vs the exact ranking is monotonically >= — and on the synthetic
+    embeddings the 2-flip schedule must deliver a REAL lift, not a tie."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators import similarity
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    codes = int8_codes(load_table(spark, sf, "embeddings")).localCheckpoint(eager=False)
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk_int(codes, k=5).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_multiprobe_topk_int(codes, k=5, n_flip=2).collect()
+    }
+    # exact truth: brute-force integer ranking over the same codes
+    live = codes.where(F.col("n2") > 0)
+    a = live.select(F.col("vec_id").alias("q"), F.col("c").alias("ca"), F.col("n2").alias("na2"))
+    b = live.select(F.col("vec_id").alias("n"), F.col("c").alias("cb"), F.col("n2").alias("nb2"))
+    d = F.aggregate(F.zip_with("ca", "cb", lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    key = (F.col("d") * F.abs("d")).cast("double") / (F.col("na2") * F.col("nb2")).cast("double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc(key), F.col("n"))
+    truth = {
+        (r.q, r.n)
+        for r in a.crossJoin(F.broadcast(b)).where(F.col("q") != F.col("n"))
+        .select("q", "n", d.alias("d"), "na2", "nb2")
+        .withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+        .select("q", "n").collect()
+    }
+    hits_single = len(single & truth)
+    hits_multi = len(multi & truth)
+    assert hits_multi >= hits_single  # monotone by candidate-superset
+    assert hits_multi > hits_single   # and a real lift on this data
+    # each emitted per-query list stays capped at k
+    from collections import Counter
+
+    assert max(Counter(q for q, _ in multi).values()) <= 5
