@@ -92,3 +92,37 @@ def test_uncast_duckdb_sum_unit():
     errs = compare(_FakeSparkDF(), hugeint, "unit")
     assert errs and "int-vs-float dtype divergence" in errs[0]
     con.close()
+
+
+@pytest.mark.parametrize("sf_dir_checked", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_stop_shingle_guard_is_noop_at_oracle_scales(spark, sf_dir_checked):
+    """Several long-certified oracled queries run guarded operators
+    (ngram_jaccard_pairs / shingle_containment_pairs with
+    max_doc_frequency=1000) against guard-FREE oracle SQL.  That is only
+    exact while no 3-gram shingle reaches 1000 documents at the driver's
+    comparison scales — this sentinel pins that precondition, so a future
+    testdata change that grows a hot shingle fails HERE, loudly, instead
+    of as a silent value divergence in a driver round.  (The round-8
+    portable family already passes explicit Nones; this covers the
+    r01/r02-certified Jaccard/containment family without touching their
+    proven oracles.)"""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators.dedup import _shingles_udf
+
+    d = spark.read.parquet(f"{sf_dir_checked}/documents.parquet")
+    df_max = (
+        d.select(F.explode(_shingles_udf(3)(F.col("text"))).alias("sh"), "doc_id")
+        .distinct()
+        .groupBy("sh")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    # 1000 is the operators' default max_doc_frequency; require 2x headroom
+    assert df_max <= 500, (
+        f"max shingle doc-frequency {df_max} at {sf_dir_checked} is within 2x of "
+        "the 1000 stop-shingle guard — the guarded operators and their "
+        "guard-free oracles are about to diverge; either add the guard to "
+        "the oracle SQL or pass max_doc_frequency=None in the registered plans"
+    )
