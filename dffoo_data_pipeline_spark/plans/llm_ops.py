@@ -1309,9 +1309,10 @@ def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates to one 64-bucket cell, so recall on the near-uniform
     synthetic embeddings is low by design (~0.05–0.09 here, agreeing
     with similarity_ann_recall_report's lsh_int row) — the knob is
-    prefix_bits/multi-probe, and the IVF path (n_probe=2) measures ~3–5×
-    higher on the same data.  The point of this query is that the audit
-    itself is engine-exact.
+    prefix_bits/multi-probe (the 2-flip multiprobe path measures 2.0×
+    higher, see similarity_lsh_multiprobe_recall_report), and the IVF
+    path (n_probe=2) measures ~3–5× higher on the same data.  The point
+    of this query is that the audit itself is engine-exact.
     """
     from pyspark.sql.window import Window
 
