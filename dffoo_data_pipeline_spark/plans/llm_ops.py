@@ -1218,9 +1218,10 @@ def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
 
     e = load_table(spark, sf_dir, "embeddings")
-    codes = int8_codes(e).localCheckpoint(eager=False)
+    # no codes checkpoint here: the operator materializes its own
+    # (bucket, flips) frame and codes has a single consumer before it
     return similarity.lsh_multiprobe_topk_int(
-        codes, k=5, prefix_bits=6, dim=64, n_flip=2
+        int8_codes(e), k=5, prefix_bits=6, dim=64, n_flip=2
     )
 
 
@@ -2063,11 +2064,12 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floors in tests/test_similarity_ivf.py pin regressions, this
     query makes the number a first-class pipeline output.
 
-    Four methods are audited with parameters deliberately MATCHING the
+    Five methods are audited with parameters deliberately MATCHING the
     production configurations: the float-hyperplane LSH and kmeans IVF
-    quality paths, and the integer-exact lsh_int/ivf_int variants that
-    back the registered similarity_lsh_topk / similarity_ivf_topk
-    queries — the audit measures the paths users run, not a tuned
+    quality paths, and the integer-exact lsh_int / lsh_multiprobe_int /
+    ivf_int variants that back the registered similarity_lsh_topk /
+    similarity_lsh_multiprobe_topk / similarity_ivf_topk queries — the
+    audit measures the paths users run, not a tuned
     showcase.  On this synthetic corpus the
     vectors are near-isotropic (no cluster structure), so absolute
     recall is low — which is exactly what the report should say: these
@@ -2117,8 +2119,13 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf", sim.ivf_topk(e, "vec_id", "embedding", k=k, n_cells=16, n_probe=2)
         ),
         # the integer-exact driver-verified variants (the registered
-        # similarity_lsh_topk / similarity_ivf_topk paths since round 7)
+        # similarity_lsh_topk / similarity_ivf_topk /
+        # similarity_lsh_multiprobe_topk paths)
         recall_row("lsh_int", sim.lsh_topk_int(codes, k=k, prefix_bits=6, dim=64)),
+        recall_row(
+            "lsh_multiprobe_int",
+            sim.lsh_multiprobe_topk_int(codes, k=k, prefix_bits=6, dim=64, n_flip=2),
+        ),
         recall_row("ivf_int", sim.ivf_topk_int(codes, k=k, n_cells=16, n_probe=2)),
     ]
     out = rows[0]

@@ -63,10 +63,12 @@ def test_ann_recall_report_contract(spark, sf_dir):
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchone()[0]
     rows = {r.method: r for r in similarity_ann_recall_report(spark, sf_dir).collect()}
-    # four production paths: float-hyperplane LSH / kmeans IVF (quality
-    # variants) and the integer-exact lsh_int / ivf_int twins that back
-    # the registered similarity_lsh_topk / similarity_ivf_topk queries
-    assert set(rows) == {"lsh", "ivf", "lsh_int", "ivf_int"}
+    # five production paths: float-hyperplane LSH / kmeans IVF (quality
+    # variants) and the integer-exact lsh_int / lsh_multiprobe_int /
+    # ivf_int twins that back the registered topk queries
+    assert set(rows) == {"lsh", "ivf", "lsh_int", "lsh_multiprobe_int", "ivf_int"}
+    # multiprobe candidates are a superset of single-probe -> recall >=
+    assert rows["lsh_multiprobe_int"].mean_recall >= rows["lsh_int"].mean_recall
     for r in rows.values():
         assert r.n_queries == n_vecs  # left join keeps empty-bucket queries
         assert 0 <= r.min_recall <= r.p10_recall <= r.mean_recall <= 1
