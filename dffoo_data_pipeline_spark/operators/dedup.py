@@ -811,14 +811,34 @@ def minhash_portable_candidates(
     return _portable_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
 
 
-def portable_neardup_against_index(
-    new_df: DataFrame,
-    index_df: DataFrame,
+def portable_band_index(
+    df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 15,
     bands: int = 5,
+) -> DataFrame:
+    """The PERSISTABLE cross-engine near-dup index: (id, band_id,
+    band_hash) from the md5-portable band family.  This is the table the
+    steady-state incremental pipeline writes once (hash-bucketed on the
+    band key — `sources/writers.write_bucketed`) and probes per ingest
+    batch via `portable_neardup_against_index(index_bands=...)`, so only
+    the batch is shingled/hashed per run and the probe join shuffles the
+    batch side only.  Any engine with md5 can rebuild or probe it."""
+    sh = df.select(F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh"))
+    return _portable_bands_from_shingles(sh, id_col, num_hashes, bands)
+
+
+def portable_neardup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 15,
+    bands: int = 5,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW batch against an existing corpus with the PORTABLE md5
     band family — the cross-engine twin of `neardup_against_index`
@@ -833,20 +853,33 @@ def portable_neardup_against_index(
     signature stage and still return novel=1.
 
     Scale: same contract as `neardup_against_index` — the probe joins on
-    (band_id, band_hash), batch-sized × the colliding slice of the index;
-    in steady state `index_df` is the persisted band table (hash-bucketed
-    on the join key at write time) so only the batch is shingled per run.
+    (band_id, band_hash), batch-sized × the colliding slice of the index.
+    In steady state pass ``index_bands`` — the PERSISTED
+    `portable_band_index` table, hash-bucketed on the band key at write
+    time (`write_bucketed`) — instead of ``index_df``: the index is
+    neither re-shingled nor re-shuffled per run (its bucketed scan
+    satisfies the join's distribution), so only the batch side of the
+    probe join exchanges.  ``index_df`` (raw documents, banded here per
+    run) remains for one-shot use.
     """
+    if (index_df is None) == (index_bands is None):
+        raise ValueError("pass exactly one of index_df (raw docs) or index_bands "
+                         "(a persisted portable_band_index table)")
     probe_sh = new_df.select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     )
     probe = _portable_bands_from_shingles(probe_sh, id_col, num_hashes, bands)
-    idx_sh = index_df.select(
-        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
-    )
-    idx = _portable_bands_from_shingles(idx_sh, id_col, num_hashes, bands).select(
-        F.col(id_col).alias("matched_id"), "band_id", "band_hash"
-    )
+    if index_bands is not None:
+        idx = index_bands.select(
+            F.col(id_col).alias("matched_id"), "band_id", "band_hash"
+        )
+    else:
+        idx_sh = index_df.select(
+            F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+        )
+        idx = _portable_bands_from_shingles(idx_sh, id_col, num_hashes, bands).select(
+            F.col(id_col).alias("matched_id"), "band_id", "band_hash"
+        )
     hits = (
         probe.join(idx, ["band_id", "band_hash"])
         .groupBy(id_col, "matched_id")

@@ -45,6 +45,7 @@ _PRIORITY = [
     "similarity_ivf_recall_report",
     "similarity_lsh_multiprobe_topk",
     "similarity_lsh_multiprobe_recall_report",
+    "dedup_incremental_indexed",
     # ---- (d) drift re-certification: stalest r01 green rows, registry
     # order (their code has been refactored across r02-r08; a fresh green
     # row proves the CURRENT code passes, not round-1 code) ----
@@ -84,7 +85,6 @@ _PRIORITY = [
     "agg_pivot_status",
     "agg_grouping_sets",
     "q6_forecast_revenue",
-    "q12_shipmode_priority",
 ]
 
 

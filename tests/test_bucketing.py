@@ -182,3 +182,75 @@ def test_zorder_three_columns(spark, tmp_path):
             .collect()[0][0]
         )
         assert per_file < 0.85 * full, (col, per_file, full)  # all three pruned
+
+
+def test_persisted_band_index_probe_shuffles_batch_only(spark, sf_dir, tmp_path):
+    """The steady-state incremental near-dup claim, pinned at the plan
+    level: probing a batch against the PERSISTED hash-bucketed portable
+    band index (dedup_incremental_indexed's path) must exchange the
+    BATCH side only — the index's bucketed scan satisfies the probe
+    join's required distribution, so at 100 TB each ingest pays a
+    batch-sized shuffle, never a corpus-sized one.  And routing the
+    probe through the persisted index must not change a single verdict
+    vs banding the raw corpus in-plan."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        portable_band_index,
+        portable_neardup_against_index,
+    )
+    from dffoo_data_pipeline_spark.sources.writers import write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    write_bucketed(
+        portable_band_index(old, "doc_id", "text"),
+        "band_idx_plan_t",
+        ["band_id", "band_hash"],
+        num_buckets=8,
+        path=str(tmp_path / "band_idx"),
+    )
+    try:
+        idx = spark.table("band_idx_plan_t")
+        with _forced_smj(spark):
+            probe = portable_band_index(new, "doc_id", "text").select(
+                F.col("doc_id").alias("probe_id"), "band_id", "band_hash"
+            )
+            j = probe.join(
+                idx.select(F.col("doc_id").alias("matched_id"), "band_id", "band_hash"),
+                ["band_id", "band_hash"],
+            )
+            plan = _physical_plan(j)
+            assert "SortMergeJoin" in plan, plan
+            # exactly ONE exchange on the JOIN KEYS — the batch side
+            # (the probe pipeline's internal signature groupBy exchanges
+            # on doc_id, which is its own cost); the bucketed index scan
+            # contributes none
+            assert plan.count("Exchange hashpartitioning(band_id") == 1, plan
+            assert "Bucketed: true" in plan, plan
+        # verdict parity: persisted-index probe == band-the-raw-corpus probe
+        via_table = portable_neardup_against_index(
+            new, None, "doc_id", "text", index_bands=idx
+        )
+        via_raw = portable_neardup_against_index(new, old, "doc_id", "text")
+        assert sorted(map(tuple, via_table.collect())) == sorted(
+            map(tuple, via_raw.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx_plan_t")
+
+
+def test_neardup_index_args_are_mutually_exclusive(spark, sf_dir):
+    """Passing both or neither of index_df/index_bands must fail loudly."""
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        portable_band_index,
+        portable_neardup_against_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    bands = portable_band_index(d, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        portable_neardup_against_index(d, d, "doc_id", "text", index_bands=bands)
+    with pytest.raises(ValueError, match="exactly one"):
+        portable_neardup_against_index(d, None, "doc_id", "text")
