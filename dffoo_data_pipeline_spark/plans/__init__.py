@@ -85,6 +85,9 @@ _PRIORITY = [
     "agg_pivot_status",
     "agg_grouping_sets",
     "q6_forecast_revenue",
+    # ---- (e) past the ~50-entry window edge: late round-8 addition
+    # (locally oracle-green; first in line for the r9 window) ----
+    "similarity_lsh_recall_sampled",
 ]
 
 

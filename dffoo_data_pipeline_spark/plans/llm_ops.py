@@ -1366,6 +1366,108 @@ def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_sampled_oracle() -> str:
+    # the lsh recall oracle with BOTH rankings' query side restricted to
+    # the md5(vec_id) < '4' quarter-slice; the index/membership side
+    # stays FULL — the sampled audit ranks slice queries against the
+    # whole corpus, which is what the 100 TB variant does
+    base = _lsh_recall_oracle()
+    return base.replace(
+        """lsh_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),""",
+        """lsh_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) < '4'),""",
+    ).replace(
+        """truth_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM live a JOIN live b ON a.vec_id <> b.vec_id),""",
+        """truth_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM live a JOIN live b ON a.vec_id <> b.vec_id
+    WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) < '4'),""",
+    )
+
+
+@_register("similarity_lsh_recall_sampled", _lsh_recall_sampled_oracle())
+def similarity_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED form of similarity_lsh_recall_report — the shape its
+    docstring prescribes for 100 TB, now a first-class artifact (the ANN
+    twin of dedup_prefix_filter_sampled): recall@5 is measured only for
+    queries in the deterministic md5(vec_id) < '4' quarter-slice, while
+    BOTH rankings still run against the FULL index — the exact-truth
+    side's quadratic cost drops by the slice factor, the number it
+    estimates is unchanged in expectation, and the slice is
+    partitioning-independent so any engine draws the same one.  The
+    oracle applies the identical slice predicate: the sampled audit is
+    value-hash verified end to end.
+    """
+    from pyspark.sql.window import Window
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = int8_codes(e).localCheckpoint(eager=False)  # feeds LSH + truth
+    in_slice = F.substring(F.md5(F.col("query_id").cast("string")), 1, 1) < F.lit("4")
+    lsh5 = (
+        similarity.lsh_topk_int(codes, k=5, prefix_bits=6, dim=64)
+        .where(in_slice)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    live = codes.where(F.col("n2") > 0)
+    a = live.select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("ca"), F.col("n2").alias("na2")
+    ).where(in_slice)  # slice the QUERY side before the quadratic join
+    b = live.select(  # index side stays FULL — slice queries, not members
+        F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cb"), F.col("n2").alias("nb2")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"), "na2", "nb2")
+    )
+    key = (F.col("d") * F.abs("d")).cast("double") / (
+        F.col("na2") * F.col("nb2")
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.col("neighbor_id"))
+    truth5 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    joined = truth5.join(lsh5, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        round_det(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_5"),
+    )
+
+
 def _lsh_multiprobe_recall_oracle(n_flip: int = 2) -> str:
     # the multiprobe pipeline's CTEs, re-terminated as a recall summary
     # against the exact top-5 over the same codes (the lsh/ivf recall
