@@ -135,17 +135,41 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
     loads: list[float] = []
-    # execution-order (query, elapsed, loadavg_before) triples: lets a
-    # reader correlate an individual slow rep with a co-tenant load
-    # spike directly from the artifact, without re-running anything
-    rep_trace: list[tuple[str, float, float]] = []
+    # execution-order (query, elapsed, loadavg_before, ext_busy_before)
+    # quadruples: lets a reader correlate an individual slow rep with a
+    # co-tenant load spike directly from the artifact, without re-running
+    rep_trace: list[tuple[str, float, float, float]] = []
+
+    def ext_busy(window: float = 0.15) -> float:
+        """Fraction of machine CPU busy during a brief window in which
+        THIS process tree sleeps — a direct external-contention gauge.
+        loadavg cannot separate the bench's own local[32] load from
+        co-tenants (measured r8: even an idle-host run floats loadavg
+        1.6-15 as reps accumulate, so a loadavg<2 gate covers only 17/39
+        queries); between reps the only busy CPU is other tenants' (plus
+        a few % of idle-JVM background), so this gate self-normalizes."""
+
+        def snap() -> tuple[int, int]:
+            with open("/proc/stat") as fh:
+                vals = [int(x) for x in fh.readline().split()[1:]]
+            return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+        try:
+            t0, i0 = snap()
+            time.sleep(window)
+            t1, i1 = snap()
+        except OSError:
+            return -1.0  # /proc unavailable: gate disabled, reps still run
+        dt = t1 - t0
+        return 0.0 if dt <= 0 else 1.0 - (i1 - i0) / dt
 
     def run_rep(name: str) -> None:
         load = os.getloadavg()[0]
         loads.append(load)
+        ext = ext_busy()
         elapsed = timed(name)
         runs[name].append(elapsed)
-        rep_trace.append((name, round(elapsed, 3), round(load, 2)))
+        rep_trace.append((name, round(elapsed, 3), round(load, 2), round(ext, 3)))
 
     for name in HEADLINE:
         queries[name](spark, sf_dir)  # warm pass: file listing, codegen, UDF fork
@@ -165,6 +189,25 @@ def main() -> None:
     timings = {n: round(min(r), 3) for n, r in runs.items()}
     medians = {n: round(sorted(r)[len(r) // 2], 3) for n, r in runs.items()}
 
+    # Load-gated floors (r8 verdict ask): per-query min over only the
+    # reps that started with no external contention, so round-over-round
+    # floor comparisons self-normalize instead of relying on prose
+    # adjudication of host noise.  Two gates are derived: ext_busy<0.20
+    # (the quiesce-window co-tenant gauge — the usable one) and the
+    # literal loadavg<2.0 (kept for the audit trail; self-load makes it
+    # under-cover, see ext_busy docstring).  null = no gated rep.
+    def gated(pred) -> dict[str, float | None]:
+        out: dict[str, float | None] = {}
+        for n in HEADLINE:
+            xs = [t[1] for t in rep_trace if t[0] == n and pred(t)]
+            out[n] = round(min(xs), 3) if xs else None
+        return out
+
+    queries_idle = gated(lambda t: 0.0 <= t[3] < 0.20)
+    idle_vals = [v for v in queries_idle.values() if v is not None]
+    value_idle = round(sum(idle_vals), 3) if idle_vals else None
+    idle_loadgate = gated(lambda t: t[2] < 2.0)
+
     total = round(sum(timings.values()), 3)
     legacy17 = round(sum(timings[n] for n in HEADLINE[:_N_LEGACY]), 3)
     result = {
@@ -179,6 +222,8 @@ def main() -> None:
         "sf": sf,
         "loadavg_min": round(min(loads), 2),
         "loadavg_max": round(max(loads), 2),
+        "value_idle": value_idle,
+        "idle_coverage": [len(idle_vals), len(HEADLINE)],
     }
     print(json.dumps(result))
 
@@ -198,6 +243,8 @@ def main() -> None:
             queries_runs={n: [round(x, 3) for x in r] for n, r in runs.items()},
             loadavg_trace=[round(x, 2) for x in loads],
             rep_trace=[list(t) for t in rep_trace],
+            queries_idle=queries_idle,
+            queries_idle_loadgate=idle_loadgate,
         )
         with open(Path(_REPO) / f"BENCH_local_r{nxt:02d}.json", "w") as fh:
             json.dump(local, fh, indent=1, sort_keys=True)

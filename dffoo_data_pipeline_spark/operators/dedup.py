@@ -839,12 +839,27 @@ def portable_neardup_against_index(
     num_hashes: int = 15,
     bands: int = 5,
     index_bands: DataFrame | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Probe a NEW batch against an existing corpus with the PORTABLE md5
     band family — the cross-engine twin of `neardup_against_index`
     (xxhash64).  Because every band hash is md5-derived, the index built
     here is probe-able (and re-derivable) by any engine with md5, and the
     whole probe result has an exact SQL oracle.
+
+    **The probe's (n, num_hashes, bands) MUST equal the parameters the
+    persisted index was built with** — band hashes from a different
+    signature family simply never collide, and every batch document
+    would silently report novel=1.  With ``validate_index=True``
+    (default) the ``index_bands`` path cheaply cross-checks the one
+    parameter that is observable from the data — the index's band_id
+    domain must sit inside ``range(bands)`` — by a map-side-combined
+    DISTINCT over a single int column (≤ ``bands`` rows reach the
+    driver).  A wrong ``n``/``num_hashes`` is NOT detectable from band
+    hashes alone; co-version those with the index (the
+    `dedup_incremental_indexed` plan pins all three in one place).
+    Pass ``validate_index=False`` on latency-critical repeat probes
+    against an already-validated index.
 
     Returns one row per new document: (id, matched_id, n_shared_bands,
     novel) — matched_id is the strongest index match (most shared bands,
@@ -870,6 +885,18 @@ def portable_neardup_against_index(
     )
     probe = _portable_bands_from_shingles(probe_sh, id_col, num_hashes, bands)
     if index_bands is not None:
+        if validate_index:
+            got = sorted(
+                r[0] for r in index_bands.select("band_id").distinct().collect()
+            )
+            # every indexed doc emits one row per band, so any non-empty
+            # index built with `bands` bands covers exactly range(bands)
+            if got and got != list(range(bands)):
+                raise ValueError(
+                    f"index band_id domain {got} != range({bands}): the "
+                    "persisted index was built with a different `bands` "
+                    "(probe params must equal the index build params)"
+                )
         idx = index_bands.select(
             F.col(id_col).alias("matched_id"), "band_id", "band_hash"
         )

@@ -345,7 +345,17 @@ def _exact_cos_topk_kernel(id_col: str, k: int, out_schema):
     ascending neighbor id resolves ties to the lowest ids — exact for any
     data, and still O(m) per row when ties are rare (measured ~10× faster
     than a full per-row sort at 1000-row buckets).
+
+    ``emit_key=True`` (multi-bucket callers: multiprobe LSH, IVF) adds
+    the single-rounded ranking key itself as a ``rank_key`` column so the
+    GLOBAL merge can order by the exact key the kernel and the oracle
+    rank by.  Ordering the merge on the reported ``cos_sim`` instead
+    would be a second, independent rounding (÷√den vs ·|d|/den): two
+    distinct keys can round to equal cos values, and the merge's
+    neighbor_id tie-break would then diverge from the oracle at the k
+    boundary.
     """
+    emit_key = any(f.name == "rank_key" for f in out_schema)
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = pdf[~pdf["is_probe"]]
@@ -368,7 +378,7 @@ def _exact_cos_topk_kernel(id_col: str, k: int, out_schema):
         # k-th largest key per row; widening to >= bound pulls in every
         # boundary tie so the deterministic sort below can pick among them
         bound = key[np.arange(key.shape[0])[:, None], part].min(axis=1)
-        out_q, out_n, out_s = [], [], []
+        out_q, out_n, out_s, out_k = [], [], [], []
         for r in range(D.shape[0]):
             cand = np.nonzero(key[r] >= bound[r])[0]  # id-ascending order
             cand = cand[np.isfinite(key[r, cand])]
@@ -381,21 +391,27 @@ def _exact_cos_topk_kernel(id_col: str, k: int, out_schema):
                 D[r, sel].astype(np.float64)
                 / np.sqrt((n2_q[r] * n2_i[sel]).astype(np.float64))
             )
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-        )
+            if emit_key:
+                out_k.extend(key[r, sel])
+        cols = {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+        if emit_key:
+            cols["rank_key"] = out_k
+        return pd.DataFrame(cols)
 
     return rank_group
 
 
-def _int_out_schema(codes: DataFrame, id_col: str) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("query_id", codes.schema[id_col].dataType),
-            T.StructField("neighbor_id", codes.schema[id_col].dataType),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
+def _int_out_schema(
+    codes: DataFrame, id_col: str, with_key: bool = False
+) -> T.StructType:
+    fields = [
+        T.StructField("query_id", codes.schema[id_col].dataType),
+        T.StructField("neighbor_id", codes.schema[id_col].dataType),
+        T.StructField("cos_sim", T.DoubleType()),
+    ]
+    if with_key:  # internal merge key, dropped before results surface
+        fields.append(T.StructField("rank_key", T.DoubleType()))
+    return T.StructType(fields)
 
 
 def lsh_topk_int(
@@ -500,17 +516,21 @@ def lsh_multiprobe_topk_int(
         ).alias("bucket"),
         F.lit(True).alias("is_probe"),
     )
-    out_schema = _int_out_schema(codes, id_col)
+    out_schema = _int_out_schema(codes, id_col, with_key=True)
     per_bucket = member.unionByName(probes).groupBy("bucket").applyInPandas(
         _exact_cos_topk_kernel(id_col, k, out_schema), out_schema
     )
+    # merge on the kernel's exact single-rounded key, NOT the doubly-
+    # rounded cos_sim: distinct keys can round to equal cos values and
+    # the neighbor_id tie-break would diverge from the oracle's
+    # `ORDER BY d*|d|/(na2*nb2) DESC, neighbor_id` at the k boundary
     wq = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+        F.desc("rank_key"), F.asc("neighbor_id")
     )
     return (
         per_bucket.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", "rank_key")
     )
 
 
@@ -562,17 +582,19 @@ def ivf_topk_int(
             id_col, "c", "n2", "cell", (F.col("rn") > 1).alias("is_probe")
         )
     )
-    out_schema = _int_out_schema(codes, id_col)
+    out_schema = _int_out_schema(codes, id_col, with_key=True)
     per_cell = assigned.groupBy("cell").applyInPandas(
         _exact_cos_topk_kernel(id_col, k, out_schema), out_schema
     )
+    # same merge-key discipline as lsh_multiprobe_topk_int: order on the
+    # kernel's exact ranking key so boundary ties match the oracle
     wq = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+        F.desc("rank_key"), F.asc("neighbor_id")
     )
     return (
         per_cell.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", "rank_key")
     )
 
 

@@ -16,78 +16,76 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-8 window.  After seven rounds every §2 component is implemented
-# and 243/249 queries have a driver row; this rotation (a) certifies the
-# last 6 never-driver-checked queries (the round-7 portable-hash family,
-# registered after the r7 window froze), (b) re-certifies the 3 queries
-# whose driver row is a stale `no_oracle` from before their oracle
-# upgrade, (c) certifies this round's 2 NEW queries (the sampled
-# prefix-filter audit and the IVF recall report), and (d) spends the
-# window's remaining ~39 slots re-certifying the STALEST green rows —
-# r01-verified relational queries, five rounds of refactors ago — so no
-# green row's evidence predates the current code.  Everything previously
-# verified follows in module order via all_queries()'s tail append, so
-# its existing green row stands.
+# Round-9 window (50 slots).  The r8 window came back 50/50 green, so the
+# only remaining map work is drift re-certification.  This rotation:
+# (a) certifies the 1 never-driver-checked query (registered past the r8
+# window edge), (b) re-certifies the 3 queries whose registered plan or
+# operator CHANGED this round (the sampled prefix-filter audit's widened
+# md5 cutoff "1000"→"4000" so its green row evidences a non-empty result,
+# and the two int-ANN queries whose global merge now orders on the
+# kernel's exact rank key — r8 ADVICE), and (c) spends the remaining 46
+# slots on the STALEST green rows in registry order — all 13 r01
+# leftovers plus the first 33 of the 48 r02 rows; the 15 r02 overflow
+# (abilities_full_pipeline .. multimodal_modality_zscore) roll to the r10
+# window, which closes drift re-certification entirely.  Everything
+# previously verified follows in module order via all_queries()'s tail
+# append, so its existing green row stands.
 _PRIORITY = [
-    # ---- (a) never driver-checked: round-7 portable-hash family ----
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_incremental_portable",
-    "streaming_neardup_probe",
-    "dedup_portable_quality_report",
-    "similarity_lsh_recall_report",
-    # ---- (b) stale no_oracle rows predating their oracle upgrade ----
-    "abilities_parse_scaled",
-    "multimodal_audio_rms",
-    "multimodal_image_pixel_stats",
-    # ---- (c) new this round ----
-    "dedup_prefix_filter_sampled",
-    "similarity_ivf_recall_report",
-    "similarity_lsh_multiprobe_topk",
-    "similarity_lsh_multiprobe_recall_report",
-    "dedup_incremental_indexed",
-    # ---- (d) drift re-certification: stalest r01 green rows, registry
-    # order (their code has been refactored across r02-r08; a fresh green
-    # row proves the CURRENT code passes, not round-1 code) ----
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scan_filter_pushdown",
-    "typed_projection",
-    "derived_columns",
-    "regex_line_gates",
-    "join_broadcast_correction",
-    "join_semi",
-    "join_anti_skip_parsed",
-    "join_outer_full",
-    "join_range_buckets",
-    "join_asof_last_click",
-    "window_rank_top_orders",
-    "window_lead_lag_gap",
-    "window_rolling_frame",
-    "sort_global_topk",
-    "agg_rollup_date",
-    "agg_cube_flags",
-    "agg_count_distinct",
-    "set_union_distinct_routing",
-    "set_intersect_except",
-    "explode_row_split",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_case_ladder",
-    "scalar_json_extraction",
-    "array_functions_agg",
-    "agg_salted_hot_keys",
-    "agg_skew_safe_count_distinct",
-    "subquery_small_qty_revenue",
-    "subquery_exists_open_orders",
-    "window_range_frame_trailing_hour",
-    "agg_pivot_status",
-    "agg_grouping_sets",
-    "q6_forecast_revenue",
-    # ---- (e) past the ~50-entry window edge: late round-8 addition
-    # (locally oracle-green; first in line for the r9 window) ----
+    # ---- (a) never driver-checked: late round-8 addition ----
     "similarity_lsh_recall_sampled",
+    # ---- (b) changed this round: plan widened / merge-key fix ----
+    "dedup_prefix_filter_sampled",
+    "similarity_lsh_multiprobe_topk",
+    "similarity_ivf_topk",
+    # ---- (c) drift re-certification: 13 r01 + 33 r02 stalest green
+    # rows, registry order (code refactored across up to 7 rounds since
+    # their only driver row; a fresh green row proves the CURRENT code) --
+    "q12_shipmode_priority",
+    "q14_promo_revenue_ratio",
+    "window_distribution_analytics",
+    "agg_exact_percentiles",
+    "text_edit_distance_pairs",
+    "q2_min_cost_supplier",
+    "q10_returned_item_reporting",
+    "scalar_map_functions",
+    "join_asof_generic",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "scalar_variant_json",
+    "q13_customer_order_distribution",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q15_top_supplier_view",
+    "q16_not_in_suppliers",
+    "q4_order_priority_check",
+    "q7_nation_volume_shipping",
+    "q11_important_stock",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q17_small_quantity_revenue",
+    "q20_dominant_supplier",
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "doc_fingerprint",
+    "text_token_stats",
+    "text_quality_score",
+    "text_bpe_token_stats",
+    "text_lang_signal",
+    "text_repetition_signals",
+    "text_sentences_udtf",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_near_dup_survivors",
+    "dedup_connected_clusters",
+    "similarity_cosine_topk",
+    "dedup_embedding_cosine",
+    "curation_sample_stratified",
+    "curation_weighted_mix",
+    "curation_pii_redaction",
+    "curation_funnel",
+    "abilities_parse",
+    "abilities_attributes",
 ]
 
 

@@ -10,6 +10,8 @@ with their pair-level *outputs* validated by unit tests instead
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -493,17 +495,22 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_SAMPLED_ORACLE = _PREFIX_PAIRS_ORACLE.replace(
     "FROM documents",
     "FROM documents\n"
-    "    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'",
+    "    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'",
 )
 
 
 @_register("dedup_prefix_filter_sampled", _PREFIX_SAMPLED_ORACLE)
 def dedup_prefix_filter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAMPLED prefix-filter audit — `dedup_prefix_filter_pairs` with
-    ``sample_hex_cutoff="1000"``: only documents whose md5(doc_id) 4-hex
-    prefix sorts below '1000' (≈ 1/16 of the corpus, deterministic and
+    ``sample_hex_cutoff="4000"``: only documents whose md5(doc_id) 4-hex
+    prefix sorts below '4000' (¼ of the corpus, deterministic and
     partitioning-independent) enter the exhaustive Jaccard ≥ 0.5 pair
-    check, which is then EXACT for every pair within the slice.
+    check, which is then EXACT for every pair within the slice.  The ¼
+    cutoff is the smallest power-of-2 hex slice whose driver-scale
+    (sf0.01) result is NON-EMPTY — 1 of the corpus's 25 qualifying pairs
+    survives both-endpoint filtering — so the certified row evidences
+    real pair values, not just that both engines return empty (the r8
+    row's 1/16 slice admitted 0 pairs).
 
     At 100 TB this IS the product: the full audit's posting-list volume
     is a corpus-sized quadratic-tail cost you pay once, while the
@@ -515,7 +522,7 @@ def dedup_prefix_filter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return dedup.prefix_filter_pairs(
-        d, id_col="doc_id", text_col="text", n=3, threshold=0.5, sample_hex_cutoff="1000"
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.5, sample_hex_cutoff="4000"
     )
 
 
@@ -2157,6 +2164,30 @@ def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dedup_incremental_indexed's persisted-index bookkeeping: one live
+# (table, external path) at a time, previous run dropped before the next
+# is built, final one removed at interpreter exit (ADVICE r8: the old
+# fixed-name eager overwrite leaked a mkdtemp dir per invocation).
+_BAND_INDEX_STATE: dict = {"run": 0, "table": None, "path": None, "spark": None}
+
+
+def _cleanup_band_index(spark: SparkSession | None = None) -> None:
+    import shutil
+
+    sess = spark or _BAND_INDEX_STATE.get("spark")
+    if _BAND_INDEX_STATE["table"] and sess is not None:
+        try:
+            sess.sql(f"DROP TABLE IF EXISTS {_BAND_INDEX_STATE['table']}")
+        except Exception:
+            pass  # session already stopped at exit — files still removed
+    if _BAND_INDEX_STATE["path"]:
+        shutil.rmtree(_BAND_INDEX_STATE["path"], ignore_errors=True)
+    _BAND_INDEX_STATE.update(table=None, path=None)
+
+
+atexit.register(_cleanup_band_index)
+
+
 @_register("dedup_incremental_indexed", _incremental_portable_oracle())
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_incremental_portable through the STEADY-STATE path the
@@ -2185,13 +2216,18 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.where(F.col("doc_id") % 10 == 0)
     old = d.where(F.col("doc_id") % 10 != 0)
     idx = dedup.portable_band_index(old, id_col="doc_id", text_col="text")
-    write_bucketed(
-        idx,
-        "sg_portable_band_index",
-        ["band_id", "band_hash"],
-        num_buckets=16,
-        path=tempfile.mkdtemp(prefix="sg_band_idx_"),
-    )
+    # per-run table name + eager cleanup of the previous run's table AND
+    # external location: an external-table overwrite leaves the prior
+    # files on disk, and a session-global name would let concurrent or
+    # repeated runs mutate shared catalog state out from under a
+    # still-lazy result DataFrame.  The last run's artifacts are removed
+    # at interpreter exit.
+    _cleanup_band_index(spark)
+    _BAND_INDEX_STATE["run"] += 1
+    table = f"sg_portable_band_index_r{_BAND_INDEX_STATE['run']}"
+    path = tempfile.mkdtemp(prefix="sg_band_idx_")
+    write_bucketed(idx, table, ["band_id", "band_hash"], num_buckets=16, path=path)
+    _BAND_INDEX_STATE.update(table=table, path=path, spark=spark)
     return dedup.portable_neardup_against_index(
         new,
         None,
@@ -2200,7 +2236,7 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         num_hashes=15,
         bands=5,
-        index_bands=spark.table("sg_portable_band_index"),
+        index_bands=spark.table(table),
     )
 
 

@@ -241,6 +241,59 @@ def test_persisted_band_index_probe_shuffles_batch_only(spark, sf_dir, tmp_path)
         spark.sql("DROP TABLE IF EXISTS band_idx_plan_t")
 
 
+def test_neardup_index_band_domain_guard(spark, sf_dir):
+    """Probing a persisted index with a different `bands` than it was
+    built with must fail loudly, not silently report everything novel
+    (r8 ADVICE): band hashes from another signature family never
+    collide, so without the guard the probe would 'work' and lie."""
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        portable_band_index,
+        portable_neardup_against_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    idx3 = portable_band_index(d, "doc_id", "text", num_hashes=15, bands=3)
+    with pytest.raises(ValueError, match="band_id domain"):
+        portable_neardup_against_index(
+            d, None, "doc_id", "text", num_hashes=15, bands=5, index_bands=idx3
+        ).collect()
+    # matching params pass the guard; validate_index=False skips the scan
+    ok = portable_neardup_against_index(
+        d, None, "doc_id", "text", num_hashes=15, bands=3, index_bands=idx3
+    )
+    assert ok.count() == 20
+    skip = portable_neardup_against_index(
+        d, None, "doc_id", "text", num_hashes=15, bands=5,
+        index_bands=idx3, validate_index=False,
+    )
+    assert skip.count() == 20  # documented escape hatch: no validation job
+
+
+def test_incremental_indexed_cleans_up_previous_run(spark):
+    """dedup_incremental_indexed must not leak a temp dir / catalog table
+    per invocation (r8 ADVICE): each run drops the previous run's table
+    and removes its external location; names are per-run so repeated
+    runs never overwrite shared state under a still-lazy result."""
+    import os
+
+    from dffoo_data_pipeline_spark.plans.llm_ops import (
+        _BAND_INDEX_STATE,
+        dedup_incremental_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(map(tuple, dedup_incremental_indexed(spark, sf).collect()))
+    t1, p1 = _BAND_INDEX_STATE["table"], _BAND_INDEX_STATE["path"]
+    assert spark.catalog.tableExists(t1) and os.path.isdir(p1)
+    r2 = sorted(map(tuple, dedup_incremental_indexed(spark, sf).collect()))
+    t2, p2 = _BAND_INDEX_STATE["table"], _BAND_INDEX_STATE["path"]
+    assert t2 != t1, "table name must be per-run"
+    assert not spark.catalog.tableExists(t1), "previous table must be dropped"
+    assert not os.path.exists(p1), "previous external location must be removed"
+    assert spark.catalog.tableExists(t2) and os.path.isdir(p2)
+    assert r1 == r2  # replacing the index changes nothing about verdicts
+
+
 def test_neardup_index_args_are_mutually_exclusive(spark, sf_dir):
     """Passing both or neither of index_df/index_bands must fail loudly."""
     from dffoo_data_pipeline_spark.operators.dedup import (
