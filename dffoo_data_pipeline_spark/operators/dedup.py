@@ -595,6 +595,7 @@ def prefix_filter_pairs(
     n: int = 3,
     threshold: float = 0.5,
     sample_hex_cutoff: str | None = None,
+    sample_hex_window: tuple[str, str] | None = None,
 ) -> DataFrame:
     """All-pairs similarity join with PREFIX FILTERING (Chaudhuri et al.
     2006; Bayardo et al. 2007 "Scaling Up All Pairs"): order every
@@ -629,12 +630,23 @@ def prefix_filter_pairs(
     deterministic corpus slice rather than paying the full posting-list
     volume; the result is exact for every pair WITHIN the slice.  None
     (default) audits everything.
+
+    ``sample_hex_window=(lo, hi)`` is the ROTATION form of the same
+    idiom: only documents with lo ≤ md5-prefix < hi participate, so
+    successive audit runs walk disjoint windows ("0000"→"4000"→"8000"→
+    "c000"→wrap) and jointly cover every within-window pair of the
+    corpus without ever paying the full posting-list volume in one run.
+    (Cross-window pairs are the LSH path's job — the exactness audit
+    proves the filter lossless per slice, and the slices rotate.)
     """
+    if sample_hex_cutoff is not None and sample_hex_window is not None:
+        raise ValueError("pass at most one of sample_hex_cutoff / sample_hex_window")
     if sample_hex_cutoff is not None:
-        df = df.where(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
-            < F.lit(sample_hex_cutoff)
-        )
+        sample_hex_window = ("0000", sample_hex_cutoff)
+    if sample_hex_window is not None:
+        lo, hi = sample_hex_window
+        pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+        df = df.where((pref >= F.lit(lo)) & (pref < F.lit(hi)))
     sh = df.select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)

@@ -361,44 +361,86 @@ def _exact_cos_topk_kernel(id_col: str, k: int, out_schema):
         idx = pdf[~pdf["is_probe"]]
         if len(idx) == 0 or len(pdf) < 2:
             return pd.DataFrame({c.name: [] for c in out_schema})
-        ids_q = pdf[id_col].to_numpy()
-        ids_i = idx[id_col].to_numpy()
-        Q = np.stack(pdf["c"].to_numpy()).astype(np.int64)
-        M = np.stack(idx["c"].to_numpy()).astype(np.int64)
-        n2_q = pdf["n2"].to_numpy().astype(np.int64)
-        n2_i = idx["n2"].to_numpy().astype(np.int64)
-        by_id = np.argsort(ids_i, kind="stable")  # column order = id asc
-        ids_i, M, n2_i = ids_i[by_id], M[by_id], n2_i[by_id]
-        D = Q @ M.T  # exact: |entries| ≤ 128²·dim < 2³¹
-        den = np.outer(n2_q, n2_i)  # ≤ 2⁴⁰, exact in int64 AND float64
-        key = (D * np.abs(D)).astype(np.float64) / den.astype(np.float64)
-        key[ids_q[:, None] == ids_i[None, :]] = -np.inf
-        kk = min(k, D.shape[1])
-        part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
-        # k-th largest key per row; widening to >= bound pulls in every
-        # boundary tie so the deterministic sort below can pick among them
-        bound = key[np.arange(key.shape[0])[:, None], part].min(axis=1)
-        out_q, out_n, out_s, out_k = [], [], [], []
-        for r in range(D.shape[0]):
-            cand = np.nonzero(key[r] >= bound[r])[0]  # id-ascending order
-            cand = cand[np.isfinite(key[r, cand])]
-            # stable sort on -key keeps the ascending-id order among ties,
-            # so truncating to kk is the oracle's exact tie-break
-            sel = cand[np.argsort(-key[r, cand], kind="stable")][:kk]
-            out_q.extend([ids_q[r]] * len(sel))
-            out_n.extend(ids_i[sel])
-            out_s.extend(
-                D[r, sel].astype(np.float64)
-                / np.sqrt((n2_q[r] * n2_i[sel]).astype(np.float64))
-            )
-            if emit_key:
-                out_k.extend(key[r, sel])
-        cols = {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-        if emit_key:
-            cols["rank_key"] = out_k
-        return pd.DataFrame(cols)
+        return _rank_topk_int(
+            pdf[id_col].to_numpy(),
+            np.stack(pdf["c"].to_numpy()).astype(np.int64),
+            pdf["n2"].to_numpy().astype(np.int64),
+            idx[id_col].to_numpy(),
+            np.stack(idx["c"].to_numpy()).astype(np.int64),
+            idx["n2"].to_numpy().astype(np.int64),
+            k,
+            emit_key,
+        )
 
     return rank_group
+
+
+def _rank_topk_int(ids_q, Q, n2_q, ids_i, M, n2_i, k: int, emit_key: bool):
+    """Shared exact-integer ranking body of the symmetric
+    (`_exact_cos_topk_kernel`) and asymmetric (`_exact_cos_probe_kernel`)
+    kernels — see `_exact_cos_topk_kernel` for the numeric and
+    tie-breaking contract."""
+    by_id = np.argsort(ids_i, kind="stable")  # column order = id asc
+    ids_i, M, n2_i = ids_i[by_id], M[by_id], n2_i[by_id]
+    D = Q @ M.T  # exact: |entries| ≤ 128²·dim < 2³¹
+    den = np.outer(n2_q, n2_i)  # ≤ 2⁴⁰, exact in int64 AND float64
+    key = (D * np.abs(D)).astype(np.float64) / den.astype(np.float64)
+    key[ids_q[:, None] == ids_i[None, :]] = -np.inf
+    kk = min(k, D.shape[1])
+    part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    # k-th largest key per row; widening to >= bound pulls in every
+    # boundary tie so the deterministic sort below can pick among them
+    bound = key[np.arange(key.shape[0])[:, None], part].min(axis=1)
+    out_q, out_n, out_s, out_k = [], [], [], []
+    for r in range(D.shape[0]):
+        cand = np.nonzero(key[r] >= bound[r])[0]  # id-ascending order
+        cand = cand[np.isfinite(key[r, cand])]
+        # stable sort on -key keeps the ascending-id order among ties,
+        # so truncating to kk is the oracle's exact tie-break
+        sel = cand[np.argsort(-key[r, cand], kind="stable")][:kk]
+        out_q.extend([ids_q[r]] * len(sel))
+        out_n.extend(ids_i[sel])
+        out_s.extend(
+            D[r, sel].astype(np.float64)
+            / np.sqrt((n2_q[r] * n2_i[sel]).astype(np.float64))
+        )
+        if emit_key:
+            out_k.extend(key[r, sel])
+    cols = {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+    if emit_key:
+        cols["rank_key"] = out_k
+    return pd.DataFrame(cols)
+
+
+def _exact_cos_probe_kernel(id_col: str, k: int, out_schema):
+    """Cogrouped ASYMMETRIC twin of `_exact_cos_topk_kernel`: left cogroup
+    side = query rows of one bucket (multiprobe duplicates included),
+    right side = index members of that bucket.  Only left rows are
+    ranked, only right rows are ranked into — the search(queries, index)
+    contract.  Cogroup (vs a unioned groupBy) is what lets a PERSISTED
+    hash-bucketed index satisfy its own side's distribution: the index
+    scan arrives pre-partitioned on `bucket` and only the query side
+    exchanges (pinned by tests/test_bucketing.py)."""
+    emit_key = any(f.name == "rank_key" for f in out_schema)
+
+    def rank_probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({c.name: [] for c in out_schema})
+        # right-side columns carry __i prefixes: distinct names keep the
+        # analyzer's self-lineage attribute dedup from pruning the index
+        # side when both cogroup sides derive from one codes frame
+        return _rank_topk_int(
+            left[id_col].to_numpy(),
+            np.stack(left["c"].to_numpy()).astype(np.int64),
+            left["n2"].to_numpy().astype(np.int64),
+            right["__iid"].to_numpy(),
+            np.stack(right["__ic"].to_numpy()).astype(np.int64),
+            right["__in2"].to_numpy().astype(np.int64),
+            k,
+            emit_key,
+        )
+
+    return rank_probe
 
 
 def _int_out_schema(
@@ -593,6 +635,138 @@ def ivf_topk_int(
     )
     return (
         per_cell.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "rank_key")
+    )
+
+
+def lsh_bucket_index_int(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    prefix_bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """The PERSISTABLE ANN index: (id, c, n2, bucket) with bucket = the
+    integer-lattice sign-LSH bucket of each vector — the similarity
+    twin of `dedup.portable_band_index`.  This is the table the
+    steady-state ANN pipeline writes once (hash-bucketed on `bucket`
+    via `sources/writers.write_bucketed`) and probes per query batch
+    with `lsh_probe_topk_int(indexed=...)`, so the corpus is neither
+    re-quantized nor re-shuffled per search; bucket assignment is exact
+    integer arithmetic (`int_lsh_weights`), so any engine can rebuild
+    or verify the index from the formula alone."""
+    W = int_lsh_weights(dim, prefix_bits)
+    bits = [
+        (_intdot_col(F.col("c"), W[p]) > 0).cast("bigint") for p in range(prefix_bits)
+    ]
+    bucket = sum(
+        (bit * F.lit(1 << i) for i, bit in enumerate(bits[1:], start=1)), bits[0]
+    )
+    return codes.where(F.col("n2") > 0).select(
+        F.col(id_col), "c", "n2", bucket.alias("bucket")
+    )
+
+
+def lsh_probe_topk_int(
+    query_codes: DataFrame,
+    index_codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    k: int = 5,
+    prefix_bits: int = 6,
+    dim: int = 64,
+    n_flip: int = 2,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC ANN search: exact-integer cosine top-k over the INDEX
+    for every QUERY vector — the search(queries, index) API the
+    symmetric self-join variants (`lsh_topk_int`, which rank a corpus
+    against itself) don't expose, and the scale sibling of the
+    broadcast-bounded `cosine_topk_against_index` (which collects the
+    whole index to every executor and stops at `IndexTooLargeError`).
+
+    Index vectors are members of exactly one sign-LSH bucket; each
+    query probes its own bucket plus its `n_flip` lowest-margin
+    bit-flip buckets (the Lv et al. 2007 multi-probe schedule —
+    identical to `lsh_multiprobe_topk_int`'s).  The per-bucket ranking
+    is a COGROUP — query rows on one side, index members on the other —
+    so only queries are ranked and only members are ranked into;
+    candidates per (query, neighbor) are unique (single-bucket
+    membership × distinct probed buckets), so the rank_key merge of
+    per-bucket top-ks equals ranking the candidate union directly.
+
+    Steady state: pass ``indexed`` — the PERSISTED `lsh_bucket_index_int`
+    table, hash-bucketed on `bucket` at write time (`write_bucketed`) —
+    instead of ``index_codes``: the bucketed scan satisfies the cogroup's
+    index-side distribution, so the corpus is neither re-quantized NOR
+    re-shuffled per batch — each search pays a query-batch-sized exchange
+    only (plan-pinned by tests/test_bucketing.py; the shape
+    `streaming_ann_probe` runs per micro-batch, and the dedup twin of
+    this contract is `portable_neardup_against_index(index_bands=...)`).
+    Every step is exact integer arithmetic, so the whole
+    index+probe+search pipeline carries a value-hash SQL oracle.
+    """
+    if (index_codes is None) == (indexed is None):
+        raise ValueError(
+            "pass exactly one of index_codes (raw codes) or indexed "
+            "(a persisted lsh_bucket_index_int table)"
+        )
+    if indexed is None:
+        indexed = lsh_bucket_index_int(index_codes, id_col, prefix_bits, dim)
+    member = indexed.select(
+        F.col(id_col).alias("__iid"),
+        F.col("c").alias("__ic"),
+        F.col("n2").alias("__in2"),
+        "bucket",
+    )
+    W = int_lsh_weights(dim, prefix_bits)
+    dots = [
+        _intdot_col(F.col("c"), W[p]).alias(f"d{p}") for p in range(prefix_bits)
+    ]
+    base = query_codes.where(F.col("n2") > 0).select(F.col(id_col), "c", "n2", *dots)
+    bits = [(F.col(f"d{p}") > 0).cast("bigint") for p in range(prefix_bits)]
+    bucket = sum(
+        (bit * F.lit(1 << i) for i, bit in enumerate(bits[1:], start=1)), bits[0]
+    )
+    if n_flip > 0:
+        margin = F.array(
+            *[
+                F.struct(
+                    F.abs(F.col(f"d{p}")).alias("m"),
+                    F.lit(p).alias("p"),
+                    F.lit(1 << p).cast("bigint").alias("mask"),
+                )
+                for p in range(prefix_bits)
+            ]
+        )
+        flips = F.slice(F.array_sort(margin), 1, min(n_flip, prefix_bits))
+        with_bucket = base.select(
+            F.col(id_col), "c", "n2", bucket.alias("bucket"), flips.alias("flips")
+        ).localCheckpoint(eager=False)  # feeds the own-bucket AND probe branches
+        own = with_bucket.select(F.col(id_col), "c", "n2", "bucket")
+        probes = with_bucket.select(
+            F.col(id_col),
+            "c",
+            "n2",
+            F.explode(
+                F.transform(
+                    F.col("flips"), lambda s: F.col("bucket").bitwiseXOR(s["mask"])
+                )
+            ).alias("bucket"),
+        )
+        qside = own.unionByName(probes)
+    else:
+        qside = base.select(F.col(id_col), "c", "n2", bucket.alias("bucket"))
+    out_schema = _int_out_schema(query_codes, id_col, with_key=True)
+    per_bucket = (
+        qside.groupBy("bucket")
+        .cogroup(member.groupBy("bucket"))
+        .applyInPandas(_exact_cos_probe_kernel(id_col, k, out_schema), out_schema)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rank_key"), F.asc("neighbor_id")
+    )
+    return (
+        per_bucket.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= k)
         .drop("__rn", "rank_key")
     )

@@ -526,6 +526,41 @@ def dedup_prefix_filter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the NEXT rotation window of the same audit — disjoint from the sampled
+# query's ["0000","4000") slice, proving the walk-the-corpus claim with
+# two certified windows instead of one
+_PREFIX_ROTATED_ORACLE = _PREFIX_PAIRS_ORACLE.replace(
+    "FROM documents",
+    "FROM documents\n"
+    "    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '4000'\n"
+    "      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'",
+)
+
+
+@_register("dedup_prefix_filter_rotated", _PREFIX_ROTATED_ORACLE)
+def dedup_prefix_filter_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROTATION step of the sampled prefix-filter audit:
+    ``sample_hex_window=("4000", "8000")`` — the ¼ md5 slice immediately
+    AFTER `dedup_prefix_filter_sampled`'s ["0000","4000") window.  At
+    100 TB the audit walks these disjoint windows across ingest runs
+    ("0000"→"4000"→"8000"→"c000"→wrap), so the losslessness proof covers
+    the whole corpus over a rotation cycle while each run pays only the
+    slice's posting-list volume.  Registering two consecutive windows
+    certifies the rotation itself: both slices are value-hash checked
+    against the same exhaustive oracle under their own window predicate,
+    and their results are disjoint by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.5,
+        sample_hex_window=("4000", "8000"),
+    )
+
+
 _SURVIVOR_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id,
@@ -1229,6 +1264,99 @@ def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     # (bucket, flips) frame and codes has a single consumer before it
     return similarity.lsh_multiprobe_topk_int(
         int8_codes(e), k=5, prefix_bits=6, dim=64, n_flip=2
+    )
+
+
+def _lsh_probe_oracle(n_flip: int = 2) -> str:
+    # the multiprobe pipeline's CTEs made ASYMMETRIC: queries are the
+    # vec_id % 10 == 0 slice (own bucket + flip probes), the index is
+    # everything else (single-bucket membership) — search(queries, index)
+    from dffoo_data_pipeline_spark.operators.similarity import int_lsh_weights
+    from dffoo_data_pipeline_spark.plans.embeddings import CODES_NORMS_SQL
+
+    W = int_lsh_weights(64, 6)
+    plane_rows = ",\n  ".join(f"({p}, {W[p]}::BIGINT[])" for p in range(6))
+    return (
+        CODES_NORMS_SQL
+        + f""",
+planes(p, w) AS (VALUES
+  {plane_rows}),
+dots AS (
+    SELECT n.vec_id, pl.p,
+           CAST(list_sum(list_transform(range(1, 65),
+                          i -> n.c[i] * pl.w[i])) AS BIGINT) AS d
+    FROM norms n CROSS JOIN planes pl WHERE n.n2 > 0),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id),
+flips AS (
+    SELECT vec_id, p FROM (
+        SELECT vec_id, p,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(d), p) AS rn
+        FROM dots WHERE vec_id % 10 = 0)
+    WHERE rn <= {n_flip}),
+qbuckets AS (
+    SELECT vec_id, bucket FROM buckets WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT f.vec_id, xor(b.bucket, (CAST(1 AS BIGINT) << f.p))
+    FROM flips f JOIN buckets b USING (vec_id)),
+mem AS (
+    SELECT b.vec_id, b.bucket, n.c, n.n2
+    FROM buckets b JOIN norms n USING (vec_id) WHERE b.vec_id % 10 <> 0),
+qm AS (
+    SELECT q.vec_id, q.bucket, n.c, n.n2
+    FROM qbuckets q JOIN norms n USING (vec_id)),
+cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM qm a JOIN mem b ON a.bucket = b.bucket),
+ranked AS (
+    SELECT query_id, neighbor_id, d, na2, nb2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                        neighbor_id) AS rn
+    FROM cand)
+SELECT query_id, neighbor_id,
+       CAST(d AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos_sim
+FROM ranked WHERE rn <= 5
+"""
+    )
+
+
+@_register("similarity_lsh_probe_topk", _lsh_probe_oracle())
+def similarity_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC ANN search — search(queries, index), the API every
+    retrieval/near-dup ingest pipeline actually calls, as opposed to the
+    symmetric corpus-vs-itself rankings (`similarity_lsh_topk`): the
+    vec_id % 10 == 0 slice plays the incoming query batch, the rest is
+    the indexed corpus (operators/similarity.py:lsh_probe_topk_int).
+    Queries multi-probe their 2 lowest-margin flip buckets; the index
+    stays single-bucket, so the search cost is query-batch-sized — the
+    corpus side is never re-shuffled (in steady state it is the
+    PERSISTED `lsh_bucket_index_int` table; `streaming_ann_probe` runs
+    this exact probe per micro-batch and shares this oracle).  All
+    integer arithmetic end-to-end: the whole index+probe+search
+    pipeline is value-hash checked.
+
+    The codes frame is materialized once (lazy localCheckpoint) before
+    the query/index fan-out — both slices re-inline the 64-element
+    quantization transform otherwise (the CollapseProject idiom,
+    measured on similarity_lsh_topk)."""
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = int8_codes(e).localCheckpoint(eager=False)
+    return similarity.lsh_probe_topk_int(
+        codes.where(F.col("vec_id") % 10 == 0),
+        codes.where(F.col("vec_id") % 10 != 0),
+        k=5,
+        prefix_bits=6,
+        dim=64,
+        n_flip=2,
     )
 
 

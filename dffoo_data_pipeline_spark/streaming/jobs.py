@@ -1069,6 +1069,81 @@ def streaming_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+def _streaming_ann_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.llm_ops import _lsh_probe_oracle
+
+    return _lsh_probe_oracle()
+
+
+@_register("streaming_ann_probe", _streaming_ann_oracle())
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-search the INGEST STREAM against the corpus LSH index — the
+    similarity twin of `streaming_neardup_probe`, and the streaming half
+    of asymmetric search (the batch half is similarity_lsh_probe_topk;
+    both share one DuckDB oracle).  Each arriving micro-batch of
+    embeddings (vec_id % 10 == 0 plays the incoming slice) is quantized
+    and probed via foreachBatch against the STATIC indexed corpus:
+    exact-integer top-5 per streamed query, own bucket + 2 lowest-margin
+    flip probes.
+
+    Per-query results touch only the query itself and the static index
+    — never other stream members — so any micro-batching yields the
+    batch twin's exact result.  The index is materialized ONCE at plan
+    build (`lsh_bucket_index_int` behind a lazy localCheckpoint): the
+    corpus is quantized and bucketed a single time, and every
+    micro-batch pays only a batch-sized exchange against the colliding
+    buckets — in steady state the index is the PERSISTED
+    `write_bucketed` table and even that exchange drops to the batch
+    side only.  The parquet sink is idempotent end-to-end: checkpointed
+    source progress + per-batch `b{batch_id}` subdir overwrite, so a
+    replayed batch replaces its own output (the streaming_neardup_probe
+    sink contract).
+    """
+    from dffoo_data_pipeline_spark.operators import similarity
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    indexed = similarity.lsh_bucket_index_int(
+        int8_codes(
+            load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 != 0)
+        ),
+        prefix_bits=6,
+        dim=64,
+    ).localCheckpoint(eager=False)  # corpus quantized+bucketed exactly once
+    stream = read_embeddings_stream(spark, sf_dir).where(F.col("vec_id") % 10 == 0)
+    out_dir = tempfile.mkdtemp(prefix="sg_annprobe_out_")
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = similarity.lsh_probe_topk_int(
+            int8_codes(batch_df), k=5, prefix_bits=6, dim=64, n_flip=2,
+            indexed=indexed,
+        )
+        res.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{batch_id:05d}"))
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            )
+        )
+        .option("recursiveFileLookup", "true")  # per-batch subdirs
+        .parquet(out_dir)
+    )
+
+
 @_register("streaming_pit_enrich", _PIT_SQL)
 def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static POINT-IN-TIME enrichment: each purchase in the

@@ -294,6 +294,54 @@ def test_incremental_indexed_cleans_up_previous_run(spark):
     assert r1 == r2  # replacing the index changes nothing about verdicts
 
 
+def test_persisted_ann_index_probe_shuffles_batch_only(spark, sf_dir, tmp_path):
+    """The ANN twin of the persisted band-index claim, pinned at the plan
+    level: probing a query batch against the PERSISTED hash-bucketed
+    `lsh_bucket_index_int` table must exchange the QUERY side only — the
+    bucketed scan satisfies the cogroup's index-side distribution, so at
+    100 TB each search pays a batch-sized shuffle, never a corpus-sized
+    one.  And routing through the persisted index must not change a
+    single neighbor vs bucketing the raw codes in-plan."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_index_int,
+        lsh_probe_topk_int,
+    )
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    codes = int8_codes(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=False)
+    qcodes = codes.where(F.col("vec_id") % 10 == 0)
+    icodes = codes.where(F.col("vec_id") % 10 != 0)
+    write_bucketed(
+        lsh_bucket_index_int(icodes),
+        "ann_idx_plan_t",
+        ["bucket"],
+        num_buckets=8,
+        path=str(tmp_path / "ann_idx"),
+    )
+    try:
+        via_table = lsh_probe_topk_int(
+            qcodes, k=5, n_flip=2, indexed=spark.table("ann_idx_plan_t")
+        )
+        plan = _physical_plan(via_table)
+        assert "FlatMapCoGroupsInPandas" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # exactly ONE exchange on the cogroup key — the query side (its
+        # own-bucket ∪ probe-buckets union); the bucketed index scan
+        # contributes none
+        assert plan.count("Exchange hashpartitioning(bucket") == 1, plan
+        # verdict parity: persisted-index probe == bucket-the-codes probe
+        via_raw = lsh_probe_topk_int(qcodes, icodes, k=5, n_flip=2)
+        assert sorted(map(tuple, via_table.collect())) == sorted(
+            map(tuple, via_raw.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_idx_plan_t")
+
+
 def test_neardup_index_args_are_mutually_exclusive(spark, sf_dir):
     """Passing both or neither of index_df/index_bands must fail loudly."""
     from dffoo_data_pipeline_spark.operators.dedup import (

@@ -346,6 +346,61 @@ def test_prefix_filter_sample_slice_is_exact(spark, sf_dir):
     assert sampled == want
 
 
+def test_prefix_filter_window_is_exact_and_rotation_covers(spark, sf_dir):
+    """The ROTATION form (sample_hex_window) must return exactly the
+    full result restricted to pairs whose BOTH endpoints fall in the
+    window; consecutive windows are disjoint slices whose union is the
+    cutoff slice (the walk-the-corpus contract), and cutoff=c is the
+    ("0000", c) window."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators.dedup import prefix_filter_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(**kw):
+        return {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_pairs(
+                d, "doc_id", "text", threshold=0.5, **kw
+            ).collect()
+        }
+
+    full = run()
+    pref = {
+        r.doc_id: r.p
+        for r in d.select(
+            "doc_id",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("p"),
+        ).collect()
+    }
+
+    def want(lo, hi):
+        return {
+            pair: j
+            for pair, j in full.items()
+            if lo <= pref[pair[0]] < hi and lo <= pref[pair[1]] < hi
+        }
+
+    w1 = run(sample_hex_window=("0000", "8000"))
+    w2 = run(sample_hex_window=("8000", "ffff"))
+    assert w1 == want("0000", "8000")
+    assert w2 == want("8000", "ffff")
+    assert w1, "first window must be non-trivial at this sf"
+    assert not (set(w1) & set(w2)), "rotation windows are disjoint"
+    # cutoff c ≡ window ("0000", c)
+    assert run(sample_hex_cutoff="8000") == w1
+    with pytest.raises(ValueError, match="at most one"):
+        prefix_filter_pairs(
+            d,
+            "doc_id",
+            "text",
+            threshold=0.5,
+            sample_hex_cutoff="8000",
+            sample_hex_window=("0000", "8000"),
+        )
+
+
 def test_compression_ratio_separates_boilerplate(spark, sf_dir):
     """The zlib signal's discriminative contract: heavily repeated text
     compresses far better than the organic corpus tail."""

@@ -150,3 +150,49 @@ def test_multiprobe_lsh_superset_and_recall_lift(spark):
     from collections import Counter
 
     assert max(Counter(q for q, _ in multi).values()) <= 5
+
+
+def test_lsh_probe_asymmetric_contract(spark):
+    """search(queries, index) semantics: every emitted query_id comes
+    from the QUERY side, every neighbor_id from the INDEX side — a query
+    is never ranked into, an index vector never ranks.  The probe's
+    candidate set per query is the union of its own bucket and its flip
+    buckets' index members, so results agree with the symmetric
+    multiprobe ranking restricted to cross-slice pairs is NOT asserted
+    (buckets differ per slice); exactness is the DuckDB oracle's job
+    (similarity_lsh_probe_topk)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators import similarity
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    codes = int8_codes(load_table(spark, sf, "embeddings")).localCheckpoint(
+        eager=False
+    )
+    qcodes = codes.where(F.col("vec_id") % 10 == 0)
+    icodes = codes.where(F.col("vec_id") % 10 != 0)
+    out = similarity.lsh_probe_topk_int(qcodes, icodes, k=5, n_flip=2).collect()
+    assert len(out) > 0
+    qids = {r.vec_id for r in qcodes.collect()}
+    iids = {r.vec_id for r in icodes.collect()}
+    assert {r.query_id for r in out} <= qids
+    assert {r.neighbor_id for r in out} <= iids
+    # per-query cap at k, ranked descending with id tie-break
+    from collections import Counter
+
+    assert max(Counter(r.query_id for r in out).values()) <= 5
+    # n_flip=0 is the single-bucket subset: its (q, n) pairs are a
+    # subset of the multiprobe candidates' output universe per query
+    out0 = similarity.lsh_probe_topk_int(qcodes, icodes, k=50, n_flip=0).collect()
+    out_wide = similarity.lsh_probe_topk_int(qcodes, icodes, k=50, n_flip=2).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out0} <= {
+        (r.query_id, r.neighbor_id) for r in out_wide
+    }
+    # exactly one of index_codes / indexed
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.lsh_probe_topk_int(qcodes, icodes, indexed=icodes)
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.lsh_probe_topk_int(qcodes)
