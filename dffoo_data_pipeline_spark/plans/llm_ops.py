@@ -1360,6 +1360,116 @@ def similarity_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_probe_recall_oracle(n_flip: int = 2) -> str:
+    # the asymmetric probe pipeline's CTEs, re-terminated as a recall
+    # summary; truth = exact top-5 INDEX members per query (other
+    # queries are not searchable, so they are not truth either)
+    base = _lsh_probe_oracle(n_flip)
+    head, _tail = base.split("ranked AS (", 1)
+    return (
+        head
+        + """mp AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                            neighbor_id) AS rn
+        FROM cand)
+    WHERE rn <= 5),
+qlive AS (SELECT vec_id, c, n2 FROM norms WHERE n2 > 0 AND vec_id % 10 = 0),
+ilive AS (SELECT vec_id, c, n2 FROM norms WHERE n2 > 0 AND vec_id % 10 <> 0),
+truth_cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                                        z -> z[1] * z[2])) AS BIGINT) AS d,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM qlive a JOIN ilive b ON a.vec_id <> b.vec_id),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(na2 * nb2 AS DOUBLE) DESC,
+                            neighbor_id) AS rn
+        FROM truth_cand)
+    WHERE rn <= 5)
+SELECT CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN m.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       FLOOR(SUM(CASE WHEN m.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall_at_5
+FROM truth t LEFT JOIN mp m
+  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+"""
+    )
+
+
+@_register("similarity_lsh_probe_recall_report", _lsh_probe_recall_oracle())
+def similarity_lsh_probe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the ASYMMETRIC probe path (similarity_lsh_probe_topk's
+    exact plan) against the exact top-5 INDEX members per query — the
+    fourth member of the oracle-checked recall family (LSH, IVF,
+    multiprobe-LSH, probe), so the new search(queries, index) API ships
+    with the same measured-quality discipline as every other ANN path.
+    Truth excludes other queries: they are not searchable through the
+    index, so they are not truth either — recall measures what the probe
+    COULD have found.
+
+    Scale: the probe side is the linear production plan (query-batch-
+    sized exchange against the bucketed index); the truth side is
+    query-slice × index — already the sampled shape, since the query
+    batch IS the slice.
+    """
+    from pyspark.sql.window import Window
+
+    from dffoo_data_pipeline_spark.functions.numeric import round_det
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = int8_codes(e).localCheckpoint(eager=False)  # probe + truth
+    qcodes = codes.where(F.col("vec_id") % 10 == 0)
+    icodes = codes.where(F.col("vec_id") % 10 != 0)
+    pr5 = similarity.lsh_probe_topk_int(
+        qcodes, icodes, k=5, prefix_bits=6, dim=64, n_flip=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    a = qcodes.where(F.col("n2") > 0).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("ca"), F.col("n2").alias("na2")
+    )
+    b = icodes.where(F.col("n2") > 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cb"), F.col("n2").alias("nb2")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"), "na2", "nb2")
+    )
+    key = (F.col("d") * F.abs("d")).cast("double") / (
+        F.col("na2") * F.col("nb2")
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.col("neighbor_id"))
+    truth5 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    joined = truth5.join(pr5, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        round_det(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_5"),
+    )
+
+
 def _lsh_recall_oracle() -> str:
     from dffoo_data_pipeline_spark.operators.similarity import int_lsh_weights
     from dffoo_data_pipeline_spark.plans.embeddings import CODES_NORMS_SQL
