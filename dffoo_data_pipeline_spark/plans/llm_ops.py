@@ -10,8 +10,6 @@ with their pair-level *outputs* validated by unit tests instead
 
 from __future__ import annotations
 
-import atexit
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2402,28 +2400,27 @@ def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# dedup_incremental_indexed's persisted-index bookkeeping: one live
-# (table, external path) at a time, previous run dropped before the next
-# is built, final one removed at interpreter exit (ADVICE r8: the old
-# fixed-name eager overwrite leaked a mkdtemp dir per invocation).
-_BAND_INDEX_STATE: dict = {"run": 0, "table": None, "path": None, "spark": None}
+# Persisted-index bookkeeping (round-8 ADVICE: the old fixed-name eager
+# overwrite leaked a mkdtemp dir per invocation): one live (table,
+# external path) per logical index, previous run dropped before the next
+# is built, final one removed at interpreter exit.  The lifecycle lives
+# in sources/writers.RunScopedTable so the band (dedup) and bucket (ANN)
+# indexes share it.
+_BAND_INDEX = None  # lazily constructed RunScopedTable
+_ANN_INDEX = None
 
 
-def _cleanup_band_index(spark: SparkSession | None = None) -> None:
-    import shutil
+def _run_scoped(which: str):
+    global _BAND_INDEX, _ANN_INDEX
+    from dffoo_data_pipeline_spark.sources.writers import RunScopedTable
 
-    sess = spark or _BAND_INDEX_STATE.get("spark")
-    if _BAND_INDEX_STATE["table"] and sess is not None:
-        try:
-            sess.sql(f"DROP TABLE IF EXISTS {_BAND_INDEX_STATE['table']}")
-        except Exception:
-            pass  # session already stopped at exit — files still removed
-    if _BAND_INDEX_STATE["path"]:
-        shutil.rmtree(_BAND_INDEX_STATE["path"], ignore_errors=True)
-    _BAND_INDEX_STATE.update(table=None, path=None)
-
-
-atexit.register(_cleanup_band_index)
+    if which == "band":
+        if _BAND_INDEX is None:
+            _BAND_INDEX = RunScopedTable("sg_portable_band_index")
+        return _BAND_INDEX
+    if _ANN_INDEX is None:
+        _ANN_INDEX = RunScopedTable("sg_ann_bucket_index")
+    return _ANN_INDEX
 
 
 @_register("dedup_incremental_indexed", _incremental_portable_oracle())
@@ -2444,28 +2441,24 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-shingle + one batch-sized exchange against the colliding
     index slice.  The bucketed write also makes the index the
     cross-engine artifact (md5 band hashes, plain parquet under the
-    table).
+    table), and its TBLPROPERTIES carry the build parameters — the
+    probe REFUSES a mismatched family instead of silently reporting
+    everything novel (the metadata half of the params-must-match
+    contract; the band_id-domain data check covers non-catalog frames).
     """
-    import tempfile
-
-    from dffoo_data_pipeline_spark.sources.writers import write_bucketed
+    from dffoo_data_pipeline_spark.sources.writers import expect_table_properties
 
     d = load_table(spark, sf_dir, "documents")
     new = d.where(F.col("doc_id") % 10 == 0)
     old = d.where(F.col("doc_id") % 10 != 0)
-    idx = dedup.portable_band_index(old, id_col="doc_id", text_col="text")
-    # per-run table name + eager cleanup of the previous run's table AND
-    # external location: an external-table overwrite leaves the prior
-    # files on disk, and a session-global name would let concurrent or
-    # repeated runs mutate shared catalog state out from under a
-    # still-lazy result DataFrame.  The last run's artifacts are removed
-    # at interpreter exit.
-    _cleanup_band_index(spark)
-    _BAND_INDEX_STATE["run"] += 1
-    table = f"sg_portable_band_index_r{_BAND_INDEX_STATE['run']}"
-    path = tempfile.mkdtemp(prefix="sg_band_idx_")
-    write_bucketed(idx, table, ["band_id", "band_hash"], num_buckets=16, path=path)
-    _BAND_INDEX_STATE.update(table=table, path=path, spark=spark)
+    params = {"sg.n": "3", "sg.num_hashes": "15", "sg.bands": "5"}
+    idx = dedup.portable_band_index(
+        old, id_col="doc_id", text_col="text", n=3, num_hashes=15, bands=5
+    )
+    table = _run_scoped("band").replace(
+        spark, idx, ["band_id", "band_hash"], num_buckets=16, properties=params
+    )
+    expect_table_properties(spark, table, params)  # probe/build co-versioned
     return dedup.portable_neardup_against_index(
         new,
         None,
@@ -2475,6 +2468,50 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=15,
         bands=5,
         index_bands=spark.table(table),
+    )
+
+
+@_register("similarity_lsh_probe_indexed", _lsh_probe_oracle())
+def similarity_lsh_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_lsh_probe_topk through the STEADY-STATE path — the ANN
+    member of the persisted-index pair (the dedup member is
+    dedup_incremental_indexed): the corpus is quantized and bucketed
+    once (`operators/similarity.py:lsh_bucket_index_int`), PERSISTED
+    hash-bucketed on `bucket` with its build parameters in
+    TBLPROPERTIES, and the query batch is probed against the bucketed
+    TABLE — the bucketed scan satisfies the cogroup's index-side
+    distribution, so only the query side exchanges
+    (tests/test_bucketing.py pins the plan shape).  Output — and oracle —
+    are identical to similarity_lsh_probe_topk: persisting the index
+    must not change a single neighbor.
+
+    Scale: pay the corpus quantize+shuffle once at index build; every
+    search batch costs batch-quantize + one batch-sized exchange against
+    the colliding buckets.  The probe refuses an index whose stored
+    (prefix_bits, dim, codes) parameters differ from its own — hashes
+    from another family never collide, so without the check a mismatch
+    would 'work' and return garbage neighbors.
+    """
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+    from dffoo_data_pipeline_spark.sources.writers import expect_table_properties
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = int8_codes(e).localCheckpoint(eager=False)  # feeds index + queries
+    params = {"sg.prefix_bits": "6", "sg.dim": "64", "sg.codes": "int8_minmax"}
+    idx = similarity.lsh_bucket_index_int(
+        codes.where(F.col("vec_id") % 10 != 0), prefix_bits=6, dim=64
+    )
+    table = _run_scoped("ann").replace(
+        spark, idx, ["bucket"], num_buckets=16, properties=params
+    )
+    expect_table_properties(spark, table, params)  # probe/build co-versioned
+    return similarity.lsh_probe_topk_int(
+        codes.where(F.col("vec_id") % 10 == 0),
+        k=5,
+        prefix_bits=6,
+        dim=64,
+        n_flip=2,
+        indexed=spark.table(table),
     )
 
 

@@ -149,6 +149,7 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 32,
     path: str | None = None,
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Bucketed table: pre-shuffles once at WRITE time so every
     subsequent equi-join/aggregation on `bucket_cols` is co-located and
@@ -169,7 +170,10 @@ def write_bucketed(
     ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
 
     Requires saveAsTable (bucket metadata lives in the catalog); pass
-    `path` to keep the data external at a chosen location."""
+    `path` to keep the data external at a chosen location.  ``properties``
+    are stamped as TBLPROPERTIES — persisted indexes record their build
+    parameters here so probes can refuse a mismatched family
+    (`expect_table_properties`)."""
     writer = (
         df.repartition(num_buckets, *[df[c] for c in bucket_cols])
         .write.mode("overwrite")
@@ -179,6 +183,91 @@ def write_bucketed(
     if path is not None:
         writer = writer.format("parquet").option("path", path)
     writer.saveAsTable(table)
+    if properties:
+        kvs = ", ".join(f"'{k}'='{v}'" for k, v in sorted(properties.items()))
+        df.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kvs})")
+
+
+def expect_table_properties(
+    spark: SparkSession, table: str, expect: dict[str, str]
+) -> None:
+    """Assert that a persisted index table carries the parameters the
+    probe is about to use — the metadata half of the params-must-match
+    contract (`operators/dedup.py:portable_neardup_against_index`
+    documents why: signatures from a different parameter family simply
+    never collide, so a mismatch 'works' and silently reports garbage).
+    Build-side writers stamp the params via ``write_bucketed(...,
+    properties=...)``; probes call this before reading.  Catalog-only —
+    no data is scanned."""
+    got = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    bad = {k: (v, got.get(k)) for k, v in expect.items() if got.get(k) != v}
+    if bad:
+        raise ValueError(
+            f"table {table} was built with different parameters than the "
+            f"probe expects: {{k: (expected, stored)}} = {bad}; rebuild the "
+            "index or match the probe arguments to the stored properties"
+        )
+
+
+class RunScopedTable:
+    """Lifecycle manager for a per-run persisted index table: one live
+    (table, external path) per logical name, the previous run's table
+    dropped and its external location removed before each rebuild, the
+    last one cleaned at interpreter exit.  External-table overwrites
+    leave prior files on disk and a fixed name would let repeated runs
+    mutate shared catalog state under a still-lazy result — per-run
+    names + eager cleanup are the fix (round-8 ADVICE on
+    dedup_incremental_indexed)."""
+
+    def __init__(self, base_name: str) -> None:
+        import atexit
+
+        self.base = base_name
+        self.run = 0
+        self.table: str | None = None
+        self.path: str | None = None
+        self.spark: SparkSession | None = None
+        atexit.register(self.cleanup)
+
+    def cleanup(self, spark: SparkSession | None = None) -> None:
+        import shutil
+
+        sess = spark or self.spark
+        if self.table and sess is not None:
+            try:
+                sess.sql(f"DROP TABLE IF EXISTS {self.table}")
+            except Exception:
+                pass  # session already stopped at exit — files still removed
+        if self.path:
+            shutil.rmtree(self.path, ignore_errors=True)
+        self.table = None
+        self.path = None
+
+    def replace(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> str:
+        """Drop the previous run's table+files, build this run's under a
+        fresh name and mkdtemp location, and return the table name."""
+        import tempfile
+
+        self.cleanup(spark)
+        self.run += 1
+        table = f"{self.base}_r{self.run}"
+        path = tempfile.mkdtemp(prefix=f"{self.base}_")
+        write_bucketed(
+            df, table, bucket_cols, num_buckets=num_buckets, path=path,
+            properties=properties,
+        )
+        self.table, self.path, self.spark = table, path, spark
+        return table
 
 
 def upsert_by_key(

@@ -277,21 +277,30 @@ def test_incremental_indexed_cleans_up_previous_run(spark):
     import os
 
     from dffoo_data_pipeline_spark.plans.llm_ops import (
-        _BAND_INDEX_STATE,
+        _run_scoped,
         dedup_incremental_indexed,
     )
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(map(tuple, dedup_incremental_indexed(spark, sf).collect()))
-    t1, p1 = _BAND_INDEX_STATE["table"], _BAND_INDEX_STATE["path"]
+    state = _run_scoped("band")
+    t1, p1 = state.table, state.path
     assert spark.catalog.tableExists(t1) and os.path.isdir(p1)
     r2 = sorted(map(tuple, dedup_incremental_indexed(spark, sf).collect()))
-    t2, p2 = _BAND_INDEX_STATE["table"], _BAND_INDEX_STATE["path"]
+    t2, p2 = state.table, state.path
     assert t2 != t1, "table name must be per-run"
     assert not spark.catalog.tableExists(t1), "previous table must be dropped"
     assert not os.path.exists(p1), "previous external location must be removed"
     assert spark.catalog.tableExists(t2) and os.path.isdir(p2)
     assert r1 == r2  # replacing the index changes nothing about verdicts
+    # build parameters ride in TBLPROPERTIES and a mismatched probe refuses
+    from dffoo_data_pipeline_spark.sources.writers import expect_table_properties
+
+    expect_table_properties(spark, t2, {"sg.bands": "5"})
+    with pytest.raises(ValueError, match="different parameters"):
+        expect_table_properties(spark, t2, {"sg.bands": "8"})
+    with pytest.raises(ValueError, match="different parameters"):
+        expect_table_properties(spark, t2, {"sg.num_hashes": "99"})
 
 
 def test_persisted_ann_index_probe_shuffles_batch_only(spark, sf_dir, tmp_path):
