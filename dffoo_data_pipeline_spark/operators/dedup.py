@@ -435,6 +435,132 @@ def dedup_against_seen(
     return novel, dupes
 
 
+def bloom_bitmap(
+    fingerprints: DataFrame,
+    *,
+    fp_col: str = "fp",
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Aggregate a fingerprint ledger into a packed Bloom bitmap: a
+    ONE-ROW DataFrame with column ``bloom`` = array of ``num_bits // 64``
+    longs (bit ``b`` lives at ``bloom[b div 64]`` position ``b mod 64``).
+
+    Fully lazy and fully distributed: each ledger row emits its
+    ``num_hashes`` bit positions (xxhash64 seeded by the probe index),
+    the OR-fold runs as a map-side partial ``bit_or`` per 64-bit word,
+    and the final densify step (map → fixed-length array) touches at
+    most ``num_bits/64`` rows.  Nothing is collected to the driver — the
+    bitmap is a broadcastable 1-row relation (8 KiB at the 2^16-bit
+    default), so at 100 TB the only cost is the one ledger scan.
+    """
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    num_words = num_bits // 64
+    bits = fingerprints.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    words = (
+        bits.select(
+            F.floor(F.col("bit") / 64).cast("int").alias("word_idx"),
+            # shiftleft's Python wrapper only takes int positions; the SQL
+            # expression form takes any int expression
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {num_words - 1}),"
+            "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    col,
+    bloom_col,
+    *,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+):
+    """Membership test against a ``bloom_bitmap`` array column, as a pure
+    column expression (no UDF): ``num_hashes`` seeded xxhash64 probes,
+    each testing one bit via ``getbit``.  False positives possible, false
+    negatives impossible — a ``false`` answer is PROOF of absence, so the
+    caller may skip the exact check for those rows.  Bit positions are
+    ``pmod(..., num_bits)`` < num_bits by construction, so the 0-based
+    array index never goes out of bounds (ANSI-safe)."""
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        bit = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+        word = bloom_col[F.floor(bit / 64).cast("int")]
+        cond = cond & (F.getbit(word, F.pmod(bit, F.lit(64))) == 1)
+    return cond
+
+
+def dedup_against_seen_bloom(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """`dedup_against_seen` with an EXPLICIT broadcast-Bloom prefilter —
+    the steady-state ingest shape when the seen ledger is so much larger
+    than the daily batch that even the runtime-injected bloom filter is
+    left on the table (it only fires when the join's creation-side scan
+    is cheap; a 100 TB ledger's isn't).
+
+    Plan: one ledger scan folds into a 1-row bitmap (`bloom_bitmap`),
+    broadcast onto the batch; rows whose bloom test is false are PROVEN
+    novel and never reach the exact join; only the `maybe` remainder
+    (true dupes + the fpp sliver) pays the shuffle anti-join against the
+    ledger.  Returns the NOVEL rows stamped with `fp_col` — the Bloom
+    never changes the answer (no false negatives), only how much of the
+    batch pays the exact join, so the result is oracle-exact.
+    """
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    bitmap = bloom_bitmap(
+        seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
+    )
+    stamped = (
+        new_docs.withColumn(fp_col, fingerprint_md5(text_col))
+        .crossJoin(F.broadcast(bitmap))
+        .withColumn(
+            "__maybe_seen",
+            bloom_might_contain(
+                F.col(fp_col),
+                F.col("bloom"),
+                num_bits=num_bits,
+                num_hashes=num_hashes,
+            ),
+        )
+        .drop("bloom")
+    )
+    proven_novel = stamped.where(~F.col("__maybe_seen"))
+    verified_novel = stamped.where(F.col("__maybe_seen")).join(
+        seen_fingerprints.select(fp_col), fp_col, "left_anti"
+    )
+    return proven_novel.unionByName(verified_novel).drop("__maybe_seen")
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

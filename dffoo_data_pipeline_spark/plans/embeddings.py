@@ -706,6 +706,40 @@ def _l2sq(a, b) -> F.Column:
     )
 
 
+def _pq_adc(e: DataFrame) -> DataFrame:
+    """The shared PQ ADC stage (codebook → codes → LUT → decimal ADC sum)
+    behind similarity_pq_topk and similarity_pq_rerank_topk; see
+    similarity_pq_topk's docstring for the full design notes."""
+    cb = _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
+        "cid", "m", F.col("sub").alias("cvec")
+    )
+    idx_sub = _pq_subspaces(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
+    d2 = N.round_det(_l2sq(F.col("sub"), F.col("cvec")), 9)
+    wcode = Window.partitionBy("index_id", "m").orderBy("d2", "cid")
+    codes = (
+        idx_sub.join(F.broadcast(cb), "m")
+        .select("index_id", "m", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wcode))
+        .where(F.col("rn") == 1)
+        .select("index_id", "m", "cid")
+    )
+    lut = (
+        _pq_subspaces(e, "vec_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            N.round_det(d2, 6).cast("decimal(18,6)").alias("pd"),
+        )
+    )
+    return (
+        lut.join(F.broadcast(codes), ["m", "cid"])
+        .groupBy("vec_id", "index_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+
+
 @_register("similarity_pq_topk", _PQ_TOPK_ORACLE)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (top-3 by asymmetric distance): 64-dim
@@ -734,35 +768,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,6) for the LUT) so the decimal ADC sum is exact and
     partition-order-independent; ranks tiebreak on index_id.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
-        "cid", "m", F.col("sub").alias("cvec")
-    )
-    idx_sub = _pq_subspaces(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
-    d2 = N.round_det(_l2sq(F.col("sub"), F.col("cvec")), 9)
-    wcode = Window.partitionBy("index_id", "m").orderBy("d2", "cid")
-    codes = (
-        idx_sub.join(F.broadcast(cb), "m")
-        .select("index_id", "m", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wcode))
-        .where(F.col("rn") == 1)
-        .select("index_id", "m", "cid")
-    )
-    lut = (
-        _pq_subspaces(e, "vec_id")
-        .join(F.broadcast(cb), "m")
-        .select(
-            "vec_id",
-            "m",
-            "cid",
-            N.round_det(d2, 6).cast("decimal(18,6)").alias("pd"),
-        )
-    )
-    adc = (
-        lut.join(F.broadcast(codes), ["m", "cid"])
-        .groupBy("vec_id", "index_id")
-        .agg(F.sum("pd").alias("adist"))
-    )
+    adc = _pq_adc(load_table(spark, sf_dir, "embeddings"))
     wrank = Window.partitionBy("vec_id").orderBy("adist", "index_id")
     return (
         adc.withColumn("rn", F.row_number().over(wrank))
@@ -773,6 +779,110 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adist").cast("double").alias("approx_dist"),
             F.col("rn").cast("int").alias("rank"),
         )
+    )
+
+
+_PQ_SHORTLIST = 8  # ADC candidates per probe that pay the exact rerank
+
+_PQ_RERANK_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sub AS (
+    SELECT vec_id, u.m,
+           list_slice(emb, u.m * {_PQ_SUB} + 1, u.m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+    FROM base, unnest(range(0, {_PQ_M})) AS u(m)),
+cb AS (SELECT vec_id AS cid, m, sub AS cvec FROM sub WHERE vec_id < {_PQ_K}),
+d2 AS (
+    SELECT s.vec_id, s.m, c.cid,
+           FLOOR(list_sum(list_transform(list_zip(s.sub, c.cvec),
+                                         z -> (z[1] - z[2]) * (z[1] - z[2])))
+                 * 1000000000 + 0.5) / 1000000000 AS d2
+    FROM sub s JOIN cb c USING (m)),
+codes AS (
+    SELECT vec_id AS index_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rn
+        FROM d2 WHERE vec_id < {_PQ_N_INDEX})
+    WHERE rn = 1),
+lut AS (
+    SELECT vec_id, m, cid,
+           CAST(FLOOR(d2 * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pd
+    FROM d2),
+adc AS (
+    SELECT l.vec_id, k.index_id, SUM(l.pd) AS adist
+    FROM lut l JOIN codes k ON l.m = k.m AND l.cid = k.cid
+    GROUP BY l.vec_id, k.index_id),
+short AS (
+    SELECT vec_id, index_id FROM (
+        SELECT vec_id, index_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY adist, index_id) AS rn
+        FROM adc)
+    WHERE rn <= {_PQ_SHORTLIST}),
+exact AS (
+    SELECT s.vec_id, s.index_id,
+           FLOOR(list_sum(list_transform(list_zip(q.emb, i.emb),
+                                         z -> (z[1] - z[2]) * (z[1] - z[2])))
+                 * 1000000 + 0.5) / 1000000 AS exact_dist
+    FROM short s
+    JOIN base q ON q.vec_id = s.vec_id
+    JOIN base i ON i.vec_id = s.index_id)
+SELECT vec_id, index_id, exact_dist, CAST(rn AS INT) AS rank
+FROM (SELECT vec_id, index_id, exact_dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY exact_dist, index_id) AS rn
+      FROM exact)
+WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@_register("similarity_pq_rerank_topk", _PQ_RERANK_ORACLE)
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (ADC shortlist → EXACT rerank): the ADC
+    stage of similarity_pq_topk picks each probe's top-8 candidates from
+    the compressed codes, then ONLY those (probe, candidate) pairs fetch
+    full float vectors and rerank by exact squared-L2 — the standard
+    IVFADC+R architecture (Jégou et al. "Searching with quantization";
+    every production ANN system reranks a compressed shortlist).
+
+    Scale: the expensive exhaustive pass touches M-byte codes only
+    (32× smaller than floats); the rerank joins |probes|·8 shortlist
+    rows against the vectors table on its key — point lookups whose
+    cost is independent of index size, and the candidate-side join
+    input is ≤ 64 vectors here (broadcastable; at real index sizes a
+    shuffle join on vec_id with pushed-down id filters).  Determinism:
+    the shortlist boundary is exact (decimal ADC sum, index_id
+    tiebreak), exact distances fold float→double left-to-right in both
+    engines and are floor-rounded at 1e-6, final rank tiebreaks on
+    index_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    adc = _pq_adc(e)
+    wshort = Window.partitionBy("vec_id").orderBy("adist", "index_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(wshort))
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("vec_id", "index_id")
+    )
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    probes = e.select("vec_id", emb_d.alias("q_emb"))
+    cands = e.where(F.col("vec_id") < _PQ_N_INDEX).select(
+        F.col("vec_id").alias("index_id"), emb_d.alias("i_emb")
+    )
+    exact = (
+        short.join(probes, "vec_id")
+        .join(F.broadcast(cands), "index_id")
+        .select(
+            "vec_id",
+            "index_id",
+            N.round_det(_l2sq(F.col("q_emb"), F.col("i_emb")), 6).alias("exact_dist"),
+        )
+    )
+    wrank = Window.partitionBy("vec_id").orderBy("exact_dist", "index_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("vec_id", "index_id", "exact_dist", F.col("rn").cast("int").alias("rank"))
     )
 
 

@@ -113,6 +113,46 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_bloom_prefilter_novel",
+    r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 7 < 2),
+    seen AS (SELECT fp FROM fp WHERE doc_id % 7 >= 2)
+    SELECT n.doc_id, n.fp
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = n.fp)
+    """,
+)
+def dedup_bloom_prefilter_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup behind an EXPLICIT broadcast-Bloom
+    prefilter (operators/dedup.py:dedup_against_seen_bloom): the seen
+    ledger folds into a 1-row packed bitmap (map-side bit_or, 8 KiB,
+    never collected), the batch tests it as a pure column expression,
+    and only bloom-positive rows (true dupes + the fpp sliver) pay the
+    exact shuffle anti-join.  Bloom false negatives are impossible, so
+    the result is byte-identical to the plain anti-join — same oracle
+    shape as dedup_incremental_novel, different batch split (% 7).
+
+    Scale: this is the shape when the ledger is 100 TB-cumulative and
+    the daily batch is small — the runtime-injected bloom only fires
+    when the join's creation side is cheap to scan, so the pipeline
+    owns the bitmap explicitly (build it once per day, reuse across
+    every ingest job).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    novel = dedup.dedup_against_seen_bloom(
+        new_docs=d.where(F.col("doc_id") % 7 < 2),
+        seen_fingerprints=d.where(F.col("doc_id") % 7 >= 2).select(
+            TX.fingerprint_md5("text").alias("fp")
+        ),
+    )
+    return novel.select("doc_id", "fp")
+
+
+@_register(
     "doc_fingerprint",
     """
     SELECT doc_id,

@@ -577,3 +577,71 @@ def test_portable_band_split_must_divide(spark):
     # the divisible configs still construct fine
     dedup.minhash_portable_pairs(d, "doc_id", "text", num_hashes=10, bands=5)
     dedup.simhash_portable_pairs(d, "doc_id", "text", sig_bits=48, bands=3)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-Bloom prefilter (dedup_against_seen_bloom)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_matches_plain_anti_join(spark):
+    """With duplicate texts crossing the batch/ledger split, the bloom
+    path must return exactly the plain anti-join's novel set (false
+    negatives are impossible, false positives are verified away)."""
+    from pyspark.sql import functions as F
+
+    texts = {
+        1: "the quick brown fox",      # dup of ledger doc 11
+        2: "a genuinely novel doc",
+        3: "jumps over the lazy dog",  # dup of ledger doc 13
+        4: "another novel document appears",
+        11: "the quick brown fox",
+        13: "jumps over the lazy dog",
+        15: "ledger only content here",
+    }
+    d = _docs_df(spark, texts)
+    new = d.where(F.col("doc_id") < 10)
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    seen = d.where(F.col("doc_id") >= 10).select(fingerprint_md5("text").alias("fp"))
+    got = {r.doc_id for r in dedup.dedup_against_seen_bloom(new, seen).collect()}
+    want = {r.doc_id for r in dedup.dedup_against_seen(new, seen)[0].collect()}
+    assert got == want == {2, 4}
+
+
+def test_bloom_bitmap_has_no_false_negatives_and_prunes(spark, sf_dir):
+    """Every ledger fingerprint must test positive against its own
+    bitmap (the correctness contract), and at least one novel row must
+    test negative (the prefilter actually saves exact-join work)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.where(F.col("doc_id") % 7 >= 2).select(fingerprint_md5("text").alias("fp"))
+    bitmap = dedup.bloom_bitmap(seen)
+    self_test = seen.crossJoin(F.broadcast(bitmap))
+    assert (
+        self_test.where(
+            ~dedup.bloom_might_contain(F.col("fp"), F.col("bloom"))
+        ).count()
+        == 0
+    )
+    batch = (
+        d.where(F.col("doc_id") % 7 < 2)
+        .select(fingerprint_md5("text").alias("fp"))
+        .crossJoin(F.broadcast(bitmap))
+    )
+    pruned = batch.where(
+        ~dedup.bloom_might_contain(F.col("fp"), F.col("bloom"))
+    ).count()
+    assert pruned > 0
+
+
+def test_bloom_bitmap_rejects_bad_num_bits(spark):
+    import pytest as _pytest
+
+    d = _docs_df(spark, {1: "x"}).select("text")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        dedup.bloom_bitmap(d.selectExpr("text AS fp"), num_bits=100)

@@ -178,3 +178,42 @@ def test_pca_projection_variance_matches_eigenvalues(spark, sf_dir):
     assert v1 >= v2
     # symmetric upper triangle: d(d+1)/2 cells, nothing missing
     assert len(cov_rows) == d * (d + 1) // 2
+
+
+def test_pq_rerank_dominates_adc_ranking(spark):
+    """Two-stage PQ: per probe, the reranked top-1's EXACT distance must
+    be <= the exact distance of the plain ADC top-1 (the rerank can only
+    improve the shortlist's ordering, never worsen it), and each probe
+    emits exactly _PQ_TOPK ascending-distance rows."""
+    import math
+
+    from dffoo_data_pipeline_spark.plans import embeddings as E
+
+    rerank = E.QUERIES["similarity_pq_rerank_topk"](spark, SF_SMOKE)
+    plain = E.QUERIES["similarity_pq_topk"](spark, SF_SMOKE)
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def exact_d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    rr = rerank.collect()
+    by_probe: dict = {}
+    for r in rr:
+        by_probe.setdefault(r.vec_id, []).append(r)
+    for probe, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == E._PQ_TOPK
+        dists = [r.exact_dist for r in rows]
+        assert dists == sorted(dists)
+    adc_top1 = {r.vec_id: r.index_id for r in plain.collect() if r.rank == 1}
+    rr_top1 = {r.vec_id: r.index_id for r in rr if r.rank == 1}
+    assert set(rr_top1) == set(adc_top1)
+    worse = [
+        p
+        for p in rr_top1
+        if exact_d2(p, rr_top1[p]) > exact_d2(p, adc_top1[p]) + 1e-9
+    ]
+    assert not worse, worse[:5]
