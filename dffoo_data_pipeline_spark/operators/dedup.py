@@ -537,9 +537,13 @@ def dedup_against_seen_bloom(
     """
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
+    # lazy checkpoint: the 1-row bitmap is consumed by BOTH union branches
+    # (proven-novel filter + maybe-side verify); without it each branch
+    # re-runs the full ledger scan + bit fold.  eager=False keeps plan
+    # construction free (materializes at the first action).
     bitmap = bloom_bitmap(
         seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
-    )
+    ).localCheckpoint(eager=False)
     stamped = (
         new_docs.withColumn(fp_col, fingerprint_md5(text_col))
         .crossJoin(F.broadcast(bitmap))
