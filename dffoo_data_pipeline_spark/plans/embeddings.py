@@ -706,9 +706,11 @@ def _l2sq(a, b) -> F.Column:
     )
 
 
-def _pq_adc(e: DataFrame) -> DataFrame:
-    """The shared PQ ADC stage (codebook → codes → LUT → decimal ADC sum)
-    behind similarity_pq_topk and similarity_pq_rerank_topk; see
+def _pq_codes_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared PQ encode stage: (codes, lut) — codes = each indexed
+    vector's nearest codebook entry per subspace, lut = every probe's
+    partial squared-L2 to every codebook entry (floor-rounded into
+    DECIMAL(18,6) so downstream sums are exact).  See
     similarity_pq_topk's docstring for the full design notes."""
     cb = _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
         "cid", "m", F.col("sub").alias("cvec")
@@ -733,6 +735,14 @@ def _pq_adc(e: DataFrame) -> DataFrame:
             N.round_det(d2, 6).cast("decimal(18,6)").alias("pd"),
         )
     )
+    return codes, lut
+
+
+def _pq_adc(e: DataFrame) -> DataFrame:
+    """The shared exhaustive PQ ADC stage (codebook → codes → LUT →
+    decimal ADC sum over ALL (probe, index) pairs) behind
+    similarity_pq_topk and similarity_pq_rerank_topk."""
+    codes, lut = _pq_codes_lut(e)
     return (
         lut.join(F.broadcast(codes), ["m", "cid"])
         .groupBy("vec_id", "index_id")
@@ -883,6 +893,124 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rn", F.row_number().over(wrank))
         .where(F.col("rn") <= _PQ_TOPK)
         .select("vec_id", "index_id", "exact_dist", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+_IVFPQ_CELLS = 4   # coarse quantizer cells (seed centroids: vec_id < 4)
+_IVFPQ_NPROBE = 2  # cells probed per query
+
+_IVFPQ_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sub AS (
+    SELECT vec_id, u.m,
+           list_slice(emb, u.m * {_PQ_SUB} + 1, u.m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+    FROM base, unnest(range(0, {_PQ_M})) AS u(m)),
+cb AS (SELECT vec_id AS cid, m, sub AS cvec FROM sub WHERE vec_id < {_PQ_K}),
+d2 AS (
+    SELECT s.vec_id, s.m, c.cid,
+           FLOOR(list_sum(list_transform(list_zip(s.sub, c.cvec),
+                                         z -> (z[1] - z[2]) * (z[1] - z[2])))
+                 * 1000000000 + 0.5) / 1000000000 AS d2
+    FROM sub s JOIN cb c USING (m)),
+codes AS (
+    SELECT vec_id AS index_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rn
+        FROM d2 WHERE vec_id < {_PQ_N_INDEX})
+    WHERE rn = 1),
+lut AS (
+    SELECT vec_id, m, cid,
+           CAST(FLOOR(d2 * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pd
+    FROM d2),
+cents AS (SELECT vec_id AS ccid, emb AS cvec2 FROM base WHERE vec_id < {_IVFPQ_CELLS}),
+coarse AS (
+    SELECT vec_id, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c, ccid) AS rn
+    FROM (
+        SELECT b.vec_id, c.ccid,
+               FLOOR(list_sum(list_transform(list_zip(b.emb, c.cvec2),
+                                             z -> (z[1] - z[2]) * (z[1] - z[2])))
+                     * 1000000000 + 0.5) / 1000000000 AS d2c
+        FROM base b, cents c)),
+iassign AS (SELECT vec_id AS index_id, ccid FROM coarse
+            WHERE rn = 1 AND vec_id < {_PQ_N_INDEX}),
+passign AS (SELECT vec_id, ccid FROM coarse WHERE rn <= {_IVFPQ_NPROBE}),
+cand AS (SELECT p.vec_id, i.index_id FROM passign p JOIN iassign i USING (ccid)),
+adc AS (
+    SELECT l.vec_id, k.index_id, SUM(l.pd) AS adist
+    FROM cand c
+    JOIN codes k ON k.index_id = c.index_id
+    JOIN lut l ON l.vec_id = c.vec_id AND l.m = k.m AND l.cid = k.cid
+    GROUP BY l.vec_id, k.index_id)
+SELECT vec_id, index_id, CAST(adist AS DOUBLE) AS approx_dist,
+       CAST(rn AS INT) AS rank
+FROM (SELECT vec_id, index_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY adist, index_id) AS rn
+      FROM adc)
+WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@_register("similarity_ivfpq_topk", _IVFPQ_ORACLE)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC layout, non-residual variant): a
+    coarse quantizer (seed centroids = vec_id < 4, full-dimension L2)
+    partitions the index into cells; each probe scores ONLY the codes in
+    its top-`n_probe` cells by PQ asymmetric distance.  This is how a
+    big index actually ships — the exhaustive ADC scan of
+    similarity_pq_topk divided by cells/n_probe, with the same code
+    compression.
+
+    Scale: the candidate generation is a join on cell_id (index side
+    pre-partitioned by cell — at real scale a bucketed table, same
+    treatment as similarity_lsh_probe_indexed's persisted index), so
+    the ADC sum materializes candidate-pairs × M rows instead of
+    |probes| × |index| × M; the coarse centroid table (cells × dim
+    floats) and the codes are the broadcast sides here, shuffle joins
+    at real scale.  Determinism: coarse distances floor-rounded at 1e-9
+    with ccid tiebreak BEFORE ranking (same discipline as the PQ code
+    argmin), so cell membership is engine-exact; everything downstream
+    inherits similarity_pq_topk's decimal ADC + index_id tiebreaks.
+    Candidate pairs are unique by construction (each index vector lives
+    in exactly one cell), so no pair dedup is needed before the sum.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", emb_d.alias("emb"))
+    cents = base.where(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("emb").alias("cvec2")
+    )
+    d2c = N.round_det(_l2sq(F.col("emb"), F.col("cvec2")), 9)
+    wassign = Window.partitionBy("vec_id").orderBy("d2c", "ccid")
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ccid", d2c.alias("d2c"))
+        .withColumn("rn", F.row_number().over(wassign))
+    )
+    iassign = ranked.where(
+        (F.col("rn") == 1) & (F.col("vec_id") < _PQ_N_INDEX)
+    ).select(F.col("vec_id").alias("index_id"), "ccid")
+    passign = ranked.where(F.col("rn") <= _IVFPQ_NPROBE).select("vec_id", "ccid")
+    cands = passign.join(F.broadcast(iassign), "ccid").select("vec_id", "index_id")
+    codes, lut = _pq_codes_lut(e)
+    adc = (
+        cands.join(F.broadcast(codes), "index_id")
+        .join(lut, ["vec_id", "m", "cid"])
+        .groupBy("vec_id", "index_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    wrank = Window.partitionBy("vec_id").orderBy("adist", "index_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select(
+            "vec_id",
+            "index_id",
+            F.col("adist").cast("double").alias("approx_dist"),
+            F.col("rn").cast("int").alias("rank"),
+        )
     )
 
 

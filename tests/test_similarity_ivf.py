@@ -217,3 +217,51 @@ def test_pq_rerank_dominates_adc_ranking(spark):
         if exact_d2(p, rr_top1[p]) > exact_d2(p, adc_top1[p]) + 1e-9
     ]
     assert not worse, worse[:5]
+
+
+def test_ivfpq_scores_match_exhaustive_adc_and_respect_cells(spark):
+    """IVF-PQ changes WHICH pairs get scored, never the score: every
+    (probe, index) it returns must carry exactly the exhaustive PQ ADC
+    distance for that pair, and the index vector must live in one of the
+    probe's probed cells.  Recall vs the exhaustive PQ top-k ranking has
+    a soft floor (cells=4, n_probe=2 on near-random vectors)."""
+    from dffoo_data_pipeline_spark.plans import embeddings as E
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    ivfpq = E.QUERIES["similarity_ivfpq_topk"](spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    full_adc = {
+        (r.vec_id, r.index_id): r.adist for r in E._pq_adc(emb).collect()
+    }
+    for r in ivfpq:
+        assert float(full_adc[(r.vec_id, r.index_id)]) == r.approx_dist, r
+
+    # cell containment: recompute assignments with the query's own rounding
+    import itertools
+
+    vecs = {v.vec_id: [float(x) for x in v.embedding] for v in emb.collect()}
+
+    def d2r(a, b):
+        import math
+
+        s = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            s += (x - y) * (x - y)
+        return math.floor(s * 1e9 + 0.5) / 1e9
+
+    cents = [c for c in sorted(vecs) if c < E._IVFPQ_CELLS]
+    def cells_of(v, n):
+        return [c for c, _ in sorted(
+            ((c, d2r(v, c)) for c in cents), key=lambda t: (t[1], t[0])
+        )[:n]]
+
+    for r in ivfpq:
+        icell = cells_of(r.index_id, 1)[0]
+        assert icell in cells_of(r.vec_id, E._IVFPQ_NPROBE), r
+
+    # soft recall floor vs the exhaustive PQ top-k
+    pq = E.QUERIES["similarity_pq_topk"](spark, SF_SMOKE).collect()
+    want = {(r.vec_id, r.index_id) for r in pq}
+    got = {(r.vec_id, r.index_id) for r in ivfpq}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.2, recall
