@@ -520,6 +520,7 @@ def dedup_against_seen_bloom(
     fp_col: str = "fp",
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """`dedup_against_seen` with an EXPLICIT broadcast-Bloom prefilter —
     the steady-state ingest shape when the seen ledger is so much larger
@@ -534,16 +535,23 @@ def dedup_against_seen_bloom(
     ledger.  Returns the NOVEL rows stamped with `fp_col` — the Bloom
     never changes the answer (no false negatives), only how much of the
     batch pays the exact join, so the result is oracle-exact.
+
+    Pass a pre-built ``bitmap`` (a `bloom_bitmap` result, MUST be built
+    with the same num_bits/num_hashes) to amortize the ledger fold
+    across many batches — the streaming caller builds it once per run
+    and probes it every micro-batch.
     """
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
-    # lazy checkpoint: the 1-row bitmap is consumed by BOTH union branches
-    # (proven-novel filter + maybe-side verify); without it each branch
-    # re-runs the full ledger scan + bit fold.  eager=False keeps plan
-    # construction free (materializes at the first action).
-    bitmap = bloom_bitmap(
-        seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
-    ).localCheckpoint(eager=False)
+    if bitmap is None:
+        # lazy checkpoint: the 1-row bitmap is consumed by BOTH union
+        # branches (proven-novel filter + maybe-side verify); without it
+        # each branch re-runs the full ledger scan + bit fold.
+        # eager=False keeps plan construction free (materializes at the
+        # first action).
+        bitmap = bloom_bitmap(
+            seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
+        ).localCheckpoint(eager=False)
     stamped = (
         new_docs.withColumn(fp_col, fingerprint_md5(text_col))
         .crossJoin(F.broadcast(bitmap))

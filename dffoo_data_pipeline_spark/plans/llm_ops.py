@@ -112,9 +112,10 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.select("doc_id", "fp")
 
 
-@_register(
-    "dedup_bloom_prefilter_novel",
-    r"""
+# shared with the streaming twin (streaming/jobs.py:streaming_bloom_dedup):
+# the bloom prefilter provably never changes the answer, so batch and
+# stream certify against the same plain-NOT-EXISTS truth
+_BLOOM_NOVEL_ORACLE = r"""
     WITH fp AS (
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -124,8 +125,10 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.doc_id, n.fp
     FROM new_batch n
     WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = n.fp)
-    """,
-)
+    """
+
+
+@_register("dedup_bloom_prefilter_novel", _BLOOM_NOVEL_ORACLE)
 def dedup_bloom_prefilter_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup behind an EXPLICIT broadcast-Bloom
     prefilter (operators/dedup.py:dedup_against_seen_bloom): the seen

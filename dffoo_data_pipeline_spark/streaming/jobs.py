@@ -978,6 +978,82 @@ def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_bloom_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.llm_ops import _BLOOM_NOVEL_ORACLE
+
+    return _BLOOM_NOVEL_ORACLE
+
+
+@_register("streaming_bloom_dedup", _streaming_bloom_oracle())
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup the INGEST STREAM behind a broadcast-Bloom prefilter —
+    the streaming half of dedup_bloom_prefilter_novel (they share one
+    oracle, since the bloom provably never changes the answer).  The
+    ledger bitmap is built ONCE per run (lazy localCheckpoint — the fold
+    materializes at the first micro-batch and every later batch reuses
+    the 1-row checkpointed relation); each arriving batch of documents
+    (doc_id % 7 < 2 plays the incoming slice) tests it as a pure column
+    expression, and ONLY bloom-positive rows pay the exact anti-join
+    against the ledger.
+
+    This is the piece stream-static anti-join leaves on the table at
+    scale: streaming_dedup_against_ledger re-plans the full ledger scan
+    EVERY micro-batch, which a 100 TB-cumulative ledger cannot afford —
+    here steady-state batches that are mostly novel never touch the
+    ledger at all (the bitmap answers them), and the per-batch ledger
+    join input shrinks to true dupes + the fpp sliver.  Trade-off: a
+    bitmap built at stream start doesn't see fingerprints ingested
+    since; a real deployment rebuilds it per ingest day (cheap: one
+    ledger scan) and keeps the within-run window deduped by the exact
+    join.  Per-doc verdicts touch only the doc and the STATIC ledger, so
+    any micro-batching yields the batch twin's exact result.  The sink
+    is replay-idempotent (per-batch overwritten batch_id subdir, same as
+    streaming_neardup_probe).
+    """
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.operators import dedup
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    docs = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 7 < 2)
+    seen = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 >= 2)
+        .select(fingerprint_md5("text").alias("fp"))
+    )
+    bitmap = dedup.bloom_bitmap(seen).localCheckpoint(eager=False)
+    out_dir = tempfile.mkdtemp(prefix="sg_bloomdedup_out_")
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        novel = dedup.dedup_against_seen_bloom(
+            batch_df, seen, bitmap=bitmap
+        ).select("doc_id", "fp")
+        novel.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("fp", T.StringType()),
+                ]
+            )
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest router: assign incoming embeddings to semantic shards
 # ---------------------------------------------------------------------------
