@@ -73,6 +73,16 @@ HEADLINE += [
     "dedup_prefix_filter_pairs",     # lossless prefix-filtered all-pairs
 ]
 
+# round-9 additions: measured and reported per-query + as their own
+# subtotal, EXCLUDED from value/median_total/value_idle so those stay
+# comparable with rounds 3-8 (same rationale as legacy17_total)
+_N_COMPARABLE = len(HEADLINE)
+HEADLINE += [
+    "dedup_bloom_prefilter_novel",   # broadcast-Bloom prefiltered ledger anti-join
+    "similarity_pq_rerank_topk",     # PQ ADC shortlist + exact float rerank
+    "similarity_ivfpq_topk",         # coarse-cell-bounded ADC (IVFADC)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,26 +214,33 @@ def main() -> None:
         return out
 
     queries_idle = gated(lambda t: 0.0 <= t[3] < 0.20)
-    idle_vals = [v for v in queries_idle.values() if v is not None]
+    idle_vals = [
+        v for n, v in queries_idle.items()
+        if v is not None and n in HEADLINE[:_N_COMPARABLE]
+    ]
     value_idle = round(sum(idle_vals), 3) if idle_vals else None
     idle_loadgate = gated(lambda t: t[2] < 2.0)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE[:_N_COMPARABLE]), 3)
     legacy17 = round(sum(timings[n] for n in HEADLINE[:_N_LEGACY]), 3)
+    additions = round(sum(timings[n] for n in HEADLINE[_N_COMPARABLE:]), 3)
     result = {
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        "median_total": round(sum(medians.values()), 3),
+        "median_total": round(
+            sum(medians[n] for n in HEADLINE[:_N_COMPARABLE]), 3
+        ),
         "legacy17_total": legacy17,
+        "r9_additions_total": additions,
         "reps": reps,
         "sf": sf,
         "loadavg_min": round(min(loads), 2),
         "loadavg_max": round(max(loads), 2),
         "value_idle": value_idle,
-        "idle_coverage": [len(idle_vals), len(HEADLINE)],
+        "idle_coverage": [len(idle_vals), _N_COMPARABLE],
     }
     print(json.dumps(result))
 
