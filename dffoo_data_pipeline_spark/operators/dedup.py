@@ -489,6 +489,18 @@ def bloom_bitmap(
     )
 
 
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two `bloom_bitmap` results (MUST be built with identical
+    num_bits/num_hashes) — the daily ledger-maintenance step: yesterday's
+    bitmap ∪ a fold of ONLY today's novel fingerprints equals a rebuild
+    over the whole ledger (bit-exact, pinned by test), so the cumulative
+    ledger is never re-scanned.  Both sides are 1-row relations; the
+    merge is a broadcast zip_with of the word arrays."""
+    return a.crossJoin(F.broadcast(b.select(F.col("bloom").alias("__b2")))).select(
+        F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+    )
+
+
 def bloom_might_contain(
     col,
     bloom_col,

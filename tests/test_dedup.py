@@ -645,3 +645,21 @@ def test_bloom_bitmap_rejects_bad_num_bits(spark):
     d = _docs_df(spark, {1: "x"}).select("text")
     with _pytest.raises(ValueError, match="multiple of 64"):
         dedup.bloom_bitmap(d.selectExpr("text AS fp"), num_bits=100)
+
+
+def test_bloom_union_equals_full_rebuild(spark, sf_dir):
+    """Daily maintenance contract: yesterday's bitmap OR a fold of only
+    today's fingerprints must be BIT-EXACTLY the bitmap rebuilt over the
+    whole ledger — so the cumulative ledger is never re-scanned."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", fingerprint_md5("text").alias("fp"))
+    day1 = dedup.bloom_bitmap(fps.where(F.col("doc_id") % 2 == 0))
+    day2 = dedup.bloom_bitmap(fps.where(F.col("doc_id") % 2 == 1))
+    merged = dedup.bloom_union(day1, day2).collect()[0]["bloom"]
+    full = dedup.bloom_bitmap(fps).collect()[0]["bloom"]
+    assert merged == full
