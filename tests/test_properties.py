@@ -319,3 +319,41 @@ def test_simhash_portable_equals_python_twin_on_random_corpora(spark, texts):
     }
     want = _py_simhash_portable(corpus)
     assert got == want
+
+
+@_settings
+@given(
+    texts=_texts,
+    split=st.integers(min_value=0, max_value=7),
+    num_bits=st.sampled_from([64, 256, 1 << 12]),
+    num_hashes=st.integers(min_value=1, max_value=5),
+)
+def test_bloom_prefilter_equals_plain_anti_join_on_random_corpora(
+    spark, texts, split, num_bits, num_hashes
+):
+    """For ANY corpus, batch/ledger split, and bloom geometry — including
+    tiny num_bits where nearly everything collides (all false positives,
+    maximal exact-join traffic) — the bloom path must return exactly the
+    plain anti-join's novel set: false positives are verified away,
+    false negatives are impossible."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.operators import dedup
+
+    corpus = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(corpus.items())], "doc_id long, text string"
+    )
+    new = df.where(F.col("doc_id") % 8 <= split % 8)
+    seen = df.where(F.col("doc_id") % 8 > split % 8).select(
+        fingerprint_md5("text").alias("fp")
+    )
+    got = {
+        r.doc_id
+        for r in dedup.dedup_against_seen_bloom(
+            new, seen, num_bits=num_bits, num_hashes=num_hashes
+        ).collect()
+    }
+    want = {r.doc_id for r in dedup.dedup_against_seen(new, seen)[0].collect()}
+    assert got == want
