@@ -2462,9 +2462,10 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_against_index(new, index, id_col="doc_id", text_col="text")
 
 
-def _incremental_portable_oracle(num_hashes: int = 15, bands: int = 5) -> str:
-    """DuckDB twin of `dedup.portable_neardup_against_index` over the same
-    batch/index split as dedup_incremental_neardup (doc_id % 10)."""
+def _portable_band_cte_sql(num_hashes: int = 15, bands: int = 5) -> str:
+    """The toks/shingles/sig/bands CTE body (no leading WITH) of the
+    portable md5 band family — shared by the incremental-dedup oracles
+    and the ingest-day pipeline oracle."""
     rows = num_hashes // bands
     mins = ",\n           ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
@@ -2476,8 +2477,7 @@ def _incremental_portable_oracle(num_hashes: int = 15, bands: int = 5) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id,
            string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
     FROM documents
@@ -2495,7 +2495,14 @@ sig AS (
 ),
 bands AS (
 {band_rows}
-),
+)"""
+
+
+def _incremental_portable_oracle(num_hashes: int = 15, bands: int = 5) -> str:
+    """DuckDB twin of `dedup.portable_neardup_against_index` over the same
+    batch/index split as dedup_incremental_neardup (doc_id % 10)."""
+    return f"""
+WITH {_portable_band_cte_sql(num_hashes, bands)},
 hits AS (
     SELECT p.doc_id, i.doc_id AS matched_id, COUNT(*) AS n_shared_bands
     FROM bands p JOIN bands i
@@ -2534,6 +2541,107 @@ def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.portable_neardup_against_index(
         new, old, id_col="doc_id", text_col="text", n=3, num_hashes=15, bands=5
     )
+
+
+def _ingest_day_oracle() -> str:
+    gopher_ctes = _GOPHER_BASE_SQL.strip()
+    assert gopher_ctes.startswith("WITH")
+    gopher_ctes = gopher_ctes[len("WITH"):].strip()
+    return f"""
+WITH fpx AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents),
+exact_novel AS (
+    SELECT n.doc_id FROM fpx n
+    WHERE n.doc_id % 7 < 2
+      AND NOT EXISTS (SELECT 1 FROM fpx s
+                      WHERE s.doc_id % 7 >= 2 AND s.fp = n.fp)),
+{gopher_ctes},
+gated AS (
+    SELECT m.doc_id FROM m JOIN exact_novel e USING (doc_id)
+    WHERE {_GOPHER_PASS_SQL}),
+{_portable_band_cte_sql()},
+hits AS (
+    SELECT p.doc_id, i.doc_id AS matched_id, COUNT(*) AS n_shared_bands
+    FROM bands p JOIN bands i
+      ON p.band_id = i.band_id AND p.band_hash = i.band_hash
+    WHERE p.doc_id IN (SELECT doc_id FROM gated) AND i.doc_id % 7 >= 2
+    GROUP BY p.doc_id, i.doc_id),
+best AS (
+    SELECT doc_id, matched_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY n_shared_bands DESC, matched_id) AS rn
+        FROM hits)
+    WHERE rn = 1)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NULL THEN 'dup_exact'
+            WHEN g.doc_id IS NULL THEN 'low_quality'
+            WHEN bb.matched_id IS NOT NULL THEN 'near_dup'
+            ELSE 'admitted' END AS verdict,
+       bb.matched_id AS matched_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 < 2) b
+LEFT JOIN exact_novel e USING (doc_id)
+LEFT JOIN gated g USING (doc_id)
+LEFT JOIN best bb USING (doc_id)
+"""
+
+
+@_register("pipeline_ingest_day", _ingest_day_oracle())
+def pipeline_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE INGEST DAY, end to end: one verdict per batch document
+    ('dup_exact' | 'low_quality' | 'near_dup' | 'admitted'), staged
+    cheapest-filter-first the way a daily 100 TB ingest actually runs —
+    (1) exact novelty behind the broadcast-Bloom prefilter
+    (dedup_against_seen_bloom: proven-novel rows never touch the
+    ledger), (2) Gopher quality gates as one fused projection over the
+    survivors (gopher_rule_flags with text carried through — no second
+    scan), (3) the portable md5 near-dup band probe against the ledger
+    index, run ONLY for docs that survived both cheaper stages (the
+    shingle+minhash cost is the expensive one, so it sees the smallest
+    set).  Composes the certified pieces: the bloom stage shares
+    dedup_bloom_prefilter_novel's semantics, the gate text_gopher_rules',
+    the probe dedup_incremental_portable's — and the composition itself
+    is value-hash oracled.
+
+    Scale: the novel set is lazily checkpointed at the stage boundary
+    (consumed by the gate AND by the dup_exact verdict anti-set — a real
+    pipeline materializes stage outputs anyway); each stage's join
+    inputs shrink monotonically; verdict assembly is a union of
+    disjoint-by-construction sets, no final dedup needed.
+    """
+    novel_probe = dedup.portable_neardup_against_index  # alias for line width
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 7 < 2)
+    ledger = d.where(F.col("doc_id") % 7 >= 2)
+    novel = dedup.dedup_against_seen_bloom(
+        batch, ledger.select(TX.fingerprint_md5("text").alias("fp"))
+    ).localCheckpoint(eager=False)
+    flags = gopher_rule_flags(novel, extra_cols=("text",))
+    qualified = flags.where(F.col("passes_gopher")).select("doc_id", "text")
+    lowq = flags.where(~F.col("passes_gopher")).select("doc_id")
+    probe = novel_probe(
+        qualified, ledger, id_col="doc_id", text_col="text",
+        n=3, num_hashes=15, bands=5,
+    )
+    nulid = F.lit(None).cast("bigint")
+    dup_exact = batch.join(novel.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("dup_exact").alias("verdict"), nulid.alias("matched_id")
+    )
+    low_quality = lowq.select(
+        "doc_id", F.lit("low_quality").alias("verdict"), nulid.alias("matched_id")
+    )
+    near = probe.where(F.col("novel") == 0).select(
+        "doc_id", F.lit("near_dup").alias("verdict"), "matched_id"
+    )
+    admitted = probe.where(F.col("novel") == 1).select(
+        "doc_id", F.lit("admitted").alias("verdict"), nulid.alias("matched_id")
+    )
+    return (
+        dup_exact.unionByName(low_quality).unionByName(near).unionByName(admitted)
+    )
+
 
 
 # Persisted-index bookkeeping (round-8 ADVICE: the old fixed-name eager

@@ -663,3 +663,59 @@ def test_bloom_union_equals_full_rebuild(spark, sf_dir):
     merged = dedup.bloom_union(day1, day2).collect()[0]["bloom"]
     full = dedup.bloom_bitmap(fps).collect()[0]["bloom"]
     assert merged == full
+
+
+def test_pipeline_ingest_day_routes_all_four_verdicts(spark, tmp_path):
+    """Constructed corpus where each stage fires: an exact twin of a
+    ledger doc ('dup_exact', caught by the bloom stage and never
+    quality-checked), a junk doc ('low_quality'), a one-word-off twin of
+    a ledger doc ('near_dup' with the right matched_id), and a fresh doc
+    ('admitted').  sf0.01 exercises only three verdicts (no exact dup
+    crosses the %7 split there), so this pins the fourth path too."""
+    import os
+
+    from dffoo_data_pipeline_spark.plans import llm_ops as L
+
+    base = (
+        "the quick brown fox and the lazy dog walk through green fields near "
+        "calm rivers while many small birds sing old songs about warm summer "
+        "days and cold winter nights that people remember from their young "
+        "years spent inside quiet villages between tall mountains and wide "
+        "valleys full of bright flowers"
+    )
+    words = base.split()
+    assert len(words) >= 50  # must clear the Gopher word-count gate
+    near = " ".join(words[:-1] + ["meadows"])
+    ledger_dup = "ledger exact twin " + base
+    fresh = (
+        "completely different admitted story where seven friendly dragons and "
+        "three wise turtles build large wooden ships beside deep blue lakes "
+        "and sail toward distant golden islands carrying fresh bread sweet "
+        "fruit and heavy iron tools for trading with kind strangers who live "
+        "along sunny shores under ancient stone towers guarded by gentle giants"
+    )
+    rows = [
+        (0, ledger_dup),   # batch: exact twin of doc 9
+        (1, "short junk"), # batch: fails Gopher
+        (7, near),         # batch: near-dup of doc 10
+        (8, fresh),        # batch: admitted
+        (9, ledger_dup),   # ledger
+        (10, base),        # ledger
+        (11, "some other ledger content entirely"),  # ledger
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "ingest_fixture")
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {
+        r.doc_id: (r.verdict, r.matched_id)
+        for r in L.QUERIES["pipeline_ingest_day"](spark, sf_dir).collect()
+    }
+    assert out == {
+        0: ("dup_exact", None),
+        1: ("low_quality", None),
+        7: ("near_dup", 10),
+        8: ("admitted", None),
+    }
