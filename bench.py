@@ -81,6 +81,7 @@ HEADLINE += [
     "dedup_bloom_prefilter_novel",   # broadcast-Bloom prefiltered ledger anti-join
     "similarity_pq_rerank_topk",     # PQ ADC shortlist + exact float rerank
     "similarity_ivfpq_topk",         # coarse-cell-bounded ADC (IVFADC)
+    "pipeline_ingest_day",           # bloom -> gopher -> band-probe E2E
 ]
 
 
