@@ -479,25 +479,69 @@ def bloom_bitmap(
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
+    # the build geometry is STAMPED into the row: a probe or union with
+    # different num_bits/num_hashes would otherwise produce silent false
+    # negatives (bits tested that the build never set) — the same
+    # param-mismatch hole the persisted band/ANN indexes close with
+    # TBLPROPERTIES, closed here with in-row metadata asserted at use
     return words.agg(
         F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
     ).select(
         F.expr(
             f"transform(sequence(0, {num_words - 1}),"
             "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
-        ).alias("bloom")
+        ).alias("bloom"),
+        F.lit(num_bits).alias("bloom_num_bits"),
+        F.lit(num_hashes).alias("bloom_num_hashes"),
     )
 
 
+def _bloom_checked(bitmap: DataFrame, num_bits: int, num_hashes: int) -> DataFrame:
+    """Refuse a bitmap whose stamped build geometry differs from the
+    probe's (per-row check on a 1-row relation — free)."""
+    ok = (F.col("bloom_num_bits") == num_bits) & (
+        F.col("bloom_num_hashes") == num_hashes
+    )
+    return bitmap.where(
+        F.assert_true(
+            ok,
+            F.concat(
+                F.lit(
+                    f"bloom bitmap geometry mismatch: probe expects "
+                    f"num_bits={num_bits}, num_hashes={num_hashes}, index built with "
+                ),
+                F.col("bloom_num_bits"),
+                F.lit("/"),
+                F.col("bloom_num_hashes"),
+            ),
+        ).isNull()
+    ).select("bloom")
+
+
 def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
-    """OR-merge two `bloom_bitmap` results (MUST be built with identical
-    num_bits/num_hashes) — the daily ledger-maintenance step: yesterday's
-    bitmap ∪ a fold of ONLY today's novel fingerprints equals a rebuild
-    over the whole ledger (bit-exact, pinned by test), so the cumulative
-    ledger is never re-scanned.  Both sides are 1-row relations; the
-    merge is a broadcast zip_with of the word arrays."""
-    return a.crossJoin(F.broadcast(b.select(F.col("bloom").alias("__b2")))).select(
-        F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+    """OR-merge two `bloom_bitmap` results — the daily ledger-maintenance
+    step: yesterday's bitmap ∪ a fold of ONLY today's novel fingerprints
+    equals a rebuild over the whole ledger (bit-exact, pinned by test),
+    so the cumulative ledger is never re-scanned.  Both sides are 1-row
+    relations; the merge is a broadcast zip_with of the word arrays.
+    Mismatched build geometries are REFUSED at runtime (the stamps must
+    agree — OR-ing bitmaps of different families would silently drop
+    membership)."""
+    rhs = b.select(
+        F.col("bloom").alias("__b2"),
+        F.col("bloom_num_bits").alias("__nb2"),
+        F.col("bloom_num_hashes").alias("__nh2"),
+    )
+    merged = a.crossJoin(F.broadcast(rhs))
+    ok = (F.col("bloom_num_bits") == F.col("__nb2")) & (
+        F.col("bloom_num_hashes") == F.col("__nh2")
+    )
+    return merged.where(
+        F.assert_true(ok, F.lit("bloom_union: mismatched bitmap geometries")).isNull()
+    ).select(
+        F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)).alias("bloom"),
+        "bloom_num_bits",
+        "bloom_num_hashes",
     )
 
 
@@ -548,10 +592,12 @@ def dedup_against_seen_bloom(
     never changes the answer (no false negatives), only how much of the
     batch pays the exact join, so the result is oracle-exact.
 
-    Pass a pre-built ``bitmap`` (a `bloom_bitmap` result, MUST be built
-    with the same num_bits/num_hashes) to amortize the ledger fold
-    across many batches — the streaming caller builds it once per run
-    and probes it every micro-batch.
+    Pass a pre-built ``bitmap`` (a `bloom_bitmap` result) to amortize the
+    ledger fold across many batches — the streaming caller builds it
+    once per run and probes it every micro-batch.  A bitmap whose
+    stamped build geometry differs from this probe's
+    num_bits/num_hashes is REFUSED at runtime (a mismatch would produce
+    silent false negatives, i.e. dropped duplicates).
     """
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
@@ -564,6 +610,7 @@ def dedup_against_seen_bloom(
         bitmap = bloom_bitmap(
             seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
         ).localCheckpoint(eager=False)
+    bitmap = _bloom_checked(bitmap, num_bits, num_hashes)
     stamped = (
         new_docs.withColumn(fp_col, fingerprint_md5(text_col))
         .crossJoin(F.broadcast(bitmap))

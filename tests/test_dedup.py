@@ -719,3 +719,23 @@ def test_pipeline_ingest_day_routes_all_four_verdicts(spark, tmp_path):
         7: ("near_dup", 10),
         8: ("admitted", None),
     }
+
+
+def test_bloom_geometry_mismatch_is_refused(spark):
+    """A bitmap built with one geometry probed (or unioned) with another
+    must fail LOUDLY — a silent mismatch would drop duplicates (false
+    negatives)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    d = _docs_df(spark, {1: "aa bb cc", 12: "dd ee ff"})
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    seen = d.where(F.col("doc_id") >= 10).select(fingerprint_md5("text").alias("fp"))
+    small = dedup.bloom_bitmap(seen, num_bits=256, num_hashes=2)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        dedup.dedup_against_seen_bloom(
+            d.where(F.col("doc_id") < 10), seen, bitmap=small
+        ).collect()
+    with pytest.raises(Exception, match="mismatched bitmap geometries"):
+        dedup.bloom_union(small, dedup.bloom_bitmap(seen)).collect()
