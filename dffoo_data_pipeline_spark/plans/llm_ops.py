@@ -2588,6 +2588,43 @@ LEFT JOIN best bb USING (doc_id)
 """
 
 
+def ingest_day_verdicts(
+    batch: DataFrame, ledger: DataFrame, *, bitmap: DataFrame | None = None
+) -> DataFrame:
+    """The ingest-day stage chain shared by pipeline_ingest_day (batch)
+    and streaming/jobs.py:streaming_ingest_day (per micro-batch, with a
+    once-per-run pre-built ``bitmap``).  One row per batch doc:
+    (doc_id, verdict, matched_id).  See pipeline_ingest_day for the
+    full design notes."""
+    seen = ledger.select(TX.fingerprint_md5("text").alias("fp"))
+    novel = dedup.dedup_against_seen_bloom(
+        batch, seen, bitmap=bitmap
+    ).localCheckpoint(eager=False)
+    flags = gopher_rule_flags(novel, extra_cols=("text",))
+    qualified = flags.where(F.col("passes_gopher")).select("doc_id", "text")
+    lowq = flags.where(~F.col("passes_gopher")).select("doc_id")
+    probe = dedup.portable_neardup_against_index(
+        qualified, ledger, id_col="doc_id", text_col="text",
+        n=3, num_hashes=15, bands=5,
+    )
+    nulid = F.lit(None).cast("bigint")
+    dup_exact = batch.join(novel.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("dup_exact").alias("verdict"), nulid.alias("matched_id")
+    )
+    low_quality = lowq.select(
+        "doc_id", F.lit("low_quality").alias("verdict"), nulid.alias("matched_id")
+    )
+    near = probe.where(F.col("novel") == 0).select(
+        "doc_id", F.lit("near_dup").alias("verdict"), "matched_id"
+    )
+    admitted = probe.where(F.col("novel") == 1).select(
+        "doc_id", F.lit("admitted").alias("verdict"), nulid.alias("matched_id")
+    )
+    return (
+        dup_exact.unionByName(low_quality).unionByName(near).unionByName(admitted)
+    )
+
+
 @_register("pipeline_ingest_day", _ingest_day_oracle())
 def pipeline_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE INGEST DAY, end to end: one verdict per batch document
@@ -2611,35 +2648,9 @@ def pipeline_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs shrink monotonically; verdict assembly is a union of
     disjoint-by-construction sets, no final dedup needed.
     """
-    novel_probe = dedup.portable_neardup_against_index  # alias for line width
     d = load_table(spark, sf_dir, "documents")
-    batch = d.where(F.col("doc_id") % 7 < 2)
-    ledger = d.where(F.col("doc_id") % 7 >= 2)
-    novel = dedup.dedup_against_seen_bloom(
-        batch, ledger.select(TX.fingerprint_md5("text").alias("fp"))
-    ).localCheckpoint(eager=False)
-    flags = gopher_rule_flags(novel, extra_cols=("text",))
-    qualified = flags.where(F.col("passes_gopher")).select("doc_id", "text")
-    lowq = flags.where(~F.col("passes_gopher")).select("doc_id")
-    probe = novel_probe(
-        qualified, ledger, id_col="doc_id", text_col="text",
-        n=3, num_hashes=15, bands=5,
-    )
-    nulid = F.lit(None).cast("bigint")
-    dup_exact = batch.join(novel.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id", F.lit("dup_exact").alias("verdict"), nulid.alias("matched_id")
-    )
-    low_quality = lowq.select(
-        "doc_id", F.lit("low_quality").alias("verdict"), nulid.alias("matched_id")
-    )
-    near = probe.where(F.col("novel") == 0).select(
-        "doc_id", F.lit("near_dup").alias("verdict"), "matched_id"
-    )
-    admitted = probe.where(F.col("novel") == 1).select(
-        "doc_id", F.lit("admitted").alias("verdict"), nulid.alias("matched_id")
-    )
-    return (
-        dup_exact.unionByName(low_quality).unionByName(near).unionByName(admitted)
+    return ingest_day_verdicts(
+        d.where(F.col("doc_id") % 7 < 2), d.where(F.col("doc_id") % 7 >= 2)
     )
 
 

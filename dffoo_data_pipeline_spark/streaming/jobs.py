@@ -1054,6 +1054,75 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_ingest_day_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.llm_ops import _ingest_day_oracle
+
+    return _ingest_day_oracle()
+
+
+@_register("streaming_ingest_day", _streaming_ingest_day_oracle())
+def streaming_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE ingest day as an always-on stream: every arriving
+    micro-batch of documents runs the full verdict chain of
+    pipeline_ingest_day (Bloom exact-novelty → fused Gopher gate →
+    portable near-dup band probe) via the shared
+    `plans.llm_ops.ingest_day_verdicts`, so batch backfill and the live
+    stream can never disagree on a verdict — they share one DuckDB
+    oracle.  Per-doc verdicts touch only the doc and the STATIC ledger,
+    so any micro-batching yields the batch twin's exact result.
+
+    Scale composition of the three streaming lessons: the ledger Bloom
+    bitmap is built ONCE per run and reused across micro-batches
+    (streaming_bloom_dedup's amortization — geometry-stamped, so a
+    stale bitmap from another family is refused loudly); the near-dup
+    index side is re-planned per batch and in steady state is the
+    persisted bucketed band table (streaming_neardup_probe); the sink
+    is replay-idempotent per-batch-overwrite (same).  The expensive
+    shingling stage sees only docs that survived both cheaper stages —
+    in a crawler stream, usually a small fraction of arrivals.
+    """
+    from dffoo_data_pipeline_spark.operators import dedup
+    from dffoo_data_pipeline_spark.plans.llm_ops import ingest_day_verdicts
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    docs = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 7 < 2)
+    ledger = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 >= 2)
+    bitmap = dedup.bloom_bitmap(
+        ledger.select(fingerprint_md5("text").alias("fp"))
+    ).localCheckpoint(eager=False)
+    out_dir = tempfile.mkdtemp(prefix="sg_ingestday_out_")
+
+    def run_day(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts = ingest_day_verdicts(batch_df, ledger, bitmap=bitmap)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(run_day)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("verdict", T.StringType()),
+                    T.StructField("matched_id", T.LongType()),
+                ]
+            )
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest router: assign incoming embeddings to semantic shards
 # ---------------------------------------------------------------------------
