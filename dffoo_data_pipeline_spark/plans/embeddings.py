@@ -899,8 +899,10 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_CELLS = 4   # coarse quantizer cells (seed centroids: vec_id < 4)
 _IVFPQ_NPROBE = 2  # cells probed per query
 
-_IVFPQ_ORACLE = f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# the base..adc CTE chain of the IVF-PQ plan (no WITH, no final select) —
+# shared by the topk oracle, the rerank oracle, and (nested) the recall
+# report's oracle
+_IVFPQ_CTE_BODY = f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 sub AS (
     SELECT vec_id, u.m,
            list_slice(emb, u.m * {_PQ_SUB} + 1, u.m * {_PQ_SUB} + {_PQ_SUB}) AS sub
@@ -942,7 +944,10 @@ adc AS (
     FROM cand c
     JOIN codes k ON k.index_id = c.index_id
     JOIN lut l ON l.vec_id = c.vec_id AND l.m = k.m AND l.cid = k.cid
-    GROUP BY l.vec_id, k.index_id)
+    GROUP BY l.vec_id, k.index_id)"""
+
+_IVFPQ_ORACLE = f"""
+WITH {_IVFPQ_CTE_BODY}
 SELECT vec_id, index_id, CAST(adist AS DOUBLE) AS approx_dist,
        CAST(rn AS INT) AS rank
 FROM (SELECT vec_id, index_id, adist,
@@ -951,6 +956,36 @@ FROM (SELECT vec_id, index_id, adist,
       FROM adc)
 WHERE rn <= {_PQ_TOPK}
 """
+
+
+def _ivfpq_adc(e: DataFrame) -> DataFrame:
+    """The shared cell-restricted ADC stage behind similarity_ivfpq_topk
+    and similarity_ivfpq_rerank_topk; see similarity_ivfpq_topk's
+    docstring for the full design notes."""
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", emb_d.alias("emb"))
+    cents = base.where(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("emb").alias("cvec2")
+    )
+    d2c = N.round_det(_l2sq(F.col("emb"), F.col("cvec2")), 9)
+    wassign = Window.partitionBy("vec_id").orderBy("d2c", "ccid")
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ccid", d2c.alias("d2c"))
+        .withColumn("rn", F.row_number().over(wassign))
+    )
+    iassign = ranked.where(
+        (F.col("rn") == 1) & (F.col("vec_id") < _PQ_N_INDEX)
+    ).select(F.col("vec_id").alias("index_id"), "ccid")
+    passign = ranked.where(F.col("rn") <= _IVFPQ_NPROBE).select("vec_id", "ccid")
+    cands = passign.join(F.broadcast(iassign), "ccid").select("vec_id", "index_id")
+    codes, lut = _pq_codes_lut(e)
+    return (
+        cands.join(F.broadcast(codes), "index_id")
+        .join(lut, ["vec_id", "m", "cid"])
+        .groupBy("vec_id", "index_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
 
 
 @_register("similarity_ivfpq_topk", _IVFPQ_ORACLE)
@@ -976,31 +1011,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs are unique by construction (each index vector lives
     in exactly one cell), so no pair dedup is needed before the sum.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    base = e.select("vec_id", emb_d.alias("emb"))
-    cents = base.where(F.col("vec_id") < _IVFPQ_CELLS).select(
-        F.col("vec_id").alias("ccid"), F.col("emb").alias("cvec2")
-    )
-    d2c = N.round_det(_l2sq(F.col("emb"), F.col("cvec2")), 9)
-    wassign = Window.partitionBy("vec_id").orderBy("d2c", "ccid")
-    ranked = (
-        base.crossJoin(F.broadcast(cents))
-        .select("vec_id", "ccid", d2c.alias("d2c"))
-        .withColumn("rn", F.row_number().over(wassign))
-    )
-    iassign = ranked.where(
-        (F.col("rn") == 1) & (F.col("vec_id") < _PQ_N_INDEX)
-    ).select(F.col("vec_id").alias("index_id"), "ccid")
-    passign = ranked.where(F.col("rn") <= _IVFPQ_NPROBE).select("vec_id", "ccid")
-    cands = passign.join(F.broadcast(iassign), "ccid").select("vec_id", "index_id")
-    codes, lut = _pq_codes_lut(e)
-    adc = (
-        cands.join(F.broadcast(codes), "index_id")
-        .join(lut, ["vec_id", "m", "cid"])
-        .groupBy("vec_id", "index_id")
-        .agg(F.sum("pd").alias("adist"))
-    )
+    adc = _ivfpq_adc(load_table(spark, sf_dir, "embeddings"))
     wrank = Window.partitionBy("vec_id").orderBy("adist", "index_id")
     return (
         adc.withColumn("rn", F.row_number().over(wrank))
@@ -1011,6 +1022,82 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adist").cast("double").alias("approx_dist"),
             F.col("rn").cast("int").alias("rank"),
         )
+    )
+
+
+_IVFPQ_RERANK_ORACLE = f"""
+WITH {_IVFPQ_CTE_BODY},
+short AS (
+    SELECT vec_id, index_id FROM (
+        SELECT vec_id, index_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY adist, index_id) AS rn
+        FROM adc)
+    WHERE rn <= {_PQ_SHORTLIST}),
+exact AS (
+    SELECT s.vec_id, s.index_id,
+           FLOOR(list_sum(list_transform(list_zip(q.emb, i.emb),
+                                         z -> (z[1] - z[2]) * (z[1] - z[2])))
+                 * 1000000 + 0.5) / 1000000 AS exact_dist
+    FROM short s
+    JOIN base q ON q.vec_id = s.vec_id
+    JOIN base i ON i.vec_id = s.index_id)
+SELECT vec_id, index_id, exact_dist, CAST(rn AS INT) AS rank
+FROM (SELECT vec_id, index_id, exact_dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY exact_dist, index_id) AS rn
+      FROM exact)
+WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@_register("similarity_ivfpq_rerank_topk", _IVFPQ_RERANK_ORACLE)
+def similarity_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack in one certified plan — IVF coarse
+    cells → PQ asymmetric distance → EXACT rerank (FAISS
+    IVFADC+R): the coarse quantizer bounds the code scan to n_probe
+    cells, the ADC picks each probe's top-8 candidates from those
+    cells' M-byte codes, and only the |probes|·8 survivors fetch full
+    float vectors for the exact squared-L2 rerank.  Every stage
+    boundary is deterministic (1e-9-rounded cell assignment, decimal
+    ADC with index_id tiebreak at the shortlist edge, 1e-6-rounded
+    exact distances), so the whole three-stage pipeline value-hash
+    matches DuckDB.
+
+    Scale: this is the shape a 100 TB vector corpus actually serves —
+    compressed scan cost ÷ (cells/n_probe), exact cost capped at
+    shortlist size regardless of index size; the rerank stage buys back
+    the PQ code loss on exactly the candidates worth paying floats for
+    (measured decomposition in PERF.md: ~half the IVF-PQ recall deficit
+    is code loss, which this stage removes).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    adc = _ivfpq_adc(e)
+    wshort = Window.partitionBy("vec_id").orderBy("adist", "index_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(wshort))
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("vec_id", "index_id")
+    )
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    probes = e.select("vec_id", emb_d.alias("q_emb"))
+    cands = e.where(F.col("vec_id") < _PQ_N_INDEX).select(
+        F.col("vec_id").alias("index_id"), emb_d.alias("i_emb")
+    )
+    exact = (
+        short.join(probes, "vec_id")
+        .join(F.broadcast(cands), "index_id")
+        .select(
+            "vec_id",
+            "index_id",
+            N.round_det(_l2sq(F.col("q_emb"), F.col("i_emb")), 6).alias("exact_dist"),
+        )
+    )
+    wrank = Window.partitionBy("vec_id").orderBy("exact_dist", "index_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("vec_id", "index_id", "exact_dist", F.col("rn").cast("int").alias("rank"))
     )
 
 

@@ -265,3 +265,41 @@ def test_ivfpq_scores_match_exhaustive_adc_and_respect_cells(spark):
     got = {(r.vec_id, r.index_id) for r in ivfpq}
     recall = len(got & want) / len(want)
     assert recall >= 0.2, recall
+
+
+def test_ivfpq_rerank_dominates_and_buys_back_code_loss(spark):
+    """The three-stage stack: per probe the reranked top-1's EXACT
+    distance must be <= the exact distance of the plain IVF-PQ top-1
+    (same shortlist, better ordering), and recall@3 vs the exact truth
+    over the index must be >= the unreranked IVF-PQ's (the rerank can
+    only remove code loss, never add it)."""
+    import math
+
+    from dffoo_data_pipeline_spark.plans import embeddings as E
+
+    rr = E.QUERIES["similarity_ivfpq_rerank_topk"](spark, SF_SMOKE).collect()
+    plain = E.QUERIES["similarity_ivfpq_topk"](spark, SF_SMOKE).collect()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    rr_top1 = {r.vec_id: r.index_id for r in rr if r.rank == 1}
+    pl_top1 = {r.vec_id: r.index_id for r in plain if r.rank == 1}
+    assert set(rr_top1) == set(pl_top1)
+    worse = [p for p in rr_top1 if d2(p, rr_top1[p]) > d2(p, pl_top1[p]) + 1e-9]
+    assert not worse, worse[:5]
+
+    # recall@3 vs exact truth (index = vec_id < _PQ_N_INDEX, incl. self)
+    index_ids = [v for v in vecs if v < E._PQ_N_INDEX]
+    truth = {
+        (q, i)
+        for q in vecs
+        for i in sorted(index_ids, key=lambda i: (d2(q, i), i))[: E._PQ_TOPK]
+    }
+    rec_rr = len({(r.vec_id, r.index_id) for r in rr} & truth) / len(truth)
+    rec_pl = len({(r.vec_id, r.index_id) for r in plain} & truth) / len(truth)
+    assert rec_rr >= rec_pl, (rec_rr, rec_pl)
