@@ -498,11 +498,17 @@ def bloom_bitmap(
 
 def _bloom_checked(bitmap: DataFrame, num_bits: int, num_hashes: int) -> DataFrame:
     """Refuse a bitmap whose stamped build geometry differs from the
-    probe's (per-row check on a 1-row relation — free)."""
+    probe's, or that is not a single row (a plain union of two bitmaps
+    would pass the per-row geometry check but fan every probe doc out
+    N× through the crossJoin — `bloom_union` is the merge).  Both are
+    per-row checks on a tiny relation — free."""
     ok = (F.col("bloom_num_bits") == num_bits) & (
         F.col("bloom_num_hashes") == num_hashes
     )
-    return bitmap.where(
+    staged = bitmap.withColumn(
+        "__n_rows", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    )
+    return staged.where(
         F.assert_true(
             ok,
             F.concat(
@@ -514,6 +520,10 @@ def _bloom_checked(bitmap: DataFrame, num_bits: int, num_hashes: int) -> DataFra
                 F.lit("/"),
                 F.col("bloom_num_hashes"),
             ),
+        ).isNull()
+        & F.assert_true(
+            F.col("__n_rows") == 1,
+            F.lit("bloom bitmap must be a single row — merge days with bloom_union"),
         ).isNull()
     ).select("bloom")
 

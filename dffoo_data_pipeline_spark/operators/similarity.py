@@ -676,6 +676,7 @@ def lsh_probe_topk_int(
     dim: int = 64,
     n_flip: int = 2,
     indexed: DataFrame | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC ANN search: exact-integer cosine top-k over the INDEX
     for every QUERY vector — the search(queries, index) API the
@@ -712,6 +713,22 @@ def lsh_probe_topk_int(
         )
     if indexed is None:
         indexed = lsh_bucket_index_int(index_codes, id_col, prefix_bits, dim)
+    elif validate_index:
+        # a persisted index built with MORE prefix_bits than this probe
+        # has buckets outside [0, 2**prefix_bits) — catch it from the
+        # data with a min/max agg (columnar, two longs to the driver).
+        # Built with FEWER bits (a strict subset of the domain) is NOT
+        # observable here — the registered plans close that direction
+        # with write_bucketed TBLPROPERTIES (expect_table_properties);
+        # same asymmetry as the dedup twin's band-domain check.  Pass
+        # validate_index=False on repeat probes of a validated index.
+        lo, hi = indexed.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+        if lo is not None and (lo < 0 or hi >= (1 << prefix_bits)):
+            raise ValueError(
+                f"persisted ANN index bucket domain [{lo}, {hi}] exceeds this "
+                f"probe's prefix_bits={prefix_bits} (domain [0, {1 << prefix_bits})) "
+                "— the index was built with different parameters"
+            )
     member = indexed.select(
         F.col(id_col).alias("__iid"),
         F.col("c").alias("__ic"),

@@ -846,28 +846,14 @@ WHERE rn <= {_PQ_TOPK}
 """
 
 
-@_register("similarity_pq_rerank_topk", _PQ_RERANK_ORACLE)
-def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage PQ retrieval (ADC shortlist → EXACT rerank): the ADC
-    stage of similarity_pq_topk picks each probe's top-8 candidates from
-    the compressed codes, then ONLY those (probe, candidate) pairs fetch
-    full float vectors and rerank by exact squared-L2 — the standard
-    IVFADC+R architecture (Jégou et al. "Searching with quantization";
-    every production ANN system reranks a compressed shortlist).
-
-    Scale: the expensive exhaustive pass touches M-byte codes only
-    (32× smaller than floats); the rerank joins |probes|·8 shortlist
-    rows against the vectors table on its key — point lookups whose
-    cost is independent of index size, and the candidate-side join
-    input is ≤ 64 vectors here (broadcastable; at real index sizes a
-    shuffle join on vec_id with pushed-down id filters).  Determinism:
-    the shortlist boundary is exact (decimal ADC sum, index_id
-    tiebreak), exact distances fold float→double left-to-right in both
-    engines and are floor-rounded at 1e-6, final rank tiebreaks on
-    index_id.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    adc = _pq_adc(e)
+def _exact_rerank_topk(e: DataFrame, adc: DataFrame) -> DataFrame:
+    """The shared rerank stage behind similarity_pq_rerank_topk and
+    similarity_ivfpq_rerank_topk: shortlist the given ADC frame to
+    top-_PQ_SHORTLIST per probe (decimal boundary, index_id tiebreak),
+    fetch full float vectors for only those pairs, rerank by exact
+    squared-L2 (1e-6 floor-rounded), emit top-_PQ_TOPK.  Any change to
+    the rerank discipline lands in ONE place so the twin plans cannot
+    diverge."""
     wshort = Window.partitionBy("vec_id").orderBy("adist", "index_id")
     short = (
         adc.withColumn("rn", F.row_number().over(wshort))
@@ -894,6 +880,30 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _PQ_TOPK)
         .select("vec_id", "index_id", "exact_dist", F.col("rn").cast("int").alias("rank"))
     )
+
+
+@_register("similarity_pq_rerank_topk", _PQ_RERANK_ORACLE)
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (ADC shortlist → EXACT rerank): the ADC
+    stage of similarity_pq_topk picks each probe's top-8 candidates from
+    the compressed codes, then ONLY those (probe, candidate) pairs fetch
+    full float vectors and rerank by exact squared-L2 — the standard
+    IVFADC+R architecture (Jégou et al. "Searching with quantization";
+    every production ANN system reranks a compressed shortlist).
+
+    Scale: the expensive exhaustive pass touches M-byte codes only
+    (32× smaller than floats); the rerank joins |probes|·8 shortlist
+    rows against the vectors table on its key — point lookups whose
+    cost is independent of index size, and the candidate-side join
+    input is ≤ 64 vectors here (broadcastable; at real index sizes a
+    shuffle join on vec_id with pushed-down id filters).  Determinism:
+    the shortlist boundary is exact (decimal ADC sum, index_id
+    tiebreak), exact distances fold float→double left-to-right in both
+    engines and are floor-rounded at 1e-6, final rank tiebreaks on
+    index_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return _exact_rerank_topk(e, _pq_adc(e))
 
 
 _IVFPQ_CELLS = 4   # coarse quantizer cells (seed centroids: vec_id < 4)
@@ -1072,33 +1082,7 @@ def similarity_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is code loss, which this stage removes).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    adc = _ivfpq_adc(e)
-    wshort = Window.partitionBy("vec_id").orderBy("adist", "index_id")
-    short = (
-        adc.withColumn("rn", F.row_number().over(wshort))
-        .where(F.col("rn") <= _PQ_SHORTLIST)
-        .select("vec_id", "index_id")
-    )
-    emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    probes = e.select("vec_id", emb_d.alias("q_emb"))
-    cands = e.where(F.col("vec_id") < _PQ_N_INDEX).select(
-        F.col("vec_id").alias("index_id"), emb_d.alias("i_emb")
-    )
-    exact = (
-        short.join(probes, "vec_id")
-        .join(F.broadcast(cands), "index_id")
-        .select(
-            "vec_id",
-            "index_id",
-            N.round_det(_l2sq(F.col("q_emb"), F.col("i_emb")), 6).alias("exact_dist"),
-        )
-    )
-    wrank = Window.partitionBy("vec_id").orderBy("exact_dist", "index_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(wrank))
-        .where(F.col("rn") <= _PQ_TOPK)
-        .select("vec_id", "index_id", "exact_dist", F.col("rn").cast("int").alias("rank"))
-    )
+    return _exact_rerank_topk(e, _ivfpq_adc(e))
 
 
 _KM_K = 8   # clusters (seed init: vec_id < 8, like embedding_nearest_seed)

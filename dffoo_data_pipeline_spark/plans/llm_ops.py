@@ -2589,11 +2589,21 @@ LEFT JOIN best bb USING (doc_id)
 
 
 def ingest_day_verdicts(
-    batch: DataFrame, ledger: DataFrame, *, bitmap: DataFrame | None = None
+    batch: DataFrame,
+    ledger: DataFrame,
+    *,
+    bitmap: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """The ingest-day stage chain shared by pipeline_ingest_day (batch)
     and streaming/jobs.py:streaming_ingest_day (per micro-batch, with a
-    once-per-run pre-built ``bitmap``).  One row per batch doc:
+    once-per-run pre-built ``bitmap`` AND ``index_bands`` — without the
+    latter every micro-batch would re-shingle and re-minhash the whole
+    ledger for the near-dup stage; with it only the batch is hashed per
+    trigger).  ``index_bands`` must be a `portable_band_index` built
+    with the probe parameters pinned here (n=3, num_hashes=15,
+    bands=5); validation is skipped since both ends live in this
+    function's callers within one run.  One row per batch doc:
     (doc_id, verdict, matched_id).  See pipeline_ingest_day for the
     full design notes."""
     seen = ledger.select(TX.fingerprint_md5("text").alias("fp"))
@@ -2601,12 +2611,24 @@ def ingest_day_verdicts(
         batch, seen, bitmap=bitmap
     ).localCheckpoint(eager=False)
     flags = gopher_rule_flags(novel, extra_cols=("text",))
-    qualified = flags.where(F.col("passes_gopher")).select("doc_id", "text")
-    lowq = flags.where(~F.col("passes_gopher")).select("doc_id")
-    probe = dedup.portable_neardup_against_index(
-        qualified, ledger, id_col="doc_id", text_col="text",
-        n=3, num_hashes=15, bands=5,
-    )
+    # NULL-text docs get NULL gopher metrics → NULL passes_gopher; both
+    # plain where() branches would drop the row (no verdict emitted)
+    # while the oracle's CASE routes it to 'low_quality'.  Coalesce to
+    # False so undecidable == rejected, matching the oracle.
+    passes = F.coalesce(F.col("passes_gopher"), F.lit(False))
+    qualified = flags.where(passes).select("doc_id", "text")
+    lowq = flags.where(~passes).select("doc_id")
+    if index_bands is not None:
+        probe = dedup.portable_neardup_against_index(
+            qualified, None, id_col="doc_id", text_col="text",
+            n=3, num_hashes=15, bands=5,
+            index_bands=index_bands, validate_index=False,
+        )
+    else:
+        probe = dedup.portable_neardup_against_index(
+            qualified, ledger, id_col="doc_id", text_col="text",
+            n=3, num_hashes=15, bands=5,
+        )
     nulid = F.lit(None).cast("bigint")
     dup_exact = batch.join(novel.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.lit("dup_exact").alias("verdict"), nulid.alias("matched_id")
@@ -2673,9 +2695,13 @@ def _run_scoped(which: str):
         if _BAND_INDEX is None:
             _BAND_INDEX = RunScopedTable("sg_portable_band_index")
         return _BAND_INDEX
-    if _ANN_INDEX is None:
-        _ANN_INDEX = RunScopedTable("sg_ann_bucket_index")
-    return _ANN_INDEX
+    if which == "ann":
+        if _ANN_INDEX is None:
+            _ANN_INDEX = RunScopedTable("sg_ann_bucket_index")
+        return _ANN_INDEX
+    # a typo'd key silently returning the wrong live index would let
+    # replace() drop the other family's table — fail loudly instead
+    raise ValueError(f"unknown run-scoped index {which!r}: expected 'band' or 'ann'")
 
 
 @_register("dedup_incremental_indexed", _incremental_portable_oracle())
@@ -2723,6 +2749,11 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=15,
         bands=5,
         index_bands=spark.table(table),
+        # the TBLPROPERTIES check above already verified ALL build params
+        # from the catalog (no data scanned); the default band_id-domain
+        # validation would add a full distinct scan of the index per probe
+        # for a strictly weaker check
+        validate_index=False,
     )
 
 
@@ -2767,6 +2798,9 @@ def similarity_lsh_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_flip=2,
         indexed=spark.table(table),
+        # TBLPROPERTIES above already verified (prefix_bits, dim, codes)
+        # from the catalog — the data-domain check would be weaker + a scan
+        validate_index=False,
     )
 
 

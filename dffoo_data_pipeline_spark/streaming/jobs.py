@@ -1091,12 +1091,21 @@ def streaming_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = dedup.bloom_bitmap(
         ledger.select(fingerprint_md5("text").alias("fp"))
     ).localCheckpoint(eager=False)
+    # the band index is the OTHER per-run amortization: without it every
+    # micro-batch re-shingles + re-minhashes the whole ledger; with it
+    # only the batch is hashed per trigger (params pinned to
+    # ingest_day_verdicts' probe)
+    bands_idx = dedup.portable_band_index(
+        ledger, "doc_id", "text", n=3, num_hashes=15, bands=5
+    ).localCheckpoint(eager=False)
     out_dir = tempfile.mkdtemp(prefix="sg_ingestday_out_")
 
     def run_day(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        verdicts = ingest_day_verdicts(batch_df, ledger, bitmap=bitmap)
+        verdicts = ingest_day_verdicts(
+            batch_df, ledger, bitmap=bitmap, index_bands=bands_idx
+        )
         verdicts.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"b{batch_id:05d}")
         )
@@ -1263,7 +1272,9 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         res = similarity.lsh_probe_topk_int(
             int8_codes(batch_df), k=5, prefix_bits=6, dim=64, n_flip=2,
-            indexed=indexed,
+            # index built in this run with these exact params — skip the
+            # per-micro-batch domain scan
+            indexed=indexed, validate_index=False,
         )
         res.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{batch_id:05d}"))
 

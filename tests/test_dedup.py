@@ -699,12 +699,15 @@ def test_pipeline_ingest_day_routes_all_four_verdicts(spark, tmp_path):
         (1, "short junk"), # batch: fails Gopher
         (7, near),         # batch: near-dup of doc 10
         (8, fresh),        # batch: admitted
+        (14, None),        # batch: NULL text -> NULL gopher metrics; must
+                           # still get a verdict ('low_quality', matching
+                           # the oracle's CASE), not silently vanish
         (9, ledger_dup),   # ledger
         (10, base),        # ledger
         (11, "some other ledger content entirely"),  # ledger
     ]
     df = spark.createDataFrame(
-        [(i, t, "en", "web", len(t)) for i, t in rows],
+        [(i, t, "en", "web", len(t) if t else 0) for i, t in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     sf_dir = str(tmp_path / "ingest_fixture")
@@ -718,6 +721,7 @@ def test_pipeline_ingest_day_routes_all_four_verdicts(spark, tmp_path):
         1: ("low_quality", None),
         7: ("near_dup", 10),
         8: ("admitted", None),
+        14: ("low_quality", None),
     }
 
 
@@ -725,7 +729,6 @@ def test_bloom_geometry_mismatch_is_refused(spark):
     """A bitmap built with one geometry probed (or unioned) with another
     must fail LOUDLY — a silent mismatch would drop duplicates (false
     negatives)."""
-    from py4j.protocol import Py4JJavaError
     from pyspark.sql import functions as F
 
     d = _docs_df(spark, {1: "aa bb cc", 12: "dd ee ff"})
@@ -739,3 +742,10 @@ def test_bloom_geometry_mismatch_is_refused(spark):
         ).collect()
     with pytest.raises(Exception, match="mismatched bitmap geometries"):
         dedup.bloom_union(small, dedup.bloom_bitmap(seen)).collect()
+    # a plain union of two same-geometry bitmaps passes the per-row
+    # geometry check but would fan every probe doc out 2x — refused too
+    b = dedup.bloom_bitmap(seen)
+    with pytest.raises(Exception, match="single row"):
+        dedup.dedup_against_seen_bloom(
+            d.where(F.col("doc_id") < 10), seen, bitmap=b.union(b)
+        ).collect()

@@ -185,8 +185,6 @@ def test_pq_rerank_dominates_adc_ranking(spark):
     be <= the exact distance of the plain ADC top-1 (the rerank can only
     improve the shortlist's ordering, never worsen it), and each probe
     emits exactly _PQ_TOPK ascending-distance rows."""
-    import math
-
     from dffoo_data_pipeline_spark.plans import embeddings as E
 
     rerank = E.QUERIES["similarity_pq_rerank_topk"](spark, SF_SMOKE)
@@ -237,8 +235,6 @@ def test_ivfpq_scores_match_exhaustive_adc_and_respect_cells(spark):
         assert float(full_adc[(r.vec_id, r.index_id)]) == r.approx_dist, r
 
     # cell containment: recompute assignments with the query's own rounding
-    import itertools
-
     vecs = {v.vec_id: [float(x) for x in v.embedding] for v in emb.collect()}
 
     def d2r(a, b):
@@ -273,8 +269,6 @@ def test_ivfpq_rerank_dominates_and_buys_back_code_loss(spark):
     (same shortlist, better ordering), and recall@3 vs the exact truth
     over the index must be >= the unreranked IVF-PQ's (the rerank can
     only remove code loss, never add it)."""
-    import math
-
     from dffoo_data_pipeline_spark.plans import embeddings as E
 
     rr = E.QUERIES["similarity_ivfpq_rerank_topk"](spark, SF_SMOKE).collect()
@@ -303,3 +297,17 @@ def test_ivfpq_rerank_dominates_and_buys_back_code_loss(spark):
     rec_rr = len({(r.vec_id, r.index_id) for r in rr} & truth) / len(truth)
     rec_pl = len({(r.vec_id, r.index_id) for r in plain} & truth) / len(truth)
     assert rec_rr >= rec_pl, (rec_rr, rec_pl)
+
+
+def test_lsh_probe_rejects_foreign_bucket_domain(spark, emb):
+    """A persisted ANN index built with MORE prefix_bits than the probe
+    has buckets outside the probe's domain — the raw-index path must
+    refuse it loudly instead of silently searching the wrong buckets."""
+    from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
+
+    codes = int8_codes(emb)
+    big = similarity.lsh_bucket_index_int(codes, prefix_bits=8)
+    with pytest.raises(ValueError, match="bucket domain"):
+        similarity.lsh_probe_topk_int(
+            codes.limit(5), k=3, prefix_bits=6, indexed=big
+        )
