@@ -200,3 +200,63 @@ def test_round3_closing_operators_empty(spark, empty_docs):
     nodes = spark.createDataFrame([], "node string")
     edges = spark.createDataFrame([], "src string, dst string, w long")
     assert pagerank(nodes, edges, iterations=2).count() == 0
+
+
+def test_bloom_dedup_empty_sides(spark, empty_docs):
+    """Empty ledger → all-zero bitmap → every batch doc proven novel
+    without touching the exact join; empty batch → empty result with the
+    right schema."""
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    empty_fps = empty_docs.select(fingerprint_md5("text").alias("fp"))
+    some = spark.createDataFrame(
+        [(1, "one two three four")], "doc_id bigint, text string"
+    )
+    got = dedup.dedup_against_seen_bloom(some, empty_fps).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+    out = dedup.dedup_against_seen_bloom(
+        empty_docs, some.select(fingerprint_md5("text").alias("fp"))
+    )
+    assert out.count() == 0 and "fp" in out.columns
+
+
+def test_pq_family_empty(spark, monkeypatch):
+    """No embeddings → empty codebook/codes/cells; every PQ-family plan
+    (exhaustive, rerank, IVF-PQ, IVF-PQ+rerank, recall report) must
+    return empty (or a degenerate summary row) with the right schema,
+    not crash on an empty broadcast side."""
+    from dffoo_data_pipeline_spark.plans import embeddings as EM
+    from dffoo_data_pipeline_spark.plans import llm_ops as LO
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(EM, "load_table", lambda *a, **k: empty)
+    for name in (
+        "similarity_pq_topk",
+        "similarity_pq_rerank_topk",
+        "similarity_ivfpq_topk",
+        "similarity_ivfpq_rerank_topk",
+    ):
+        out = EM.QUERIES[name](spark, "ignored")
+        assert out.count() == 0, name
+        assert out.columns[:2] == ["vec_id", "index_id"], name
+    monkeypatch.setattr(LO, "load_table", lambda *a, **k: empty)
+    rep = LO.QUERIES["similarity_ivfpq_recall_report"](spark, "ignored").collect()
+    assert len(rep) == 1 and rep[0].n_truth == 0
+
+
+def test_ingest_day_empty_batch_and_ledger(spark):
+    """Empty batch → zero verdicts; empty ledger → nothing is dup_exact
+    or near_dup (every doc is novel vs an empty ledger)."""
+    from dffoo_data_pipeline_spark.plans.llm_ops import ingest_day_verdicts
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    empty = spark.createDataFrame([], schema)
+    words = " ".join(
+        ["the quick brown fox and a lazy dog walk through green fields"] * 5
+    )
+    some = spark.createDataFrame([(1, words, "en", "web", len(words))], schema)
+    assert ingest_day_verdicts(empty, some).count() == 0
+    got = {r.doc_id: r.verdict for r in ingest_day_verdicts(some, empty).collect()}
+    assert got == {1: "admitted"}
