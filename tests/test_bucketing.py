@@ -364,3 +364,20 @@ def test_neardup_index_args_are_mutually_exclusive(spark, sf_dir):
         portable_neardup_against_index(d, d, "doc_id", "text", index_bands=bands)
     with pytest.raises(ValueError, match="exactly one"):
         portable_neardup_against_index(d, None, "doc_id", "text")
+
+
+def test_bloom_prefilter_plan_materializes_bitmap_once(spark, sf_dir):
+    """The executed bloom-prefilter plan must read the checkpointed
+    1-row bitmap (ExistingRDD) in BOTH union branches instead of
+    re-running the ledger scan + bit fold per branch: exactly 3 parquet
+    scans (batch ×2 for the disjoint verdict branches + ledger ×1 for
+    the exact anti-join), and both bitmap cross-joins are broadcast
+    nested loops over the checkpoint, never a ledger re-scan."""
+    from dffoo_data_pipeline_spark.plans.llm_ops import QUERIES
+
+    df = QUERIES["dedup_bloom_prefilter_novel"](spark, sf_dir)
+    df.count()  # materialize the lazy checkpoint so the final plan is real
+    plan = _physical_plan(df)
+    assert plan.count("Scan parquet") == 3, plan
+    assert plan.count("ExistingRDD") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
