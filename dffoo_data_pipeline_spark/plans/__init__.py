@@ -29,14 +29,15 @@ from __future__ import annotations
 # (abilities_full_pipeline .. multimodal_modality_zscore) roll to the r10
 # window, which closes drift re-certification entirely.  Everything
 # previously verified follows in module order via all_queries()'s tail
-# append, so its existing green row stands.  The 13 queries NEW this
+# append, so its existing green row stands.  The 14 queries NEW this
 # round (similarity_lsh_probe_topk, streaming_ann_probe,
 # dedup_prefix_filter_rotated, similarity_lsh_probe_recall_report,
 # similarity_lsh_probe_indexed, dedup_bloom_prefilter_novel,
 # similarity_pq_rerank_topk, similarity_ivfpq_topk,
 # streaming_bloom_dedup, similarity_ivfpq_recall_report,
 # pipeline_ingest_day, streaming_ingest_day,
-# similarity_ivfpq_rerank_topk — all locally
+# similarity_ivfpq_rerank_topk, similarity_ivfpq_rerank_recall_report
+# — all locally
 # oracle-green) register past
 # the window edge in the tail and queue for r10 alongside the overflow.
 _PRIORITY = [
