@@ -1985,16 +1985,8 @@ def similarity_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
     )
-    joined = truth5.join(ivf5, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
-    ).select(
-        "n_queries",
-        "n_truth",
-        "n_hits",
-        round_det(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_5"),
+    return _recall_summary(
+        truth5, ivf5, keys=("query_id", "neighbor_id"), recall_col="recall_at_5"
     )
 
 
@@ -2031,33 +2023,36 @@ def _exact_l2_truth_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_summary(truth: DataFrame, hits: DataFrame) -> DataFrame:
-    """One-row (n_queries, n_truth, n_hits, recall_at_3) summary of how
-    much of `truth` the `hits` frame (vec_id, index_id, hit=1) covers."""
+def _recall_summary(
+    truth: DataFrame,
+    hits: DataFrame,
+    keys: tuple[str, str] = ("vec_id", "index_id"),
+    recall_col: str = "recall_at_3",
+) -> DataFrame:
+    """One-row (n_queries, n_truth, n_hits, <recall_col>) summary of how
+    much of `truth` the `hits` frame (keys + hit=1) covers — the shared
+    tail of every oracled recall report."""
     from dffoo_data_pipeline_spark.functions.numeric import round_det
 
-    joined = truth.join(hits, ["vec_id", "index_id"], "left")
-    return joined.agg(
-        F.countDistinct("vec_id").cast("bigint").alias("n_queries"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hits_possible"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"),
-    ).select(
-        F.col("n_queries"),
-        F.col("n_hits_possible").alias("n_truth"),
-        F.col("n_hit").alias("n_hits"),
-        round_det(F.col("n_hit") / F.col("n_hits_possible"), 6).alias("recall_at_3"),
+    n_truth = F.count(F.lit(1))
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return truth.join(hits, list(keys), "left").agg(
+        F.countDistinct(keys[0]).cast("bigint").alias("n_queries"),
+        n_truth.cast("bigint").alias("n_truth"),
+        n_hits.cast("bigint").alias("n_hits"),
+        round_det(n_hits / n_truth, 6).alias(recall_col),
     )
 
 
-def _ivfpq_recall_oracle() -> str:
-    from dffoo_data_pipeline_spark.plans.embeddings import (
-        _IVFPQ_ORACLE,
-        _PQ_N_INDEX,
-        _PQ_TOPK,
-    )
+def _ivfpq_recall_report_sql(inner_sql: str) -> str:
+    """The shared truth+summary SQL of the IVF-PQ recall-report pair:
+    nest the measured plan's full oracle as the `hits` CTE.  ONE
+    template so the two reports can never measure against different
+    ground truths."""
+    from dffoo_data_pipeline_spark.plans.embeddings import _PQ_N_INDEX, _PQ_TOPK
 
     return f"""
-WITH ivfpq AS ({_IVFPQ_ORACLE}),
+WITH hits AS ({inner_sql}),
 base2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 truth AS (
     SELECT vec_id, index_id FROM (
@@ -2075,9 +2070,15 @@ SELECT CAST(COUNT(DISTINCT t.vec_id) AS BIGINT) AS n_queries,
          AS n_hits,
        FLOOR(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
              / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall_at_3
-FROM truth t LEFT JOIN ivfpq p
+FROM truth t LEFT JOIN hits p
   ON t.vec_id = p.vec_id AND t.index_id = p.index_id
 """
+
+
+def _ivfpq_recall_oracle() -> str:
+    from dffoo_data_pipeline_spark.plans.embeddings import _IVFPQ_ORACLE
+
+    return _ivfpq_recall_report_sql(_IVFPQ_ORACLE)
 
 
 @_register("similarity_ivfpq_recall_report", _ivfpq_recall_oracle())
@@ -2108,34 +2109,9 @@ def similarity_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _ivfpq_rerank_recall_oracle() -> str:
-    from dffoo_data_pipeline_spark.plans.embeddings import (
-        _IVFPQ_RERANK_ORACLE,
-        _PQ_N_INDEX,
-        _PQ_TOPK,
-    )
+    from dffoo_data_pipeline_spark.plans.embeddings import _IVFPQ_RERANK_ORACLE
 
-    return f"""
-WITH rr AS ({_IVFPQ_RERANK_ORACLE}),
-base2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-truth AS (
-    SELECT vec_id, index_id FROM (
-        SELECT q.vec_id, i.vec_id AS index_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   FLOOR(list_sum(list_transform(list_zip(q.emb, i.emb),
-                                                 z -> (z[1]-z[2])*(z[1]-z[2])))
-                         * 1000000 + 0.5) / 1000000,
-                   i.vec_id) AS rn
-        FROM base2 q JOIN base2 i ON i.vec_id < {_PQ_N_INDEX})
-    WHERE rn <= {_PQ_TOPK})
-SELECT CAST(COUNT(DISTINCT t.vec_id) AS BIGINT) AS n_queries,
-       CAST(COUNT(*) AS BIGINT) AS n_truth,
-       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hits,
-       FLOOR(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall_at_3
-FROM truth t LEFT JOIN rr p
-  ON t.vec_id = p.vec_id AND t.index_id = p.index_id
-"""
+    return _ivfpq_recall_report_sql(_IVFPQ_RERANK_ORACLE)
 
 
 @_register("similarity_ivfpq_rerank_recall_report", _ivfpq_rerank_recall_oracle())

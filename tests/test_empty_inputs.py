@@ -242,8 +242,12 @@ def test_pq_family_empty(spark, monkeypatch):
         assert out.count() == 0, name
         assert out.columns[:2] == ["vec_id", "index_id"], name
     monkeypatch.setattr(LO, "load_table", lambda *a, **k: empty)
-    rep = LO.QUERIES["similarity_ivfpq_recall_report"](spark, "ignored").collect()
-    assert len(rep) == 1 and rep[0].n_truth == 0
+    for rep_name in (
+        "similarity_ivfpq_recall_report",
+        "similarity_ivfpq_rerank_recall_report",
+    ):
+        rep = LO.QUERIES[rep_name](spark, "ignored").collect()
+        assert len(rep) == 1 and rep[0].n_truth == 0, rep_name
 
 
 def test_ingest_day_empty_batch_and_ledger(spark):
