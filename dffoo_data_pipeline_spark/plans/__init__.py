@@ -16,86 +16,82 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-9 window (50 slots).  The r8 window came back 50/50 green, so the
-# only remaining map work is drift re-certification.  This rotation:
-# (a) certifies the 1 never-driver-checked query (registered past the r8
-# window edge), (b) re-certifies the 3 queries whose registered plan or
-# operator CHANGED this round (the sampled prefix-filter audit's widened
-# md5 cutoff "1000"→"4000" so its green row evidences a non-empty result,
-# and the two int-ANN queries whose global merge now orders on the
-# kernel's exact rank key — r8 ADVICE), and (c) spends the remaining 46
-# slots on the STALEST green rows in registry order — all 13 r01
-# leftovers plus the first 33 of the 48 r02 rows; the 15 r02 overflow
-# (abilities_full_pipeline .. multimodal_modality_zscore) roll to the r10
-# window, which closes drift re-certification entirely.  Everything
-# previously verified follows in module order via all_queries()'s tail
-# append, so its existing green row stands.  The 14 queries NEW this
-# round (similarity_lsh_probe_topk, streaming_ann_probe,
-# dedup_prefix_filter_rotated, similarity_lsh_probe_recall_report,
-# similarity_lsh_probe_indexed, dedup_bloom_prefilter_novel,
-# similarity_pq_rerank_topk, similarity_ivfpq_topk,
-# streaming_bloom_dedup, similarity_ivfpq_recall_report,
-# pipeline_ingest_day, streaming_ingest_day,
-# similarity_ivfpq_rerank_topk, similarity_ivfpq_rerank_recall_report
-# — all locally
-# oracle-green) register past
-# the window edge in the tail and queue for r10 alongside the overflow.
+# Round-10 window (50 slots).  The r9 window came back 50/50 green (the
+# second consecutive all-green window).  This rotation, per the r9
+# verdict's explicit ask:
+# (a) certifies the 14 queries NEW in round 9 (Bloom ingest prefilter,
+# persisted-ANN asymmetric probe family, PQ rerank / IVF-PQ / IVFADC+R,
+# ingest-day E2E batch+stream) that registered past the r9 window edge —
+# all locally oracle-green but, by the hard-signal bar, untested until a
+# CORRECTNESS row exists; (b) re-certifies q20_dominant_supplier, whose
+# dominance threshold was loosened 0.5→0.24 this round so its green row
+# evidences >=1 supplier instead of 0-vs-0 (r9 verdict "What's wrong");
+# (c) closes the r02 staleness frontier with the 15 overflow rows
+# (abilities_full_pipeline .. multimodal_modality_zscore) that rolled
+# over from r9's window; and (d) spends the remaining 20 slots on the
+# stalest r04 rows in registry order (skew_heavy_hitter_report ..
+# embedding_norm_stats), leaving 19 r04 rows for the r11 window.
+# Everything previously verified follows in module order via
+# all_queries()'s tail append, so its existing green row stands.  Any
+# query NEW this round registers past the window edge and queues for
+# r11.
 _PRIORITY = [
-    # ---- (a) never driver-checked: late round-8 addition ----
-    "similarity_lsh_recall_sampled",
-    # ---- (b) changed this round: plan widened / merge-key fix ----
-    "dedup_prefix_filter_sampled",
-    "similarity_lsh_multiprobe_topk",
-    "similarity_ivf_topk",
-    # ---- (c) drift re-certification: 13 r01 + 33 r02 stalest green
-    # rows, registry order (code refactored across up to 7 rounds since
-    # their only driver row; a fresh green row proves the CURRENT code) --
-    "q12_shipmode_priority",
-    "q14_promo_revenue_ratio",
-    "window_distribution_analytics",
-    "agg_exact_percentiles",
-    "text_edit_distance_pairs",
-    "q2_min_cost_supplier",
-    "q10_returned_item_reporting",
-    "scalar_map_functions",
-    "join_asof_generic",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "scalar_variant_json",
-    "q13_customer_order_distribution",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q15_top_supplier_view",
-    "q16_not_in_suppliers",
-    "q4_order_priority_check",
-    "q7_nation_volume_shipping",
-    "q11_important_stock",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q17_small_quantity_revenue",
+    # ---- (a) the 14 round-9 additions: never driver-checked ----
+    "similarity_lsh_probe_topk",
+    "streaming_ann_probe",
+    "dedup_prefix_filter_rotated",
+    "similarity_lsh_probe_recall_report",
+    "similarity_lsh_probe_indexed",
+    "dedup_bloom_prefilter_novel",
+    "similarity_pq_rerank_topk",
+    "similarity_ivfpq_topk",
+    "streaming_bloom_dedup",
+    "similarity_ivfpq_recall_report",
+    "pipeline_ingest_day",
+    "streaming_ingest_day",
+    "similarity_ivfpq_rerank_topk",
+    "similarity_ivfpq_rerank_recall_report",
+    # ---- (b) changed this round: dominance threshold 0.5 -> 0.24 ----
     "q20_dominant_supplier",
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "doc_fingerprint",
-    "text_token_stats",
-    "text_quality_score",
-    "text_bpe_token_stats",
-    "text_lang_signal",
-    "text_repetition_signals",
-    "text_sentences_udtf",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_near_dup_survivors",
-    "dedup_connected_clusters",
-    "similarity_cosine_topk",
-    "dedup_embedding_cosine",
-    "curation_sample_stratified",
-    "curation_weighted_mix",
-    "curation_pii_redaction",
-    "curation_funnel",
-    "abilities_parse",
-    "abilities_attributes",
+    # ---- (c) r02 overflow: the last 15 rows whose newest green is r02,
+    # registry order — closes the r02 frontier entirely ----
+    "abilities_full_pipeline",
+    "abilities_attribute_list_parity",
+    "bt_effects_parse",
+    "ha_caps_parse",
+    "streaming_tumbling_hourly",
+    "streaming_session_window",
+    "streaming_interval_join",
+    "streaming_custom_sessionizer",
+    "streaming_dedup_events",
+    "streaming_stateful_user_totals",
+    "streaming_enrich_static",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "multimodal_arrow_byte_len",
+    "multimodal_modality_zscore",
+    # ---- (d) drift re-certification: first 20 of the 39 r04 rows,
+    # registry order (remaining 19 queue for r11) ----
+    "skew_heavy_hitter_report",
+    "customers_rfm",
+    "flagship_pricing_under_cap",
+    "events_ordered_funnel",
+    "events_max_gap",
+    "events_type_transitions",
+    "events_cohort_retention",
+    "events_sessionization",
+    "events_hourly_error_rate",
+    "events_anomaly_mad",
+    "scd2_user_tier",
+    "cdc_apply_latest",
+    "dedup_incremental_novel",
+    "text_contamination_overlap",
+    "dedup_shingle_containment",
+    "curation_split_assign",
+    "curation_temporal_split",
+    "curation_e2e_corpus",
+    "streaming_dedup_against_ledger",
+    "embedding_norm_stats",
 ]
 
 

@@ -2054,15 +2054,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ps.l_suppkey FROM (
             SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
             FROM lineitem GROUP BY l_partkey, l_suppkey) ps
-        WHERE ps.sq > (SELECT 0.5 * SUM(i.l_quantity) FROM lineitem i
+        WHERE ps.sq > (SELECT 0.24 * SUM(i.l_quantity) FROM lineitem i
                        WHERE i.l_partkey = ps.l_partkey))
     """,
 )
 def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted to the partsupp-less schema) — nested IN
     whose inner filter is a CORRELATED scalar aggregate (supplier carries
-    more than half a part's total quantity): two decorrelated aggregations
-    over the same fact joined on partkey, then a semi-join to supplier."""
+    a dominant share of a part's total quantity): two decorrelated
+    aggregations over the same fact joined on partkey, then a semi-join
+    to supplier.
+
+    Dominance threshold 0.24 (was 0.5): the synthetic lineitem spreads a
+    part's volume over enough suppliers that no share exceeds 0.2451 at
+    sf0.01, so the 0.5 predicate certified only 0-rows-vs-0-rows (r9
+    verdict).  0.24 is the tightest hundredth that admits >=1 supplier at
+    sf0.01, keeping the driver row evidential while preserving the
+    correlated-subquery shape under test."""
     from dffoo_data_pipeline_spark.sources.readers import register_views
 
     register_views(spark, sf_dir, names=("supplier", "lineitem"))
@@ -2074,7 +2082,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT ps.l_suppkey FROM (
                 SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
                 FROM lineitem GROUP BY l_partkey, l_suppkey) ps
-            WHERE ps.sq > (SELECT 0.5 * SUM(i.l_quantity) FROM lineitem i
+            WHERE ps.sq > (SELECT 0.24 * SUM(i.l_quantity) FROM lineitem i
                            WHERE i.l_partkey = ps.l_partkey))
         """
     )
