@@ -453,6 +453,22 @@ def bloom_bitmap(
     most ``num_bits/64`` rows.  Nothing is collected to the driver — the
     bitmap is a broadcastable 1-row relation (8 KiB at the 2^16-bit
     default), so at 100 TB the only cost is the one ledger scan.
+
+    Sizing (the caller's responsibility — an UNDER-sized bitmap is
+    correct but useless): for a target false-positive rate ``fpp`` over
+    ``n`` distinct fingerprints, ``num_bits ≈ 1.44 · n · log2(1/fpp)``
+    (≈ 9.6 bits/fp at fpp=1%), with ``num_hashes ≈ 0.69 · num_bits/n``.
+    An over-filled bitmap saturates toward all-ones and the prefilter
+    silently degrades to a no-op (every probe answers "maybe", the whole
+    batch pays the exact join) — so the row is STAMPED with
+    ``bloom_fill_ratio`` (popcount/num_bits; ≈50% at the optimal
+    operating point) and probes REFUSE a bitmap past ``max_fill``
+    (default 0.5) instead of failing slow.  Ceiling: the 1-row packed
+    array must fit a broadcast/driver row, which bounds ``num_bits`` to
+    the low billions (~10^9 bits ≈ 128 MiB); a multi-billion-fingerprint
+    ledger at useful fpp needs more — shard the ledger (e.g. by
+    ``pmod(xxhash64(fp), S)``) and build one bitmap per shard, probing
+    each batch row against its shard's bitmap, rather than one giant row.
     """
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
@@ -484,48 +500,111 @@ def bloom_bitmap(
     # negatives (bits tested that the build never set) — the same
     # param-mismatch hole the persisted band/ANN indexes close with
     # TBLPROPERTIES, closed here with in-row metadata asserted at use
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {num_words - 1}),"
-            "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
-        ).alias("bloom"),
-        F.lit(num_bits).alias("bloom_num_bits"),
-        F.lit(num_hashes).alias("bloom_num_hashes"),
+    return (
+        words.agg(
+            F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {num_words - 1}),"
+                "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
+            ).alias("bloom"),
+            F.lit(num_bits).alias("bloom_num_bits"),
+            F.lit(num_hashes).alias("bloom_num_hashes"),
+        )
+        .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
 
 
-def _bloom_checked(bitmap: DataFrame, num_bits: int, num_hashes: int) -> DataFrame:
-    """Refuse a bitmap whose stamped build geometry differs from the
-    probe's, or that is not a single row (a plain union of two bitmaps
-    would pass the per-row geometry check but fan every probe doc out
-    N× through the crossJoin — `bloom_union` is the merge).  Both are
-    per-row checks on a tiny relation — free."""
-    ok = (F.col("bloom_num_bits") == num_bits) & (
+def _bloom_fill_ratio(bloom_col: str):
+    """popcount/num_bits of a packed bitmap array, as a pure column
+    expression (num_bits is derivable: 64 · size(array)).  ~0.5 is the
+    optimal Bloom operating point; beyond it the filter saturates."""
+    return (
+        F.expr(
+            f"aggregate(transform({bloom_col}, w -> bit_count(w)),"
+            " 0, (acc, x) -> acc + x)"
+        )
+        / (F.size(F.col(bloom_col)) * F.lit(64))
+    ).cast("double")
+
+
+def _bloom_checked(
+    bitmap: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    *,
+    max_fill: float = 0.5,
+) -> DataFrame:
+    """Refuse a malformed or saturated bitmap LOUDLY, before it can
+    silently corrupt (or silently un-optimize) a probe:
+
+    - not exactly one row: a 0-row bitmap would empty the crossJoin and
+      drop the whole batch (neither novel nor dupe); an N-row one (plain
+      union of two bitmaps) would fan every probe doc out N×.  The check
+      is an AGGREGATE count — the bitmap reduces to a guaranteed-one-row
+      relation first, so the refusal fires even on 0 rows, where any
+      per-row assert is vacuous.
+    - stamped build geometry differs from the probe's: bits would be
+      tested that the build never set → silent false negatives.
+    - fill ratio past ``max_fill`` (default 0.5, the optimal Bloom
+      operating point): a saturated bitmap answers "maybe" for
+      everything, degrading the prefilter to a no-op — correct answers,
+      zero pruning, the failure mode that should fail loud, not slow.
+      Re-size per the rule in `bloom_bitmap`'s docstring (num_bits ≈
+      1.44·n·log2(1/fpp)) or shard the ledger.
+
+    All checks run on a ≤1-row relation — free."""
+    if "bloom_fill_ratio" not in bitmap.columns:
+        # externally-assembled bitmap rows predating the stamp: the fill
+        # ratio is derivable from the words themselves
+        bitmap = bitmap.withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
+    one = bitmap.agg(
+        F.count(F.lit(1)).alias("__n_rows"),
+        F.first("bloom").alias("bloom"),
+        F.first("bloom_num_bits").alias("bloom_num_bits"),
+        F.first("bloom_num_hashes").alias("bloom_num_hashes"),
+        F.first("bloom_fill_ratio").alias("bloom_fill_ratio"),
+    )
+    geom_ok = (F.col("bloom_num_bits") == num_bits) & (
         F.col("bloom_num_hashes") == num_hashes
     )
-    staged = bitmap.withColumn(
-        "__n_rows", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
-    )
-    return staged.where(
-        F.assert_true(
-            ok,
+    fill_ok = F.col("bloom_fill_ratio") <= F.lit(float(max_fill))
+    ok = (F.col("__n_rows") == 1) & geom_ok & fill_ok
+    msg = (
+        F.when(
+            F.col("__n_rows") != 1,
+            F.concat(
+                F.lit("bloom bitmap must be a single row (got "),
+                F.col("__n_rows").cast("string"),
+                F.lit(") — build with bloom_bitmap, merge days with bloom_union"),
+            ),
+        )
+        .when(
+            ~geom_ok,
             F.concat(
                 F.lit(
                     f"bloom bitmap geometry mismatch: probe expects "
                     f"num_bits={num_bits}, num_hashes={num_hashes}, index built with "
                 ),
-                F.col("bloom_num_bits"),
+                F.col("bloom_num_bits").cast("string"),
                 F.lit("/"),
-                F.col("bloom_num_hashes"),
+                F.col("bloom_num_hashes").cast("string"),
             ),
-        ).isNull()
-        & F.assert_true(
-            F.col("__n_rows") == 1,
-            F.lit("bloom bitmap must be a single row — merge days with bloom_union"),
-        ).isNull()
-    ).select("bloom")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("bloom bitmap saturated: fill_ratio="),
+                F.round("bloom_fill_ratio", 4).cast("string"),
+                F.lit(
+                    f" > max_fill={max_fill} — the prefilter would answer 'maybe' "
+                    f"for nearly everything (correct but prunes nothing); rebuild "
+                    f"with num_bits ≈ 1.44·n·log2(1/fpp) or shard the ledger"
+                ),
+            )
+        )
+    )
+    return one.where(F.assert_true(ok, msg).isNull()).select("bloom")
 
 
 def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -536,22 +615,55 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     relations; the merge is a broadcast zip_with of the word arrays.
     Mismatched build geometries are REFUSED at runtime (the stamps must
     agree — OR-ing bitmaps of different families would silently drop
-    membership)."""
-    rhs = b.select(
+    membership), and each side is validated to be EXACTLY one row via an
+    aggregate count (a multi-row side would emit an N×M pairwise-OR'd
+    artifact whose error surfaces only at a later probe; an empty side
+    would silently yield an empty 'merged' bitmap).  The merged row is
+    re-stamped with its own fill ratio (OR-ing raises popcount, so
+    neither input's stamp is valid for the result)."""
+
+    def _single(df: DataFrame, side: str) -> DataFrame:
+        one = df.agg(
+            F.count(F.lit(1)).alias("__n_rows"),
+            F.first("bloom").alias("bloom"),
+            F.first("bloom_num_bits").alias("bloom_num_bits"),
+            F.first("bloom_num_hashes").alias("bloom_num_hashes"),
+        )
+        return one.where(
+            F.assert_true(
+                F.col("__n_rows") == 1,
+                F.concat(
+                    F.lit(
+                        f"bloom_union: {side} side must be a single row "
+                        f"bloom_bitmap result (got "
+                    ),
+                    F.col("__n_rows").cast("string"),
+                    F.lit(")"),
+                ),
+            ).isNull()
+        ).drop("__n_rows")
+
+    rhs = _single(b, "right").select(
         F.col("bloom").alias("__b2"),
         F.col("bloom_num_bits").alias("__nb2"),
         F.col("bloom_num_hashes").alias("__nh2"),
     )
-    merged = a.crossJoin(F.broadcast(rhs))
+    merged = _single(a, "left").crossJoin(F.broadcast(rhs))
     ok = (F.col("bloom_num_bits") == F.col("__nb2")) & (
         F.col("bloom_num_hashes") == F.col("__nh2")
     )
-    return merged.where(
-        F.assert_true(ok, F.lit("bloom_union: mismatched bitmap geometries")).isNull()
-    ).select(
-        F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)).alias("bloom"),
-        "bloom_num_bits",
-        "bloom_num_hashes",
+    return (
+        merged.where(
+            F.assert_true(
+                ok, F.lit("bloom_union: mismatched bitmap geometries")
+            ).isNull()
+        )
+        .select(
+            F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)).alias("bloom"),
+            "bloom_num_bits",
+            "bloom_num_hashes",
+        )
+        .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
 
 
@@ -587,6 +699,7 @@ def dedup_against_seen_bloom(
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
     bitmap: DataFrame | None = None,
+    max_fill: float = 0.5,
 ) -> DataFrame:
     """`dedup_against_seen` with an EXPLICIT broadcast-Bloom prefilter —
     the steady-state ingest shape when the seen ledger is so much larger
@@ -607,7 +720,10 @@ def dedup_against_seen_bloom(
     once per run and probes it every micro-batch.  A bitmap whose
     stamped build geometry differs from this probe's
     num_bits/num_hashes is REFUSED at runtime (a mismatch would produce
-    silent false negatives, i.e. dropped duplicates).
+    silent false negatives, i.e. dropped duplicates), as is a bitmap
+    filled past ``max_fill`` (default 0.5 — a saturated bitmap answers
+    "maybe" for everything and the prefilter silently stops pruning;
+    see `bloom_bitmap` for the sizing rule).
     """
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
@@ -620,7 +736,7 @@ def dedup_against_seen_bloom(
         bitmap = bloom_bitmap(
             seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
         ).localCheckpoint(eager=False)
-    bitmap = _bloom_checked(bitmap, num_bits, num_hashes)
+    bitmap = _bloom_checked(bitmap, num_bits, num_hashes, max_fill=max_fill)
     stamped = (
         new_docs.withColumn(fp_col, fingerprint_md5(text_col))
         .crossJoin(F.broadcast(bitmap))

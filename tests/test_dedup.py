@@ -749,3 +749,91 @@ def test_bloom_geometry_mismatch_is_refused(spark):
         dedup.dedup_against_seen_bloom(
             d.where(F.col("doc_id") < 10), seen, bitmap=b.union(b)
         ).collect()
+
+
+def test_bloom_zero_row_bitmap_is_refused_not_silent(spark):
+    """A ZERO-row bitmap must fail LOUDLY.  Before the r10 fix the
+    per-row guards never evaluated on 0 rows, the crossJoin emptied the
+    stamped batch, and dedup_against_seen_bloom silently returned no
+    rows — the entire batch dropped, classified neither novel nor dupe
+    (r9 ADVICE).  The single-row check is now an AGGREGATE count, which
+    yields exactly one row even over empty input, so the assert fires."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    d = _docs_df(spark, {1: "aa bb cc", 12: "dd ee ff"})
+    seen = d.where(F.col("doc_id") >= 10).select(fingerprint_md5("text").alias("fp"))
+    empty_bitmap = dedup.bloom_bitmap(seen).where(F.lit(False))
+    with pytest.raises(Exception, match="single row"):
+        dedup.dedup_against_seen_bloom(
+            d.where(F.col("doc_id") < 10), seen, bitmap=empty_bitmap
+        ).collect()
+
+
+def test_bloom_union_refuses_empty_and_multirow_sides(spark):
+    """bloom_union must validate row counts on BOTH sides before the
+    merge: an empty side would silently yield an empty 'merged' bitmap
+    (deferring the error to a later probe), and a multi-row side would
+    emit an N×M pairwise-OR'd artifact (r9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    d = _docs_df(spark, {11: "aa bb cc", 12: "dd ee ff"})
+    fps = d.select(fingerprint_md5("text").alias("fp"))
+    good = dedup.bloom_bitmap(fps)
+    empty = good.where(F.lit(False))
+    double = good.union(good)
+    with pytest.raises(Exception, match="left side must be a single row"):
+        dedup.bloom_union(empty, good).collect()
+    with pytest.raises(Exception, match="right side must be a single row"):
+        dedup.bloom_union(good, empty).collect()
+    with pytest.raises(Exception, match="left side must be a single row"):
+        dedup.bloom_union(double, good).collect()
+    with pytest.raises(Exception, match="right side must be a single row"):
+        dedup.bloom_union(good, double).collect()
+
+
+def test_bloom_fill_ratio_stamped_and_saturation_refused(spark):
+    """The bitmap row carries bloom_fill_ratio = popcount/num_bits (so a
+    reader can see how close the filter is to saturation without
+    recomputing), bloom_union re-stamps the merged row, and a probe of a
+    bitmap past max_fill is REFUSED — an over-filled bitmap answers
+    'maybe' for everything, silently degrading the prefilter to a no-op
+    (correct answers, zero pruning): the failure mode must be loud, not
+    slow (r9 verdict)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    texts = {i: f"document number {i} with some distinct words" for i in range(40)}
+    d = _docs_df(spark, texts)
+    fps = d.select(fingerprint_md5("text").alias("fp"))
+
+    # roomy bitmap: stamp present, equals the recomputed popcount ratio
+    roomy = dedup.bloom_bitmap(fps).collect()[0]
+    popcount = sum(bin(w & (2**64 - 1)).count("1") for w in roomy["bloom"])
+    assert roomy["bloom_fill_ratio"] == pytest.approx(popcount / (1 << 16))
+    assert roomy["bloom_fill_ratio"] < 0.5
+
+    # merged row is re-stamped (OR raises popcount, inputs' stamps stale)
+    half1 = dedup.bloom_bitmap(fps.limit(20))
+    merged = dedup.bloom_union(half1, dedup.bloom_bitmap(fps)).collect()[0]
+    mpop = sum(bin(w & (2**64 - 1)).count("1") for w in merged["bloom"])
+    assert merged["bloom_fill_ratio"] == pytest.approx(mpop / (1 << 16))
+
+    # 40 fps × 4 hashes into 64 bits saturates way past 50%: refused
+    tiny = dedup.bloom_bitmap(fps, num_bits=64)
+    fill = tiny.collect()[0]["bloom_fill_ratio"]
+    assert fill > 0.5
+    with pytest.raises(Exception, match="saturated"):
+        dedup.dedup_against_seen_bloom(
+            d, fps, num_bits=64, bitmap=tiny
+        ).collect()
+    # the caller who knowingly accepts a saturated (no-op) prefilter can
+    # raise the ceiling — and the answer is still exact
+    got = dedup.dedup_against_seen_bloom(
+        d.limit(0), fps, num_bits=64, bitmap=tiny, max_fill=1.0
+    ).count()
+    assert got == 0
