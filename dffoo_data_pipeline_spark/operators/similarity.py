@@ -716,19 +716,44 @@ def lsh_probe_topk_int(
     elif validate_index:
         # a persisted index built with MORE prefix_bits than this probe
         # has buckets outside [0, 2**prefix_bits) — catch it from the
-        # data with a min/max agg (columnar, two longs to the driver).
-        # Built with FEWER bits (a strict subset of the domain) is NOT
-        # observable here — the registered plans close that direction
-        # with write_bucketed TBLPROPERTIES (expect_table_properties);
-        # same asymmetry as the dedup twin's band-domain check.  Pass
-        # validate_index=False on repeat probes of a validated index.
-        lo, hi = indexed.agg(F.min("bucket"), F.max("bucket")).collect()[0]
-        if lo is not None and (lo < 0 or hi >= (1 << prefix_bits)):
-            raise ValueError(
-                f"persisted ANN index bucket domain [{lo}, {hi}] exceeds this "
-                f"probe's prefix_bits={prefix_bits} (domain [0, {1 << prefix_bits})) "
-                "— the index was built with different parameters"
+        # data with a min/max agg over the bucket column.  LAZY (r9
+        # ADVICE): the check rides the probe plan as a 1-row asserted
+        # aggregate broadcast-crossJoined onto the member side, instead
+        # of an eager collect() at plan-construction time — constructing
+        # a probe stays free, and the domain scan runs (and repeats) only
+        # when the probe itself actually executes.  Built with FEWER
+        # bits (a strict subset of the domain) is NOT observable here —
+        # the registered plans close that direction with write_bucketed
+        # TBLPROPERTIES (expect_table_properties); same asymmetry as the
+        # dedup twin's band-domain check.  Pass validate_index=False on
+        # repeat probes of a validated index (every registered plan
+        # does, after its TBLPROPERTIES check).
+        domain_ok = F.col("__lo").isNull() | (
+            (F.col("__lo") >= 0) & (F.col("__hi") < (1 << prefix_bits))
+        )
+        guard = (
+            indexed.agg(
+                F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
             )
+            .where(
+                F.assert_true(
+                    domain_ok,
+                    F.concat(
+                        F.lit("persisted ANN index bucket domain ["),
+                        F.col("__lo").cast("string"),
+                        F.lit(", "),
+                        F.col("__hi").cast("string"),
+                        F.lit(
+                            f"] exceeds this probe's prefix_bits={prefix_bits} "
+                            f"(domain [0, {1 << prefix_bits})) — the index was "
+                            f"built with different parameters"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .select(F.lit(1).alias("__domain_checked"))
+        )
+        indexed = indexed.crossJoin(F.broadcast(guard)).drop("__domain_checked")
     member = indexed.select(
         F.col(id_col).alias("__iid"),
         F.col("c").alias("__ic"),

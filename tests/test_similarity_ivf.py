@@ -302,12 +302,21 @@ def test_ivfpq_rerank_dominates_and_buys_back_code_loss(spark):
 def test_lsh_probe_rejects_foreign_bucket_domain(spark, emb):
     """A persisted ANN index built with MORE prefix_bits than the probe
     has buckets outside the probe's domain — the raw-index path must
-    refuse it loudly instead of silently searching the wrong buckets."""
+    refuse it loudly instead of silently searching the wrong buckets.
+    The check is LAZY (r9 ADVICE): plan construction is free; the
+    refusal fires when the probe executes."""
     from dffoo_data_pipeline_spark.plans.embeddings import int8_codes
 
     codes = int8_codes(emb)
     big = similarity.lsh_bucket_index_int(codes, prefix_bits=8)
-    with pytest.raises(ValueError, match="bucket domain"):
-        similarity.lsh_probe_topk_int(
-            codes.limit(5), k=3, prefix_bits=6, indexed=big
-        )
+    probe = similarity.lsh_probe_topk_int(
+        codes.limit(5), k=3, prefix_bits=6, indexed=big
+    )  # construction must NOT scan the index (laziness is the contract)
+    with pytest.raises(Exception, match="bucket domain"):
+        probe.collect()
+    # a matching-domain index passes the lazy guard end-to-end
+    ok_idx = similarity.lsh_bucket_index_int(codes, prefix_bits=6)
+    got = similarity.lsh_probe_topk_int(
+        codes.limit(5), k=3, prefix_bits=6, indexed=ok_idx
+    ).collect()
+    assert len(got) > 0
