@@ -236,6 +236,12 @@ def main() -> None:
         ),
         "legacy17_total": legacy17,
         "r9_additions_total": additions,
+        # value/median_total/value_idle sum over EXACTLY this subset of
+        # `queries` (the cross-round-comparable set; the r9 additions are
+        # measured but subtotaled separately) — emitted so a consumer
+        # re-deriving the total from `queries` agrees with `value`
+        # without reading the comment above HEADLINE (r9 ADVICE)
+        "comparable_queries": HEADLINE[:_N_COMPARABLE],
         "reps": reps,
         "sf": sf,
         "loadavg_min": round(min(loads), 2),
@@ -246,16 +252,26 @@ def main() -> None:
     print(json.dumps(result))
 
     # Complete local artifact (driver BENCH_r{N}.json tails get truncated
-    # at 2000 chars): full per-query rep lists + the loadavg trace, named
-    # for the round inferred from the checked-in driver artifacts.
+    # at 2000 chars): full per-query rep lists + the loadavg trace.
+    # Named for SPARK_GRAFT_BENCH_TAG when set (the close-out ritual sets
+    # e.g. r10_closeout so the artifact is unambiguous), else for the
+    # round inferred from the checked-in driver artifacts — which is
+    # WRONG for a close-out run after the driver has already written the
+    # current round's CORRECTNESS file (the r9 close-out landed in
+    # BENCH_local_r10.json this way; r9 verdict hygiene note).
     try:
-        nxt = 1 + max(
-            (
-                int(p.stem.rsplit("r", 1)[-1])
-                for p in Path(_REPO).glob("CORRECTNESS_r*.json")
-            ),
-            default=0,
-        )
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+        if tag:
+            fname = f"BENCH_local_{tag}.json"
+        else:
+            nxt = 1 + max(
+                (
+                    int(p.stem.rsplit("r", 1)[-1])
+                    for p in Path(_REPO).glob("CORRECTNESS_r*.json")
+                ),
+                default=0,
+            )
+            fname = f"BENCH_local_r{nxt:02d}.json"
         local = dict(
             result,
             queries_runs={n: [round(x, 3) for x in r] for n, r in runs.items()},
@@ -264,7 +280,7 @@ def main() -> None:
             queries_idle=queries_idle,
             queries_idle_loadgate=idle_loadgate,
         )
-        with open(Path(_REPO) / f"BENCH_local_r{nxt:02d}.json", "w") as fh:
+        with open(Path(_REPO) / fname, "w") as fh:
             json.dump(local, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout line is still the contract
