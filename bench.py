@@ -73,15 +73,24 @@ HEADLINE += [
     "dedup_prefix_filter_pairs",     # lossless prefix-filtered all-pairs
 ]
 
-# round-9 additions: measured and reported per-query + as their own
-# subtotal, EXCLUDED from value/median_total/value_idle so those stay
-# comparable with rounds 3-8 (same rationale as legacy17_total)
+# round-9+ additions: measured and reported per-query + as their own
+# subtotal (`additions_total`), EXCLUDED from value/median_total/
+# value_idle so those stay comparable with rounds 3-8 (same rationale
+# as legacy17_total; the emitted `comparable_queries` list is the
+# authoritative comparable set)
 _N_COMPARABLE = len(HEADLINE)
 HEADLINE += [
     "dedup_bloom_prefilter_novel",   # broadcast-Bloom prefiltered ledger anti-join
     "similarity_pq_rerank_topk",     # PQ ADC shortlist + exact float rerank
     "similarity_ivfpq_topk",         # coarse-cell-bounded ADC (IVFADC)
     "pipeline_ingest_day",           # bloom -> gopher -> band-probe E2E
+    # round-10: the remaining ANN routing-table paths, benched so the
+    # README recall/cost frontier cites one measured number per path
+    "similarity_lsh_topk",           # single-probe int-LSH (cheapest linear path)
+    "similarity_lsh_multiprobe_topk",  # +2 bit-flip probes (2x recall)
+    "similarity_ivf_topk",           # seeded IVF (best oracled recall)
+    "similarity_lsh_probe_topk",     # asymmetric search(queries, index)
+    "similarity_ivfpq_rerank_topk",  # IVFADC+R full stack
 ]
 
 
@@ -235,7 +244,10 @@ def main() -> None:
             sum(medians[n] for n in HEADLINE[:_N_COMPARABLE]), 3
         ),
         "legacy17_total": legacy17,
-        "r9_additions_total": additions,
+        # named r9_additions_total through round 9; the tier now also
+        # carries the round-10 ANN-path additions, so the stable name is
+        # additions_total (sum over every query NOT in comparable_queries)
+        "additions_total": additions,
         # value/median_total/value_idle sum over EXACTLY this subset of
         # `queries` (the cross-round-comparable set; the r9 additions are
         # measured but subtotaled separately) — emitted so a consumer
