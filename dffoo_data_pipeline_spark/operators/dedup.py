@@ -758,6 +758,279 @@ def dedup_against_seen_bloom(
     return proven_novel.unionByName(verified_novel).drop("__maybe_seen")
 
 
+# seed column for shard ROUTING — outside [0, num_hashes), so the shard
+# hash is independent of every bit-position hash (a shared seed would
+# correlate shard membership with bit 0, biasing per-shard fill)
+_BLOOM_SHARD_SEED = -1
+
+
+def _bloom_shard_of(col, shards: int):
+    return F.pmod(F.xxhash64(col, F.lit(_BLOOM_SHARD_SEED)), F.lit(shards))
+
+
+def bloom_bitmap_sharded(
+    fingerprints: DataFrame,
+    *,
+    fp_col: str = "fp",
+    shards: int = 8,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """The past-the-broadcast-ceiling form of `bloom_bitmap`: fingerprints
+    route to ``pmod(xxhash64(fp, seed), shards)`` and each shard folds
+    into its OWN packed bitmap row — an at-most-``shards``-row relation
+    carrying ``shards × num_bits`` total capacity with no single giant
+    row/broadcast (the 1-row form tops out around 10^9 bits ≈ 128 MiB;
+    see `bloom_bitmap`'s sizing note).  Probes join batch rows to their
+    shard's row on the shard id (`dedup_against_seen_bloom_sharded`), so
+    each row still crosses the wire once per executor, not per doc.
+
+    Same stamps as the 1-row form (geometry + per-shard fill ratio) plus
+    ``shard`` and ``bloom_shards`` (the routing modulus — a probe with a
+    different ``shards`` would route fingerprints to the wrong rows:
+    refused, like every other geometry mismatch).  A shard that received
+    no fingerprints has NO row; probes treat the missing row as the
+    all-zeros bitmap (proven novel), so sparse ledgers stay cheap.
+    Fold is one shuffle on (shard, word_idx) with map-side `bit_or`
+    partials, then one on shard — nothing is collected."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    num_words = num_bits // 64
+    bits = fingerprints.select(
+        _bloom_shard_of(F.col(fp_col), shards).alias("shard"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    words = (
+        bits.select(
+            "shard",
+            F.floor(F.col("bit") / 64).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("shard", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return (
+        words.groupBy("shard")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("m")
+        )
+        .select(
+            "shard",
+            F.expr(
+                f"transform(sequence(0, {num_words - 1}),"
+                "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
+            ).alias("bloom"),
+            F.lit(shards).alias("bloom_shards"),
+            F.lit(num_bits).alias("bloom_num_bits"),
+            F.lit(num_hashes).alias("bloom_num_hashes"),
+        )
+        .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
+    )
+
+
+def _bloom_sharded_checked(
+    bitmaps: DataFrame,
+    shards: int,
+    num_bits: int,
+    num_hashes: int,
+    *,
+    max_fill: float = 0.5,
+) -> DataFrame:
+    """`_bloom_checked`'s sharded sibling, same lazy 1-row-aggregate
+    pattern: refuse duplicate shard rows (each would fan its shard's
+    probe docs out N×), out-of-domain shard ids, a routing-modulus or
+    geometry stamp differing from the probe's, and any shard past
+    ``max_fill``.  ZERO rows is VALID here (an empty ledger builds no
+    shard rows; probes treat missing shards as all-zeros), so unlike the
+    1-row form the count check is uniqueness, not presence."""
+    geom_ok = (
+        (F.col("bloom_shards") == shards)
+        & (F.col("bloom_num_bits") == num_bits)
+        & (F.col("bloom_num_hashes") == num_hashes)
+    )
+    guard = bitmaps.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("shard")).alias("__nd"),
+        F.min("shard").alias("__smin"),
+        F.max("shard").alias("__smax"),
+        F.min(geom_ok.cast("int")).alias("__geom_ok"),
+        F.max("bloom_fill_ratio").alias("__max_fill"),
+    )
+    ok = (
+        (F.col("__n") == F.col("__nd"))
+        & (F.col("__smin").isNull() | (F.col("__smin") >= 0))
+        & (F.col("__smax").isNull() | (F.col("__smax") < shards))
+        & (F.col("__geom_ok").isNull() | (F.col("__geom_ok") == 1))
+        & (F.col("__max_fill").isNull() | (F.col("__max_fill") <= F.lit(float(max_fill))))
+    )
+    msg = (
+        F.when(
+            F.col("__n") != F.col("__nd"),
+            F.lit(
+                "sharded bloom bitmap has duplicate shard rows — build with "
+                "bloom_bitmap_sharded, merge days with bloom_union_sharded"
+            ),
+        )
+        .when(
+            (F.col("__smin") < 0) | (F.col("__smax") >= shards),
+            F.concat(
+                F.lit("sharded bloom bitmap shard ids ["),
+                F.col("__smin").cast("string"),
+                F.lit(", "),
+                F.col("__smax").cast("string"),
+                F.lit(f"] outside this probe's routing domain [0, {shards})"),
+            ),
+        )
+        .when(
+            F.col("__geom_ok") == 0,
+            F.lit(
+                f"sharded bloom bitmap stamp mismatch: probe expects "
+                f"shards={shards}, num_bits={num_bits}, num_hashes={num_hashes}"
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("sharded bloom bitmap saturated: worst shard fill_ratio="),
+                F.round("__max_fill", 4).cast("string"),
+                F.lit(
+                    f" > max_fill={max_fill} — raise num_bits or shards "
+                    f"(num_bits ≈ 1.44·(n/shards)·log2(1/fpp) per shard)"
+                ),
+            )
+        )
+    )
+    checked = guard.where(F.assert_true(ok, msg).isNull()).select(
+        F.lit(1).alias("__shards_checked")
+    )
+    return bitmaps.crossJoin(F.broadcast(checked)).select("shard", "bloom")
+
+
+def bloom_union_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
+    """`bloom_union`'s sharded sibling: per-shard OR-merge via a full
+    outer join on the shard id — a shard present on only one side passes
+    through unchanged (the other side's bitmap is implicitly all-zeros),
+    so yesterday's sharded bitmap ∪ today's novel-only fold is
+    bit-exactly a full rebuild (pinned by test).  Stamps must agree
+    row-for-row on every shard present on both sides; the merged rows
+    are re-stamped with their own fill ratios."""
+    rhs = b.select(
+        F.col("shard"),
+        F.col("bloom").alias("__b2"),
+        F.col("bloom_shards").alias("__s2"),
+        F.col("bloom_num_bits").alias("__nb2"),
+        F.col("bloom_num_hashes").alias("__nh2"),
+        F.col("bloom_fill_ratio").alias("__fr2"),
+    )
+    merged = a.join(rhs, "shard", "full_outer")
+    both = F.col("bloom").isNotNull() & F.col("__b2").isNotNull()
+    ok = ~both | (
+        (F.col("bloom_shards") == F.col("__s2"))
+        & (F.col("bloom_num_bits") == F.col("__nb2"))
+        & (F.col("bloom_num_hashes") == F.col("__nh2"))
+    )
+    return (
+        merged.where(
+            F.assert_true(
+                ok, F.lit("bloom_union_sharded: mismatched bitmap geometries")
+            ).isNull()
+        )
+        .select(
+            "shard",
+            F.when(both, F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)))
+            .otherwise(F.coalesce("bloom", "__b2"))
+            .alias("bloom"),
+            F.coalesce("bloom_shards", "__s2").alias("bloom_shards"),
+            F.coalesce("bloom_num_bits", "__nb2").alias("bloom_num_bits"),
+            F.coalesce("bloom_num_hashes", "__nh2").alias("bloom_num_hashes"),
+        )
+        .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
+    )
+
+
+def dedup_against_seen_bloom_sharded(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+    shards: int = 8,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    bitmaps: DataFrame | None = None,
+    max_fill: float = 0.5,
+) -> DataFrame:
+    """`dedup_against_seen_bloom` for ledgers whose Bloom capacity
+    outgrows one broadcastable row: the prefilter is a BROADCAST EQUI-
+    JOIN of the batch onto the at-most-``shards``-row bitmap relation on
+    the shard id (each batch doc reads exactly its shard's words), not a
+    crossJoin of one giant row.  A batch doc whose shard has no row is
+    PROVEN novel (that shard saw no fingerprints — the all-zeros bitmap
+    answer).  Same exactness contract as the 1-row form: the Bloom never
+    changes the answer, only how much of the batch pays the exact
+    anti-join, so the result is oracle-identical to the plain path.
+
+    At 100 TB: shards × num_bits scales the capacity linearly while
+    every row stays broadcast-sized; size per the per-shard rule
+    num_bits ≈ 1.44·(n/shards)·log2(1/fpp).  Pass pre-built ``bitmaps``
+    (a `bloom_bitmap_sharded` result) to amortize the ledger fold;
+    routing-modulus/geometry/fill mismatches are refused lazily at
+    action time (`_bloom_sharded_checked`)."""
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    if bitmaps is None:
+        bitmaps = bloom_bitmap_sharded(
+            seen_fingerprints,
+            fp_col=fp_col,
+            shards=shards,
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+        ).localCheckpoint(eager=False)
+    checked = _bloom_sharded_checked(
+        bitmaps, shards, num_bits, num_hashes, max_fill=max_fill
+    )
+    stamped = (
+        new_docs.withColumn(fp_col, fingerprint_md5(text_col))
+        .withColumn("__shard", _bloom_shard_of(F.col(fp_col), shards))
+        .join(
+            F.broadcast(checked.withColumnRenamed("shard", "__shard")),
+            "__shard",
+            "left",
+        )
+        .withColumn(
+            "__maybe_seen",
+            F.coalesce(
+                bloom_might_contain(
+                    F.col(fp_col),
+                    F.col("bloom"),
+                    num_bits=num_bits,
+                    num_hashes=num_hashes,
+                ),
+                F.lit(False),  # missing shard row == all-zeros bitmap
+            ),
+        )
+        .drop("bloom", "__shard")
+    )
+    proven_novel = stamped.where(~F.col("__maybe_seen"))
+    verified_novel = stamped.where(F.col("__maybe_seen")).join(
+        seen_fingerprints.select(fp_col), fp_col, "left_anti"
+    )
+    return proven_novel.unionByName(verified_novel).drop("__maybe_seen")
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -837,3 +837,104 @@ def test_bloom_fill_ratio_stamped_and_saturation_refused(spark):
         d.limit(0), fps, num_bits=64, bitmap=tiny, max_fill=1.0
     ).count()
     assert got == 0
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom prefilter (bloom_bitmap_sharded / bloom_union_sharded /
+# dedup_against_seen_bloom_sharded) — the past-the-broadcast-ceiling form
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_bloom_matches_plain_and_unsharded(spark):
+    """The sharded prefilter must return exactly the plain anti-join's
+    novel set (same no-false-negatives contract as the 1-row form) —
+    including when some shards received no fingerprints (missing rows
+    read as all-zeros bitmaps)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    texts = {i: f"content number {i} here" for i in range(30)}
+    texts.update({1: texts[11], 3: texts[13]})  # cross-split dupes
+    d = _docs_df(spark, texts)
+    new = d.where(F.col("doc_id") < 10)
+    seen = d.where(F.col("doc_id") >= 10).select(fingerprint_md5("text").alias("fp"))
+    want = {r.doc_id for r in dedup.dedup_against_seen(new, seen)[0].collect()}
+    for shards in (1, 4, 64):  # 64 shards over ~20 fps guarantees empties
+        got = {
+            r.doc_id
+            for r in dedup.dedup_against_seen_bloom_sharded(
+                new, seen, shards=shards
+            ).collect()
+        }
+        assert got == want, (shards, got ^ want)
+
+
+def test_sharded_bloom_empty_ledger_proves_all_novel(spark):
+    """An EMPTY ledger builds zero shard rows; every batch doc's left
+    join misses, coalesces to not-seen, and is proven novel without the
+    exact join — and without tripping any refusal (0 rows is the valid
+    empty state for the sharded form, unlike the 1-row form)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    d = _docs_df(spark, {1: "aa", 2: "bb", 3: "cc"})
+    empty_seen = d.where(F.lit(False)).select(fingerprint_md5("text").alias("fp"))
+    got = {
+        r.doc_id
+        for r in dedup.dedup_against_seen_bloom_sharded(d, empty_seen).collect()
+    }
+    assert got == {1, 2, 3}
+
+
+def test_sharded_bloom_union_equals_full_rebuild(spark, sf_dir):
+    """Per-shard daily maintenance: yesterday's sharded bitmap ∪ a fold
+    of only today's fingerprints is bit-exactly a full rebuild, shard by
+    shard — including shards present on only one side."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", fingerprint_md5("text").alias("fp"))
+    day1 = dedup.bloom_bitmap_sharded(fps.where(F.col("doc_id") % 3 == 0), shards=16)
+    day2 = dedup.bloom_bitmap_sharded(fps.where(F.col("doc_id") % 3 != 0), shards=16)
+    merged = {
+        r.shard: r.bloom for r in dedup.bloom_union_sharded(day1, day2).collect()
+    }
+    full = {r.shard: r.bloom for r in dedup.bloom_bitmap_sharded(fps, shards=16).collect()}
+    assert merged == full
+
+
+def test_sharded_bloom_refusals(spark):
+    """Wrong routing modulus, duplicate shard rows, and per-shard
+    saturation are each refused loudly at action time."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    texts = {i: f"doc number {i} words" for i in range(40)}
+    d = _docs_df(spark, texts)
+    fps = d.select(fingerprint_md5("text").alias("fp"))
+
+    built4 = dedup.bloom_bitmap_sharded(fps, shards=4)
+    with pytest.raises(Exception, match="stamp mismatch"):
+        dedup.dedup_against_seen_bloom_sharded(
+            d, fps, shards=8, bitmaps=built4
+        ).collect()
+    with pytest.raises(Exception, match="duplicate shard rows"):
+        dedup.dedup_against_seen_bloom_sharded(
+            d, fps, shards=4, bitmaps=built4.union(built4)
+        ).collect()
+    tiny = dedup.bloom_bitmap_sharded(fps, shards=2, num_bits=64)
+    assert tiny.agg(F.max("bloom_fill_ratio")).collect()[0][0] > 0.5
+    with pytest.raises(Exception, match="saturated"):
+        dedup.dedup_against_seen_bloom_sharded(
+            d, fps, shards=2, num_bits=64, bitmaps=tiny
+        ).collect()
+    # per-shard stamps present and consistent with a recount
+    row = built4.collect()[0]
+    pop = sum(bin(w & (2**64 - 1)).count("1") for w in row["bloom"])
+    assert row["bloom_fill_ratio"] == pytest.approx(pop / (1 << 16))
