@@ -1461,9 +1461,11 @@ def portable_neardup_against_index(
     would silently report novel=1.  With ``validate_index=True``
     (default) the ``index_bands`` path cheaply cross-checks the one
     parameter that is observable from the data — the index's band_id
-    domain must sit inside ``range(bands)`` — by a map-side-combined
-    DISTINCT over a single int column (≤ ``bands`` rows reach the
-    driver).  A wrong ``n``/``num_hashes`` is NOT detectable from band
+    domain must equal ``range(bands)`` — via a LAZY asserted aggregate
+    riding the probe plan (map-side-combined over a single int column;
+    probe construction stays free, the refusal fires at action time —
+    same pattern as the ANN twin).  A wrong ``n``/``num_hashes`` is NOT
+    detectable from band
     hashes alone; co-version those with the index (the
     `dedup_incremental_indexed` plan pins all three in one place).
     Pass ``validate_index=False`` on latency-critical repeat probes
@@ -1494,17 +1496,50 @@ def portable_neardup_against_index(
     probe = _portable_bands_from_shingles(probe_sh, id_col, num_hashes, bands)
     if index_bands is not None:
         if validate_index:
-            got = sorted(
-                r[0] for r in index_bands.select("band_id").distinct().collect()
-            )
             # every indexed doc emits one row per band, so any non-empty
-            # index built with `bands` bands covers exactly range(bands)
-            if got and got != list(range(bands)):
-                raise ValueError(
-                    f"index band_id domain {got} != range({bands}): the "
-                    "persisted index was built with a different `bands` "
-                    "(probe params must equal the index build params)"
+            # index built with `bands` bands covers exactly range(bands) —
+            # equivalently (pigeonhole over distinct ints): exactly
+            # `bands` distinct ids, min 0, max bands-1.  LAZY, same
+            # pattern as the ANN twin (r9 ADVICE there): a 1-row asserted
+            # aggregate broadcast-crossJoined onto the index side, so
+            # probe construction is free and the (map-side-combined,
+            # single-int-column) domain scan runs only at action time.
+            # an EMPTY index is tolerated (nothing to collide with),
+            # matching the eager check's `if got and ...`
+            dom_ok = (F.col("__nd") == 0) | (
+                (F.col("__nd") == bands)
+                & (F.col("__bmin") == 0)
+                & (F.col("__bmax") == bands - 1)
+            )
+            guard = (
+                index_bands.agg(
+                    F.count_distinct(F.col("band_id")).alias("__nd"),
+                    F.min("band_id").alias("__bmin"),
+                    F.max("band_id").alias("__bmax"),
                 )
+                .where(
+                    F.assert_true(
+                        dom_ok,
+                        F.concat(
+                            F.lit("index band_id domain ("),
+                            F.col("__nd").cast("string"),
+                            F.lit(" ids in ["),
+                            F.col("__bmin").cast("string"),
+                            F.lit(", "),
+                            F.col("__bmax").cast("string"),
+                            F.lit(
+                                f"]) != range({bands}): the persisted index "
+                                f"was built with a different `bands` (probe "
+                                f"params must equal the index build params)"
+                            ),
+                        ),
+                    ).isNull()
+                )
+                .select(F.lit(1).alias("__band_domain_checked"))
+            )
+            index_bands = index_bands.crossJoin(F.broadcast(guard)).drop(
+                "__band_domain_checked"
+            )
         idx = index_bands.select(
             F.col(id_col).alias("matched_id"), "band_id", "band_hash"
         )

@@ -253,10 +253,11 @@ def test_neardup_index_band_domain_guard(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").limit(20)
     idx3 = portable_band_index(d, "doc_id", "text", num_hashes=15, bands=3)
-    with pytest.raises(ValueError, match="band_id domain"):
-        portable_neardup_against_index(
-            d, None, "doc_id", "text", num_hashes=15, bands=5, index_bands=idx3
-        ).collect()
+    probe = portable_neardup_against_index(
+        d, None, "doc_id", "text", num_hashes=15, bands=5, index_bands=idx3
+    )  # construction must NOT scan the index (lazy guard, r10)
+    with pytest.raises(Exception, match="band_id domain"):
+        probe.collect()
     # matching params pass the guard; validate_index=False skips the scan
     ok = portable_neardup_against_index(
         d, None, "doc_id", "text", num_hashes=15, bands=3, index_bands=idx3
