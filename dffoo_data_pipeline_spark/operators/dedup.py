@@ -435,12 +435,44 @@ def dedup_against_seen(
     return novel, dupes
 
 
+def _bloom_positions(col, num_bits: int, num_hashes: int, family: str = "xx64"):
+    """The ``num_hashes`` bit positions of one fingerprint, per hash
+    family.  ``xx64`` (default): seeded xxhash64 — fastest, JVM-side,
+    Spark-specific values.  ``md5``: positions are parsed straight out of
+    the md5 fingerprint's own hex (bit_i = int(fp[8i:8i+8], 16) mod
+    num_bits, so ≤4 probes from 32 hex chars) — any engine with md5 and
+    hex parsing reproduces the positions bit-for-bit, which makes the
+    BITMAP ARTIFACT itself (and every membership answer, false positives
+    included) value-hash oracle-able and probe-able outside Spark: the
+    Bloom sibling of the md5-portable MinHash/SimHash families."""
+    if family == "xx64":
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    if family == "md5":
+        if num_hashes > 4:
+            raise ValueError(
+                f"md5 bloom family supports at most 4 probes "
+                f"(32 hex chars / 8 per position), got {num_hashes}"
+            )
+        return [
+            F.pmod(
+                F.conv(F.substring(col, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+                F.lit(num_bits),
+            )
+            for i in range(num_hashes)
+        ]
+    raise ValueError(f"unknown bloom family {family!r} (xx64 or md5)")
+
+
 def bloom_bitmap(
     fingerprints: DataFrame,
     *,
     fp_col: str = "fp",
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
+    family: str = "xx64",
 ) -> DataFrame:
     """Aggregate a fingerprint ledger into a packed Bloom bitmap: a
     ONE-ROW DataFrame with column ``bloom`` = array of ``num_bits // 64``
@@ -475,12 +507,7 @@ def bloom_bitmap(
     num_words = num_bits // 64
     bits = fingerprints.select(
         F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(num_bits))
-                    for i in range(num_hashes)
-                ]
-            )
+            F.array(*_bloom_positions(F.col(fp_col), num_bits, num_hashes, family))
         ).alias("bit")
     )
     words = (
@@ -511,6 +538,7 @@ def bloom_bitmap(
             ).alias("bloom"),
             F.lit(num_bits).alias("bloom_num_bits"),
             F.lit(num_hashes).alias("bloom_num_hashes"),
+            F.lit(family).alias("bloom_family"),
         )
         .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
@@ -534,6 +562,7 @@ def _bloom_checked(
     num_bits: int,
     num_hashes: int,
     *,
+    family: str = "xx64",
     max_fill: float = 0.5,
 ) -> DataFrame:
     """Refuse a malformed or saturated bitmap LOUDLY, before it can
@@ -559,15 +588,21 @@ def _bloom_checked(
         # externally-assembled bitmap rows predating the stamp: the fill
         # ratio is derivable from the words themselves
         bitmap = bitmap.withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
+    if "bloom_family" not in bitmap.columns:
+        # pre-family bitmaps were all xxhash64-built
+        bitmap = bitmap.withColumn("bloom_family", F.lit("xx64"))
     one = bitmap.agg(
         F.count(F.lit(1)).alias("__n_rows"),
         F.first("bloom").alias("bloom"),
         F.first("bloom_num_bits").alias("bloom_num_bits"),
         F.first("bloom_num_hashes").alias("bloom_num_hashes"),
+        F.first("bloom_family").alias("bloom_family"),
         F.first("bloom_fill_ratio").alias("bloom_fill_ratio"),
     )
-    geom_ok = (F.col("bloom_num_bits") == num_bits) & (
-        F.col("bloom_num_hashes") == num_hashes
+    geom_ok = (
+        (F.col("bloom_num_bits") == num_bits)
+        & (F.col("bloom_num_hashes") == num_hashes)
+        & (F.col("bloom_family") == family)
     )
     fill_ok = F.col("bloom_fill_ratio") <= F.lit(float(max_fill))
     ok = (F.col("__n_rows") == 1) & geom_ok & fill_ok
@@ -585,11 +620,14 @@ def _bloom_checked(
             F.concat(
                 F.lit(
                     f"bloom bitmap geometry mismatch: probe expects "
-                    f"num_bits={num_bits}, num_hashes={num_hashes}, index built with "
+                    f"num_bits={num_bits}, num_hashes={num_hashes}, "
+                    f"family={family}, index built with "
                 ),
                 F.col("bloom_num_bits").cast("string"),
                 F.lit("/"),
                 F.col("bloom_num_hashes").cast("string"),
+                F.lit("/"),
+                F.col("bloom_family"),
             ),
         )
         .otherwise(
@@ -623,11 +661,14 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     neither input's stamp is valid for the result)."""
 
     def _single(df: DataFrame, side: str) -> DataFrame:
+        if "bloom_family" not in df.columns:
+            df = df.withColumn("bloom_family", F.lit("xx64"))
         one = df.agg(
             F.count(F.lit(1)).alias("__n_rows"),
             F.first("bloom").alias("bloom"),
             F.first("bloom_num_bits").alias("bloom_num_bits"),
             F.first("bloom_num_hashes").alias("bloom_num_hashes"),
+            F.first("bloom_family").alias("bloom_family"),
         )
         return one.where(
             F.assert_true(
@@ -647,10 +688,13 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
         F.col("bloom").alias("__b2"),
         F.col("bloom_num_bits").alias("__nb2"),
         F.col("bloom_num_hashes").alias("__nh2"),
+        F.col("bloom_family").alias("__bf2"),
     )
     merged = _single(a, "left").crossJoin(F.broadcast(rhs))
-    ok = (F.col("bloom_num_bits") == F.col("__nb2")) & (
-        F.col("bloom_num_hashes") == F.col("__nh2")
+    ok = (
+        (F.col("bloom_num_bits") == F.col("__nb2"))
+        & (F.col("bloom_num_hashes") == F.col("__nh2"))
+        & (F.col("bloom_family") == F.col("__bf2"))
     )
     return (
         merged.where(
@@ -662,6 +706,7 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
             F.zip_with("bloom", "__b2", lambda x, y: x.bitwiseOR(y)).alias("bloom"),
             "bloom_num_bits",
             "bloom_num_hashes",
+            "bloom_family",
         )
         .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
@@ -673,17 +718,19 @@ def bloom_might_contain(
     *,
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
+    family: str = "xx64",
 ):
     """Membership test against a ``bloom_bitmap`` array column, as a pure
-    column expression (no UDF): ``num_hashes`` seeded xxhash64 probes,
-    each testing one bit via ``getbit``.  False positives possible, false
-    negatives impossible — a ``false`` answer is PROOF of absence, so the
-    caller may skip the exact check for those rows.  Bit positions are
-    ``pmod(..., num_bits)`` < num_bits by construction, so the 0-based
-    array index never goes out of bounds (ANSI-safe)."""
+    column expression (no UDF): ``num_hashes`` probes from the bitmap's
+    hash ``family`` (seeded xxhash64, or md5-hex-derived for the
+    portable family — see `_bloom_positions`), each testing one bit via
+    ``getbit``.  False positives possible, false negatives impossible —
+    a ``false`` answer is PROOF of absence, so the caller may skip the
+    exact check for those rows.  Bit positions are ``pmod(..., num_bits)``
+    < num_bits by construction, so the 0-based array index never goes
+    out of bounds (ANSI-safe)."""
     cond = F.lit(True)
-    for i in range(num_hashes):
-        bit = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+    for bit in _bloom_positions(col, num_bits, num_hashes, family):
         word = bloom_col[F.floor(bit / 64).cast("int")]
         cond = cond & (F.getbit(word, F.pmod(bit, F.lit(64))) == 1)
     return cond
@@ -700,6 +747,7 @@ def dedup_against_seen_bloom(
     num_hashes: int = 4,
     bitmap: DataFrame | None = None,
     max_fill: float = 0.5,
+    family: str = "xx64",
 ) -> DataFrame:
     """`dedup_against_seen` with an EXPLICIT broadcast-Bloom prefilter —
     the steady-state ingest shape when the seen ledger is so much larger
@@ -734,9 +782,15 @@ def dedup_against_seen_bloom(
         # eager=False keeps plan construction free (materializes at the
         # first action).
         bitmap = bloom_bitmap(
-            seen_fingerprints, fp_col=fp_col, num_bits=num_bits, num_hashes=num_hashes
+            seen_fingerprints,
+            fp_col=fp_col,
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+            family=family,
         ).localCheckpoint(eager=False)
-    bitmap = _bloom_checked(bitmap, num_bits, num_hashes, max_fill=max_fill)
+    bitmap = _bloom_checked(
+        bitmap, num_bits, num_hashes, family=family, max_fill=max_fill
+    )
     stamped = (
         new_docs.withColumn(fp_col, fingerprint_md5(text_col))
         .crossJoin(F.broadcast(bitmap))
@@ -747,6 +801,7 @@ def dedup_against_seen_bloom(
                 F.col("bloom"),
                 num_bits=num_bits,
                 num_hashes=num_hashes,
+                family=family,
             ),
         )
         .drop("bloom")

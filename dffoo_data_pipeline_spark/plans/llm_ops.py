@@ -205,6 +205,130 @@ def dedup_bloom_sharded_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.select("doc_id", "fp")
 
 
+# the md5 ("portable") bloom family derives each bit position straight
+# from the fingerprint's own hex (bit_i = int(fp[8i:8i+8], 16) mod
+# num_bits), so the bitmap WORDS and every membership answer — false
+# positives included — are reproducible by any engine with md5 + hex
+# parsing: DuckDB rebuilds the artifact bit-for-bit below.  The bloom
+# sibling of the md5-portable MinHash/SimHash twins (hash-family
+# routing note, README).  DuckDB refuses 1<<63 (overflow-checked), so
+# the bit-63 mask is spelled as the min-bigint literal; every other
+# word value matches Spark's two's-complement bigint exactly.
+_BLOOM_PORTABLE_MASK_SQL = (
+    "CASE WHEN {bit} % 64 = 63 THEN -9223372036854775807 - 1 "
+    "ELSE (CAST(1 AS BIGINT) << CAST({bit} % 64 AS INT)) END"
+)
+
+_BLOOM_PORTABLE_WORDS_ORACLE = r"""
+    WITH fp AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 7 >= 2),
+    bits AS (
+        SELECT (('0x' || substr(fp, 1 + 8 * h.i, 8))::BIGINT % 65536) AS bit
+        FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+        WHERE fp IS NOT NULL)
+    SELECT CAST(bit // 64 AS INT) AS word_idx,
+           bit_or({mask}) AS word
+    FROM bits GROUP BY word_idx
+    """.format(mask=_BLOOM_PORTABLE_MASK_SQL.format(bit="bit"))
+
+
+@_register("dedup_bloom_portable_words", _BLOOM_PORTABLE_WORDS_ORACLE)
+def dedup_bloom_portable_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PORTABLE Bloom bitmap itself, certified as an artifact: the
+    ledger's md5-family bitmap (operators/dedup.py:bloom_bitmap with
+    family='md5') unpacked to one (word_idx, word) row per non-zero
+    64-bit word and value-hash compared against DuckDB rebuilding the
+    same words from scratch.  The xx64 default family is faster but
+    Spark-specific; this family is what a pipeline persists when the
+    bitmap must be probed, audited, or rebuilt by a NON-Spark engine
+    over the same lakehouse — and this query is the proof that such an
+    engine derives the identical artifact.
+
+    Scale: identical fold to the default family (map-side bit_or into a
+    1-row packed array, never collected); the unpack is posexplode of
+    ≤1024 words."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = (
+        d.where(F.col("doc_id") % 7 >= 2)
+        .select(TX.fingerprint_md5("text").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    bm = dedup.bloom_bitmap(seen, family="md5")
+    return (
+        bm.select(F.posexplode("bloom").alias("word_idx", "word"))
+        .where(F.col("word") != 0)
+    )
+
+
+_BLOOM_PORTABLE_FLAGS_ORACLE = r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    bits AS (
+        SELECT (('0x' || substr(fp, 1 + 8 * h.i, 8))::BIGINT % 65536) AS bit
+        FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+        WHERE doc_id % 7 >= 2 AND fp IS NOT NULL),
+    words AS (
+        SELECT CAST(bit // 64 AS INT) AS word_idx,
+               bit_or({mask}) AS word
+        FROM bits GROUP BY word_idx),
+    dbits AS (
+        SELECT doc_id,
+               (('0x' || substr(fp, 1 + 8 * h.i, 8))::BIGINT % 65536) AS bit
+        FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+        WHERE doc_id % 7 < 2),
+    dtest AS (
+        SELECT d.doc_id,
+               CASE WHEN w.word IS NULL THEN FALSE
+                    ELSE (w.word & {dmask}) != 0 END AS hit
+        FROM dbits d
+        LEFT JOIN words w ON w.word_idx = CAST(d.bit // 64 AS INT))
+    SELECT doc_id, bool_and(hit) AS maybe_seen
+    FROM dtest GROUP BY doc_id
+    """.format(
+    mask=_BLOOM_PORTABLE_MASK_SQL.format(bit="bit"),
+    dmask=_BLOOM_PORTABLE_MASK_SQL.format(bit="d.bit"),
+)
+
+
+@_register("dedup_bloom_portable_flags", _BLOOM_PORTABLE_FLAGS_ORACLE)
+def dedup_bloom_portable_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable Bloom's MEMBERSHIP ANSWERS, certified exactly: one
+    (doc_id, maybe_seen) row per batch doc, where maybe_seen is the raw
+    bloom verdict against the ledger's md5-family bitmap — INCLUDING the
+    false positives, which for this family are deterministic and
+    engine-independent, so DuckDB recomputes the byte-identical flag set
+    (the answer-level oracles on the novel queries can only show the
+    bloom never changes the final answer; this one pins the prefilter's
+    own behavior).  A NULL-text doc has no fingerprint and flags
+    maybe_seen=false (proven novel) in both engines.
+
+    Scale: the probe is the production shape — broadcast 1-row bitmap,
+    pure column-expression bit tests, no exact-join stage at all (this
+    query IS the prefilter output)."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = (
+        d.where(F.col("doc_id") % 7 >= 2)
+        .select(TX.fingerprint_md5("text").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    bm = dedup._bloom_checked(
+        dedup.bloom_bitmap(seen, family="md5"), 1 << 16, 4, family="md5"
+    )
+    batch = d.where(F.col("doc_id") % 7 < 2).withColumn(
+        "fp", TX.fingerprint_md5("text")
+    )
+    return batch.crossJoin(F.broadcast(bm)).select(
+        "doc_id",
+        F.coalesce(
+            dedup.bloom_might_contain(F.col("fp"), F.col("bloom"), family="md5"),
+            F.lit(False),
+        ).alias("maybe_seen"),
+    )
+
+
 @_register(
     "doc_fingerprint",
     """

@@ -938,3 +938,41 @@ def test_sharded_bloom_refusals(spark):
     row = built4.collect()[0]
     pop = sum(bin(w & (2**64 - 1)).count("1") for w in row["bloom"])
     assert row["bloom_fill_ratio"] == pytest.approx(pop / (1 << 16))
+
+
+def test_portable_bloom_family(spark):
+    """md5-family bloom: same no-false-negatives/exactness contract as
+    xx64 (the prefiltered novel set equals the plain anti-join), and a
+    bitmap built with one family probed with the other is REFUSED — the
+    two families' bit positions are unrelated, so a silent cross-probe
+    would produce false negatives (dropped duplicates)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    texts = {i: f"portable doc {i} body" for i in range(24)}
+    texts.update({1: texts[11], 2: texts[12]})  # cross-split dupes
+    d = _docs_df(spark, texts)
+    new = d.where(F.col("doc_id") < 10)
+    seen = d.where(F.col("doc_id") >= 10).select(fingerprint_md5("text").alias("fp"))
+    want = {r.doc_id for r in dedup.dedup_against_seen(new, seen)[0].collect()}
+    got = {
+        r.doc_id
+        for r in dedup.dedup_against_seen_bloom(new, seen, family="md5").collect()
+    }
+    assert got == want
+
+    md5_bm = dedup.bloom_bitmap(seen, family="md5")
+    with pytest.raises(Exception, match="geometry mismatch"):
+        dedup.dedup_against_seen_bloom(new, seen, bitmap=md5_bm).collect()
+    with pytest.raises(Exception, match="mismatched bitmap geometries"):
+        dedup.bloom_union(md5_bm, dedup.bloom_bitmap(seen)).collect()
+    # same-family union still bit-exact vs rebuild
+    day1 = dedup.bloom_bitmap(seen.limit(5), family="md5")
+    merged = dedup.bloom_union(day1, md5_bm).collect()[0]
+    full = dedup.bloom_bitmap(seen, family="md5").collect()[0]
+    assert merged["bloom"] == full["bloom"]
+    assert merged["bloom_family"] == "md5"
+    # >4 probes cannot be derived from 32 hex chars
+    with pytest.raises(ValueError, match="at most 4"):
+        dedup.bloom_bitmap(seen, family="md5", num_hashes=5)
