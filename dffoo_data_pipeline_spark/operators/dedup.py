@@ -504,14 +504,45 @@ def bloom_bitmap(
     """
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
-    num_words = num_bits // 64
     bits = fingerprints.select(
         F.explode(
             F.array(*_bloom_positions(F.col(fp_col), num_bits, num_hashes, family))
         ).alias("bit")
     )
+    # the build geometry is STAMPED into the row: a probe or union with
+    # different num_bits/num_hashes/family would otherwise produce silent
+    # false negatives (bits tested that the build never set) — the same
+    # param-mismatch hole the persisted band/ANN indexes close with
+    # TBLPROPERTIES, closed here with in-row metadata asserted at use
+    return (
+        _bloom_fold_words(bits, num_bits // 64)
+        .select(
+            "bloom",
+            F.lit(num_bits).alias("bloom_num_bits"),
+            F.lit(num_hashes).alias("bloom_num_hashes"),
+            F.lit(family).alias("bloom_family"),
+        )
+        .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
+    )
+
+
+def _bloom_fold_words(bits: DataFrame, num_words: int, *group_cols: str) -> DataFrame:
+    """Fold exploded bit positions into packed 64-long-word arrays: input
+    (*group_cols, bit), output (*group_cols, bloom).  The OR-fold runs as
+    a map-side partial ``bit_or`` per (group, word); the densify step
+    (map → fixed-length array) touches ``num_words`` entries per group.
+    With no group columns the fold is a GLOBAL aggregate — exactly one
+    output row even over empty input (the all-zeros bitmap); with groups
+    (the sharded form), empty groups simply have no row.  NULL bit
+    positions (a NULL fingerprint under the md5 family, which derives
+    positions from the fp hex itself) are dropped here — a NULL fp sets
+    no bits, matching the probe side where it tests none and is answered
+    not-seen, and keeping NULL out of ``map_from_entries`` (NULL map
+    keys are refused by Spark)."""
     words = (
-        bits.select(
+        bits.where(F.col("bit").isNotNull())
+        .select(
+            *group_cols,
             F.floor(F.col("bit") / 64).cast("int").alias("word_idx"),
             # shiftleft's Python wrapper only takes int positions; the SQL
             # expression form takes any int expression
@@ -519,28 +550,21 @@ def bloom_bitmap(
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))"
             ).alias("mask"),
         )
-        .groupBy("word_idx")
+        .groupBy(*group_cols, "word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
-    # the build geometry is STAMPED into the row: a probe or union with
-    # different num_bits/num_hashes would otherwise produce silent false
-    # negatives (bits tested that the build never set) — the same
-    # param-mismatch hole the persisted band/ANN indexes close with
-    # TBLPROPERTIES, closed here with in-row metadata asserted at use
     return (
-        words.agg(
+        words.groupBy(*group_cols)  # no cols == global agg: 1 row always
+        .agg(
             F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
         )
         .select(
+            *group_cols,
             F.expr(
                 f"transform(sequence(0, {num_words - 1}),"
                 "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
             ).alias("bloom"),
-            F.lit(num_bits).alias("bloom_num_bits"),
-            F.lit(num_hashes).alias("bloom_num_hashes"),
-            F.lit(family).alias("bloom_family"),
         )
-        .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
 
 
@@ -796,12 +820,20 @@ def dedup_against_seen_bloom(
         .crossJoin(F.broadcast(bitmap))
         .withColumn(
             "__maybe_seen",
-            bloom_might_contain(
-                F.col(fp_col),
-                F.col("bloom"),
-                num_bits=num_bits,
-                num_hashes=num_hashes,
-                family=family,
+            # coalesce: a NULL fingerprint (NULL text) yields NULL bit
+            # tests under the md5 family — without the coalesce such a
+            # row would match NEITHER where() branch and silently vanish
+            # (the plain anti-join classifies it novel, since NULL never
+            # equals a ledger fp; so must we)
+            F.coalesce(
+                bloom_might_contain(
+                    F.col(fp_col),
+                    F.col("bloom"),
+                    num_bits=num_bits,
+                    num_hashes=num_hashes,
+                    family=family,
+                ),
+                F.lit(False),
             ),
         )
         .drop("bloom")
@@ -852,42 +884,21 @@ def bloom_bitmap_sharded(
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
-    num_words = num_bits // 64
+    # xx64 positions only: shard ROUTING is xxhash64, so an md5-family
+    # sharded bitmap would not be cross-engine probe-able anyway (the
+    # routing, not just the bits, must be reproducible) — portability
+    # stays the 1-row form's job until a portable router is needed
     bits = fingerprints.select(
         _bloom_shard_of(F.col(fp_col), shards).alias("shard"),
         F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(num_bits))
-                    for i in range(num_hashes)
-                ]
-            )
+            F.array(*_bloom_positions(F.col(fp_col), num_bits, num_hashes))
         ).alias("bit"),
     )
-    words = (
-        bits.select(
-            "shard",
-            F.floor(F.col("bit") / 64).cast("int").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("shard", "word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-    )
     return (
-        words.groupBy("shard")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word_idx", "word"))
-            ).alias("m")
-        )
+        _bloom_fold_words(bits, num_bits // 64, "shard")
         .select(
             "shard",
-            F.expr(
-                f"transform(sequence(0, {num_words - 1}),"
-                "           i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"
-            ).alias("bloom"),
+            "bloom",
             F.lit(shards).alias("bloom_shards"),
             F.lit(num_bits).alias("bloom_num_bits"),
             F.lit(num_hashes).alias("bloom_num_hashes"),
@@ -911,6 +922,9 @@ def _bloom_sharded_checked(
     ``max_fill``.  ZERO rows is VALID here (an empty ledger builds no
     shard rows; probes treat missing shards as all-zeros), so unlike the
     1-row form the count check is uniqueness, not presence."""
+    if "bloom_fill_ratio" not in bitmaps.columns:
+        # externally-assembled shard rows predating the stamp: derivable
+        bitmaps = bitmaps.withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     geom_ok = (
         (F.col("bloom_shards") == shards)
         & (F.col("bloom_num_bits") == num_bits)
@@ -921,7 +935,10 @@ def _bloom_sharded_checked(
         F.count_distinct(F.col("shard")).alias("__nd"),
         F.min("shard").alias("__smin"),
         F.max("shard").alias("__smax"),
-        F.min(geom_ok.cast("int")).alias("__geom_ok"),
+        # coalesce: a row with NULL stamps must count as a geometry
+        # FAILURE, not be skipped by min()'s NULL-ignoring aggregation —
+        # an unstamped row would otherwise be probed unverified
+        F.min(F.coalesce(geom_ok.cast("int"), F.lit(0))).alias("__geom_ok"),
         F.max("bloom_fill_ratio").alias("__max_fill"),
     )
     ok = (
@@ -978,9 +995,54 @@ def bloom_union_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
     outer join on the shard id — a shard present on only one side passes
     through unchanged (the other side's bitmap is implicitly all-zeros),
     so yesterday's sharded bitmap ∪ today's novel-only fold is
-    bit-exactly a full rebuild (pinned by test).  Stamps must agree
-    row-for-row on every shard present on both sides; the merged rows
-    are re-stamped with their own fill ratios."""
+    bit-exactly a full rebuild (pinned by test).  Like the 1-row form,
+    BOTH sides are validated before the merge: duplicate shard rows on
+    either side would fan out N×M through the outer join (a corrupted
+    multi-row-per-shard artifact whose error would otherwise only
+    surface at a later probe), and each side must carry exactly one
+    stamp triple — checked ACROSS sides too, even when the shard-id sets
+    are disjoint (the row-level check below can only compare stamps on
+    shards present on both sides).  Merged rows are re-stamped with
+    their own fill ratios."""
+
+    def _stats(df: DataFrame, side: str):
+        g = F.struct("bloom_shards", "bloom_num_bits", "bloom_num_hashes")
+        return df.agg(
+            F.count(F.lit(1)).alias(f"__n_{side}"),
+            F.count_distinct(F.col("shard")).alias(f"__nd_{side}"),
+            F.count_distinct(g).alias(f"__ng_{side}"),
+            F.first(g).alias(f"__g_{side}"),
+        )
+
+    ok = (
+        (F.col("__n_l") == F.col("__nd_l"))
+        & (F.col("__n_r") == F.col("__nd_r"))
+        & (F.col("__ng_l") <= 1)
+        & (F.col("__ng_r") <= 1)
+        & (
+            (F.col("__n_l") == 0)
+            | (F.col("__n_r") == 0)
+            | (F.col("__g_l") == F.col("__g_r"))
+        )
+    )
+    msg = (
+        F.when(
+            (F.col("__n_l") != F.col("__nd_l"))
+            | (F.col("__n_r") != F.col("__nd_r")),
+            F.lit(
+                "bloom_union_sharded: a side has duplicate shard rows — "
+                "each must be a bloom_bitmap_sharded result (one row per shard)"
+            ),
+        )
+        .otherwise(F.lit("bloom_union_sharded: mismatched bitmap geometries"))
+    )
+    guard = (
+        _stats(a, "l")
+        .crossJoin(F.broadcast(_stats(b, "r")))
+        .where(F.assert_true(ok, msg).isNull())
+        .select(F.lit(1).alias("__union_checked"))
+    )
+    a = a.crossJoin(F.broadcast(guard)).drop("__union_checked")
     rhs = b.select(
         F.col("shard"),
         F.col("bloom").alias("__b2"),

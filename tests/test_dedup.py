@@ -976,3 +976,62 @@ def test_portable_bloom_family(spark):
     # >4 probes cannot be derived from 32 hex chars
     with pytest.raises(ValueError, match="at most 4"):
         dedup.bloom_bitmap(seen, family="md5", num_hashes=5)
+
+
+def test_portable_bloom_null_text_not_dropped(spark):
+    """Self-review r10 regression pins: (1) a NULL-text batch doc under
+    the md5 family must be classified NOVEL (its bit tests are NULL;
+    without the coalesce it matched neither branch and silently
+    vanished — the silent-drop failure mode this round eliminated);
+    (2) a NULL fingerprint in the LEDGER must not crash the md5-family
+    bitmap build with NULL_MAP_KEY (NULL positions set no bits)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    batch = spark.createDataFrame(
+        [(1, "aa bb"), (2, None), (3, "cc dd")],
+        "doc_id bigint, text string",
+    )
+    ledger = spark.createDataFrame(
+        [(11, "ledger only"), (12, None)], "doc_id bigint, text string"
+    ).select(fingerprint_md5("text").alias("fp"))
+    want = {r.doc_id for r in dedup.dedup_against_seen(batch, ledger)[0].collect()}
+    assert want == {1, 2, 3}
+    got = {
+        r.doc_id
+        for r in dedup.dedup_against_seen_bloom(batch, ledger, family="md5").collect()
+    }
+    assert got == want  # incl. the NULL-text doc — neither dropped nor crashed
+    # and the bitmap build itself tolerates the ledger's NULL fp
+    row = dedup.bloom_bitmap(ledger, family="md5").collect()[0]
+    assert row["bloom_family"] == "md5" and len(row["bloom"]) == (1 << 16) // 64
+
+
+def test_sharded_bloom_union_refusals(spark):
+    """bloom_union_sharded validates BOTH sides before the outer join
+    (self-review r10): a duplicated shard row would fan out N×M into a
+    corrupted multi-row-per-shard artifact, and two bitmaps built with
+    different routing moduli must be refused even when their shard-id
+    sets happen to be disjoint (the row-level stamp check only sees
+    shards present on both sides)."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    texts = {i: f"union doc {i} text" for i in range(30)}
+    d = _docs_df(spark, texts)
+    fps = d.select(fingerprint_md5("text").alias("fp"))
+    day1 = dedup.bloom_bitmap_sharded(fps.limit(10), shards=4)
+    day2 = dedup.bloom_bitmap_sharded(fps, shards=4)
+    with pytest.raises(Exception, match="duplicate shard rows"):
+        dedup.bloom_union_sharded(day1.union(day1), day2).collect()
+    with pytest.raises(Exception, match="duplicate shard rows"):
+        dedup.bloom_union_sharded(day2, day1.union(day1)).collect()
+    # disjoint shard sets, different moduli: rows never meet in the
+    # outer join, so only the cross-side guard can catch it
+    m8 = dedup.bloom_bitmap_sharded(fps, shards=8).where(F.col("shard") >= 4)
+    m4 = day2.where(F.col("shard") < 4)
+    if m8.count() > 0 and m4.count() > 0:  # fixture-dependent occupancy
+        with pytest.raises(Exception, match="mismatched bitmap geometries"):
+            dedup.bloom_union_sharded(m4, m8).collect()
