@@ -25,16 +25,23 @@ from __future__ import annotations
 # all locally oracle-green but, by the hard-signal bar, untested until a
 # CORRECTNESS row exists; (b) re-certifies q20_dominant_supplier, whose
 # dominance threshold was loosened 0.5→0.24 this round so its green row
-# evidences >=1 supplier instead of 0-vs-0 (r9 verdict "What's wrong");
+# evidences >=1 supplier instead of 0-vs-0 (r9 verdict "What's wrong"),
+# and first-certifies the 3 queries new this round (see below);
 # (c) closes the r02 staleness frontier with the 15 overflow rows
 # (abilities_full_pipeline .. multimodal_modality_zscore) that rolled
-# over from r9's window; and (d) spends the remaining 20 slots on the
+# over from r9's window; and (d) spends the remaining 17 slots on the
 # stalest r04 rows in registry order (skew_heavy_hitter_report ..
-# embedding_norm_stats), leaving 19 r04 rows for the r11 window.
+# curation_temporal_split), leaving 22 r04 rows for the r11 window.
 # Everything previously verified follows in module order via
-# all_queries()'s tail append, so its existing green row stands.  Any
-# query NEW this round registers past the window edge and queues for
-# r11.
+# all_queries()'s tail append, so its existing green row stands.
+# UNLIKE prior rounds, the 3 queries NEW this round (the sharded and
+# md5-portable Bloom family: dedup_bloom_sharded_novel,
+# dedup_bloom_portable_words, dedup_bloom_portable_flags) are IN the
+# window — the r9 verdict's one material gap was "new queries never
+# driver-checked", and first-certification outranks drift
+# re-certification, so they take the window's last three slots and
+# curation_e2e_corpus / streaming_dedup_against_ledger /
+# embedding_norm_stats join the r04 remainder queued for r11 (22 rows).
 _PRIORITY = [
     # ---- (a) the 14 round-9 additions: never driver-checked ----
     "similarity_lsh_probe_topk",
@@ -51,8 +58,12 @@ _PRIORITY = [
     "streaming_ingest_day",
     "similarity_ivfpq_rerank_topk",
     "similarity_ivfpq_rerank_recall_report",
-    # ---- (b) changed this round: dominance threshold 0.5 -> 0.24 ----
+    # ---- (b) changed this round: dominance threshold 0.5 -> 0.24;
+    # plus the 3 queries NEW this round (sharded + md5-portable Bloom) --
     "q20_dominant_supplier",
+    "dedup_bloom_sharded_novel",
+    "dedup_bloom_portable_words",
+    "dedup_bloom_portable_flags",
     # ---- (c) r02 overflow: the last 15 rows whose newest green is r02,
     # registry order — closes the r02 frontier entirely ----
     "abilities_full_pipeline",
@@ -70,8 +81,8 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_arrow_byte_len",
     "multimodal_modality_zscore",
-    # ---- (d) drift re-certification: first 20 of the 39 r04 rows,
-    # registry order (remaining 19 queue for r11) ----
+    # ---- (d) drift re-certification: first 17 of the 39 r04 rows,
+    # registry order (remaining 22 queue for r11) ----
     "skew_heavy_hitter_report",
     "customers_rfm",
     "flagship_pricing_under_cap",
@@ -89,9 +100,6 @@ _PRIORITY = [
     "dedup_shingle_containment",
     "curation_split_assign",
     "curation_temporal_split",
-    "curation_e2e_corpus",
-    "streaming_dedup_against_ledger",
-    "embedding_norm_stats",
 ]
 
 
