@@ -191,19 +191,31 @@ def main() -> None:
         runs[name].append(elapsed)
         rep_trace.append((name, round(elapsed, 3), round(load, 2), round(ext, 3)))
 
-    for name in HEADLINE:
-        queries[name](spark, sf_dir)  # warm pass: file listing, codegen, UDF fork
-    for _ in range(reps):
-        for name in HEADLINE:
-            run_rep(name)
-    slow = [n for n in HEADLINE if min(runs[n]) >= 2.0]
-    for _ in range(extra_slow_reps):
-        for name in slow:
-            run_rep(name)
-    for _ in range(hot_pairs):
-        for name in HEADLINE:
-            run_rep(name)  # re-warm adjacency
-            run_rep(name)  # the hot rep
+    # The full protocol (interleave -> slow extras -> paired-hot tail)
+    # runs PER TIER: the comparable set interleaves only among itself,
+    # exactly as it did in rounds 3-9, and the additions tier runs
+    # afterwards in its own pass.  Round-10 lesson: growing the additions
+    # tier to 9 queries and interleaving it WITH the 39 comparables
+    # inflated every comparable floor a uniform ~25% (two runs, ext-busy
+    # gate green throughout, untouched plans included) — the r7
+    # code-cache/JIT-eviction effect scales with the number of co-
+    # interleaved plans, so cross-round floor comparability requires the
+    # comparable tier's interleave set to stay fixed, not just its
+    # membership.
+    for tier in (HEADLINE[:_N_COMPARABLE], HEADLINE[_N_COMPARABLE:]):
+        for name in tier:
+            queries[name](spark, sf_dir)  # warm: file listing, codegen, UDF fork
+        for _ in range(reps):
+            for name in tier:
+                run_rep(name)
+        slow = [n for n in tier if min(runs[n]) >= 2.0]
+        for _ in range(extra_slow_reps):
+            for name in slow:
+                run_rep(name)
+        for _ in range(hot_pairs):
+            for name in tier:
+                run_rep(name)  # re-warm adjacency
+                run_rep(name)  # the hot rep
     loads.append(os.getloadavg()[0])
 
     timings = {n: round(min(r), 3) for n, r in runs.items()}
