@@ -15,6 +15,8 @@ touches the driver.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -53,13 +55,20 @@ def _shingles_udf(n: int):
     (`functions.text.word_shingles`) re-inlines the tokenization into
     every element_at under Catalyst's projection collapse, turning one
     split per document into one split per shingle (~60× slower measured).
-    Tokenization here (lower/strip/split) matches the DuckDB oracle's
-    `string_split_regex(regexp_replace(lower(trim(text)),'\\s+',' '), ' ')`.
+    Tokenization here (lower/strip/ASCII-\\s+ split) matches the DuckDB
+    oracle's `string_split_regex(regexp_replace(lower(trim(text)),
+    '\\s+',' '), ' ')` — the cross-engine whitespace spec is ASCII
+    [ \\t\\n\\r\\f\\v] (RE2 and Java \\s), NOT Python str.split()'s
+    Unicode whitespace: a doc containing e.g. U+00A0 must shingle
+    identically in every engine that probes the portable index (r10
+    self-review; the ASCII-only synthetic corpus masked the difference).
     """
+    ws = re.compile(r"\s+", re.ASCII)
+
     @pandas_udf("array<string>")
     def shingle(texts: pd.Series) -> pd.Series:
         def sh(t: str):
-            w = t.lower().strip().split()
+            w = [tok for tok in ws.split(t.lower().strip()) if tok]
             if len(w) < n:
                 return []
             seen = dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))

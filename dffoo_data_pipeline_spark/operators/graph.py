@@ -103,12 +103,32 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 25,
+    on_nonconvergence: str = "warn",
 ) -> DataFrame:
     """(id, cluster_id) for every node; cluster_id = min node id reachable.
 
     `edges` may be directed pairs (a<b); they are symmetrized here.
     Isolated nodes cluster with themselves.
+
+    Each round does min-label propagation over edges PLUS one pointer
+    jump (label := min(label, label-of-label)), so the frontier doubles
+    per round and convergence is O(log diameter) instead of O(diameter)
+    — 25 rounds covers any graph a 64-bit id space can hold (the plain
+    propagation form needed diameter rounds, so a 30-deep near-dup
+    template chain silently exceeded 25; r10 self-review).  The jump is
+    a self-join of the materialized, subgraph-sized label frame — cheap
+    next to the edge join — and cannot change the fixpoint (min
+    reachable id), only reach it sooner.
+
+    ``on_nonconvergence``: 'warn' (default) or 'raise'.  Callers whose
+    OUTPUT SEMANTICS depend on final labels — the leakage-safe split,
+    where a partial cluster id scatters one near-dup cluster across
+    train and test, the precise leak the op exists to prevent — must
+    pass 'raise': partial labels there are not degraded, they are
+    wrong.
     """
+    if on_nonconvergence not in ("warn", "raise"):
+        raise ValueError(f"on_nonconvergence must be warn|raise, got {on_nonconvergence!r}")
     sc = nodes.sparkSession.sparkContext
 
     def _unpersist(ids: set) -> None:
@@ -150,11 +170,32 @@ def connected_components(
         neighbor_labels = und.join(
             labels, und.src == labels.id, "inner"
         ).select(F.col("dst").alias("id"), "cluster_id")
-        new_labels, new_ids = _checkpoint(
+        prop, prop_ids = _checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
+        # pointer jump: label := min(label, label(label)).  Every label
+        # is itself an active node id (a min over node ids), so the
+        # self-join always resolves; left + coalesce for safety.
+        new_labels, new_ids = _checkpoint(
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("id").alias("__lid"), F.col("cluster_id").alias("__lcl")
+                ),
+                F.col("a.cluster_id") == F.col("__lid"),
+                "left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.cluster_id"),
+                    F.coalesce(F.col("__lcl"), F.col("a.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        _unpersist(prop_ids)  # the jump's input generation
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -167,14 +208,17 @@ def connected_components(
             break
     _unpersist(und_ids)
     if changed:
+        msg = (
+            f"connected_components stopped at max_iterations={max_iterations} "
+            f"with {changed} labels still changing; cluster ids are not final"
+        )
+        if on_nonconvergence == "raise":
+            _unpersist(labels_ids)
+            _unpersist(ep_ids)
+            raise RuntimeError(msg)
         # silent partial labels would be wrong-without-warning for a
         # long-chain graph; surface it so callers can raise max_iterations
-        warnings.warn(
-            f"connected_components stopped at max_iterations={max_iterations} "
-            f"with {changed} labels still changing; cluster ids are not final",
-            ConvergenceWarning,
-            stacklevel=2,
-        )
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
     # one final materialization so every intermediate (subgraph labels,
     # endpoint set) can be freed — exactly ONE persistent RDD leaves this
     # function: the result

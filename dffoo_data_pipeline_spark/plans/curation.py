@@ -309,14 +309,15 @@ def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
         SELECT doc_id, lang, text,
                len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-               md5(lower(trim(text))) AS chash,
-               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
-                                  ORDER BY doc_id) AS rn
+               md5(lower(trim(text))) AS chash
         FROM documents),
     s1 AS (SELECT * FROM q),
     s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de', 'fr', 'es')),
     s3 AS (SELECT * FROM s2 WHERE n_tok BETWEEN 10 AND 100000),
-    s4 AS (SELECT * FROM s3 WHERE rn = 1)
+    s4 AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY chash
+                                         ORDER BY doc_id) AS rn
+            FROM s3) WHERE rn = 1)
     SELECT 1 AS stage, 'total'        AS name, COUNT(*) AS n_docs FROM s1
     UNION ALL
     SELECT 2, 'lang_filter',    COUNT(*) FROM s2
@@ -332,19 +333,33 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage predicates as columns, then a single aggregation counts every
     stage with conditional sums — no per-stage re-scan of the corpus,
     which is the difference between 1× and 4× I/O at 100 TB.
+
+    The dedup stage ranks among STAGE-3 SURVIVORS, not the full corpus
+    (r10 self-review): the funnel is sequential, so a doc whose only
+    earlier-doc_id duplicate was itself removed by the lang/length
+    gates must survive stage 4 — ranking pre-filter would drop it and
+    understate survivors (the sibling curation_e2e_corpus already
+    dedups post-gate; the synthetic corpus has no duplicate-content
+    groups, so the oracle never exercised the difference).  Expressed
+    as min(doc_id) over the content partition among gated rows — an
+    unordered window, still one pass.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    wch = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    lang_ok = F.col("lang").isin("en", "de", "fr", "es")
+    len_ok = TX.token_count("text").between(10, 100000)
+    gated = lang_ok & len_ok
+    first_gated = F.min(F.when(gated, F.col("doc_id"))).over(wch)
     flags = d.select(
-        F.col("lang").isin("en", "de", "fr", "es").alias("lang_ok"),
-        TX.token_count("text").between(10, 100000).alias("len_ok"),
-        (F.row_number().over(w) == 1).alias("is_first"),
+        lang_ok.alias("lang_ok"),
+        len_ok.alias("len_ok"),
+        (gated & (F.col("doc_id") == first_gated)).alias("is_first"),
     )
     counted = flags.agg(
         F.count(F.lit(1)).alias("c1"),
         F.sum(F.col("lang_ok").cast("long")).alias("c2"),
         F.sum((F.col("lang_ok") & F.col("len_ok")).cast("long")).alias("c3"),
-        F.sum((F.col("lang_ok") & F.col("len_ok") & F.col("is_first")).cast("long")).alias("c4"),
+        F.sum(F.col("is_first").cast("long")).alias("c4"),
     )
     stages = F.array(
         F.struct(F.lit(1).alias("stage"), F.lit("total").alias("name"), F.col("c1").alias("n_docs")),
@@ -624,8 +639,12 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    # raise, not warn: a PARTIAL cluster id here scatters one near-dup
+    # cluster across train and test — exactly the leakage this split
+    # exists to prevent, so non-convergence must abort, not degrade
     clusters = connected_components(
-        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        on_nonconvergence="raise",
     )
     h1 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
     return clusters.select(

@@ -96,7 +96,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_SQL = """
 WITH s1 AS (
-    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' AND user_id IS NOT NULL
     GROUP BY user_id),
 s2 AS (
     SELECT e.user_id, MIN(e.ts) AS t2
@@ -135,8 +136,16 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding row frame, and any strictly-earlier timestamp is always
     in the frame.  State per user is one timestamp per step, never the
     event list.
+
+    Anonymous (NULL-user_id) events are EXCLUDED in both engines: SQL's
+    inner equi-joins drop NULL keys after step 1 while a window
+    partitionBy treats NULL as a normal group, so without the explicit
+    filter the two engines disagree on steps 2/3 for NULL users (r10
+    self-review; the synthetic events have no NULL user_id, which is
+    why the oracle never saw it) — and a cross-event funnel for users
+    who cannot be correlated is meaningless anyway.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts")
@@ -478,17 +487,19 @@ WITH tiers AS (
                 ELSE 'high' END AS tier
     FROM events),
 changes AS (
-    SELECT user_id, ts, tier,
+    SELECT user_id, ts, tier, event_id,
            lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS prev_tier
     FROM tiers),
 starts AS (
-    SELECT user_id, tier, ts AS valid_from
+    SELECT user_id, tier, ts AS valid_from, event_id
     FROM changes WHERE prev_tier IS NULL OR tier <> prev_tier)
 SELECT user_id, tier, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id)
          AS valid_to,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id)
          IS NULL AS is_current
 FROM starts
 """
@@ -506,10 +517,11 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both windows shuffle once on user_id (the second window
     reuses the first's partitioning — Catalyst plans a single Exchange);
     state per user is one row per tier CHANGE, not per event, so the
-    output is change-compressed.  event_id tiebreak keeps
-    equal-timestamp ordering engine-identical; valid_from values are
-    unique per user (they are event times of change rows), so the lead()
-    is deterministic.
+    output is change-compressed.  event_id tiebreaks BOTH windows: two
+    same-user tier changes in the same microsecond produce two change
+    rows with identical valid_from, so a lead() ordered by valid_from
+    alone would assign valid_to/is_current nondeterministically (r10
+    self-review; the synthetic events' all-distinct ts masked it).
     """
     e = load_table(spark, sf_dir, "events")
     tier = (
@@ -523,8 +535,8 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     starts = changes.where(
         F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
-    ).select("user_id", "tier", F.col("ts").alias("valid_from"))
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    ).select("user_id", "tier", F.col("ts").alias("valid_from"), "event_id")
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     valid_to = F.lead("valid_from").over(wv)
     return starts.select(
         "user_id",
@@ -664,10 +676,14 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(ws),
         F.lead("event_type", 2).over(ws),
     )
-    # concat_ws skips NULLs, so a 2-step tail would silently shorten —
-    # require all three legs explicitly (the SQL's || is NULL-strict)
+    # concat_ws skips NULLs, so a shortened path would silently form —
+    # require ALL THREE legs explicitly, the anchor included (the SQL's
+    # || is NULL-strict: a NULL anchor event_type nulls the whole path
+    # there, while concat_ws would emit the 2-leg 'b>c'; r10 self-review
+    # — the original guard covered only the two lead() legs)
     full = (
-        F.lead("event_type", 1).over(ws).isNotNull()
+        F.col("event_type").isNotNull()
+        & F.lead("event_type", 1).over(ws).isNotNull()
         & F.lead("event_type", 2).over(ws).isNotNull()
     )
     paths = sessions.select(path.alias("path"), full.alias("full")).where("full")
@@ -816,7 +832,7 @@ WITH arr AS (
     SELECT event_id % {N_INGEST_SHARDS} AS shard, event_id,
            epoch_us(ts) AS tus,
            epoch_us(ts)
-           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
               % {_JITTER_CAP_US}) AS arrival_us
     FROM events),
 lt AS (
@@ -847,7 +863,8 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic feed is perfectly time-ordered, so the registered
     query simulates arrival = event time + a seeded md5-uniform ingest
-    delay in [0, 2 h), multiplexed over 8 simulated ingest shards —
+    delay in [0, 2 h) (12 md5 hex digits mod the cap — wide enough to
+    actually wrap it), multiplexed over 8 simulated ingest shards —
     deterministic, hence oracle-able; a real deployment orders by its
     actual (shard, ingest offset) instead: drop the jitter column,
     keep the identical plan.
@@ -866,8 +883,14 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     tus = F.unix_micros("ts")
+    # 12 hex digits (48 bits), NOT 8: 16^8 < the 2h cap, so an 8-digit
+    # prefix made the modulo a no-op and the simulated delay was really
+    # uniform on [0, ~4295s) — understating every n_/late_frac row the
+    # watermark is chosen from (r10 self-review; identical in both
+    # engines, so the oracle was blind by construction).  48 bits wrap
+    # the cap ~39k times; the residual non-uniformity is ~2^-35.
     jitter = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10).cast(
             "long"
         )
         % _JITTER_CAP_US
@@ -1120,8 +1143,12 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_RANGE_SQL = """
 WITH e AS (
+    -- floor(), not CAST: DuckDB's BIGINT cast ROUNDS half-up while
+    -- Spark's unix_timestamp() truncates, so events with fractional
+    -- seconds >= .5 would land in different epoch-second buckets and
+    -- the 3599s frame would admit different rows (r10 self-review)
     SELECT event_id, user_id, value,
-           CAST(extract(epoch FROM ts) AS BIGINT) AS sec
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec
     FROM events)
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
@@ -1141,7 +1168,9 @@ def events_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what a feature store ships to a model ("activity in the
     last hour at prediction time").  A frame bound in seconds also means
     peers at the same second contribute to each other symmetrically —
-    engine-identical with no ordering tiebreak needed.
+    engine-identical with no ordering tiebreak needed (the oracle
+    FLOORS its epoch to match unix_timestamp()'s truncation; a plain
+    BIGINT cast in DuckDB rounds, splitting sub-second peers).
 
     Scale: one shuffle on user_id, then a per-partition ordered scan
     with a sliding two-pointer frame — Spark evaluates RANGE frames
@@ -1577,9 +1606,10 @@ d AS (
     FROM ecdf)
 SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
        FLOOR(ks * 1000000 + 0.5) / 1000000 AS ks_stat,
-       FLOOR(2 * (exp(-2 * 1 * 1 * lam * lam) - exp(-2 * 4 * lam * lam)
-                  + exp(-2 * 9 * lam * lam) - exp(-2 * 16 * lam * lam)
-                  + exp(-2 * 25 * lam * lam))
+       FLOOR(LEAST(1.0, GREATEST(0.0,
+                   2 * (exp(-2 * 1 * 1 * lam * lam) - exp(-2 * 4 * lam * lam)
+                        + exp(-2 * 9 * lam * lam) - exp(-2 * 16 * lam * lam)
+                        + exp(-2 * 25 * lam * lam))))
              * 1000000 + 0.5) / 1000000 AS p_approx
 FROM (SELECT ks, ks * sqrt(CAST((SELECT na FROM tot) AS DOUBLE)
                            * (SELECT nb FROM tot)
@@ -1593,7 +1623,9 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test between the A/B arms' value
     distributions (arm = user parity, as in events_ab_wilson): the exact
     sup-distance between the two empirical CDFs plus the asymptotic
-    p-value (first five terms of the Kolmogorov series) — the
+    p-value (first five terms of the Kolmogorov series, clamped to
+    [0, 1]: the truncated alternating series overshoots 1 as lam → 0) —
+    the
     distribution-level A/B check that catches shape changes a mean test
     misses.  Arms are identical by construction here, so a LARGE
     p-value is the correct result — pinned in tests/test_properties.py.
@@ -1617,7 +1649,12 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cb"),
     )
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # asc_nulls_last: Spark windows default NULLS FIRST, DuckDB NULLS
+    # LAST — a NULL value row would sit at opposite ECDF ends and flip
+    # ks_stat (r10 self-review; the fixture's value column is non-null)
+    wv = Window.orderBy(F.col("value").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     wall = Window.partitionBy()
     ecdf = vals.select(
         F.sum("ca").over(wv).cast("bigint").alias("cuma"),
@@ -1645,9 +1682,15 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.exp(-2 * 16 * lam * lam)
         + F.exp(-2 * 25 * lam * lam)
     )
+    # clamp: the 5-term alternating Kolmogorov series overshoots for
+    # small lam (similar arms / small samples give 2*series -> 2 as
+    # lam -> 0) — an invalid "probability" > 1, identical in both
+    # engines so the oracle was blind to it (r10 self-review)
     return d.select(
         "n_a",
         "n_b",
         N.round_det(F.col("ks"), 6).alias("ks_stat"),
-        N.round_det(2 * series, 6).alias("p_approx"),
+        N.round_det(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2 * series)), 6
+        ).alias("p_approx"),
     )

@@ -138,3 +138,27 @@ def test_k_anonymity_generalization_monotone(spark, sf_dir):
         assert r.k_generalized >= r.k
         if r.still_at_risk:
             assert r.at_risk
+
+
+def test_funnel_dedup_ranks_among_gated_survivors(spark, monkeypatch):
+    """Sequential funnel semantics (r10 self-review): doc B's only
+    earlier-doc_id content duplicate A is removed by the lang gate, so
+    B must SURVIVE stage 4 — ranking duplicates over the full corpus
+    (the old plan) dropped B and understated survivors.  The synthetic
+    corpus has no duplicate-content groups, so only a fixture can pin
+    this."""
+    import dffoo_data_pipeline_spark.plans.curation as CU
+
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "zh", text, "web", len(text)),   # dup of 2, gated out by lang
+        (2, "en", text, "web", len(text)),   # must survive dedup
+        (3, "en", "short", "web", 5),        # gated out by length
+        (4, "en", text + " thirteen", "web", len(text) + 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    )
+    monkeypatch.setattr(CU, "load_table", lambda *a, **k: df)
+    got = {r.stage: r.n_docs for r in CU.QUERIES["curation_funnel"](spark, "x").collect()}
+    assert got == {1: 4, 2: 3, 3: 2, 4: 2}  # both 2 and 4 survive stage 4

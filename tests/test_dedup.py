@@ -1044,3 +1044,38 @@ def test_sharded_bloom_union_refusals(spark):
     if m8.count() > 0 and m4.count() > 0:  # fixture-dependent occupancy
         with pytest.raises(Exception, match="mismatched bitmap geometries"):
             dedup.bloom_union_sharded(m4, m8).collect()
+
+
+def test_shingler_uses_ascii_whitespace_spec(spark):
+    """Cross-engine tokenizer spec (r10 self-review): the shingler must
+    split on ASCII \\s+ exactly like the oracles' RE2 and the JVM-side
+    regexes — Python str.split() also splits on Unicode whitespace
+    (U+00A0 etc.), which would shingle such docs differently per engine
+    and break the portable-index contract."""
+    import duckdb
+
+    text = "foo bar baz qux quux"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = set(
+        dedup._shingle_rows(df, "doc_id", "text", 3)
+        .select("shingle")
+        .rdd.flatMap(lambda r: [r.shingle])
+        .collect()
+    )
+    con = duckdb.connect()
+    want = set(
+        con.execute(
+            r"""
+            WITH toks AS (
+                SELECT string_split_regex(
+                    regexp_replace(lower(trim(?)), '\s+', ' ', 'g'), ' ') AS w)
+            SELECT [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)]
+            FROM toks
+            """,
+            [text],
+        ).fetchone()[0]
+    )
+    assert got == want
+    # U+00A0 stays INSIDE a token in both engines
+    assert any("foo bar" in sh for sh in got)

@@ -88,3 +88,35 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     finally:
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
+
+
+def test_connected_components_pointer_jump_converges_long_chains(spark):
+    """A 60-node path has diameter 59: plain min-label propagation needs
+    59 rounds, but with the per-round pointer jump (label := min(label,
+    label-of-label)) the frontier doubles, so max_iterations=8 (2^8 >
+    60) must fully converge (r10 self-review: a 30-deep near-dup chain
+    silently exceeded the old 25-round budget and the leakage split got
+    partial cluster ids)."""
+    from dffoo_data_pipeline_spark.operators.graph import connected_components
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = connected_components(
+        nodes, edges, max_iterations=8, on_nonconvergence="raise"
+    ).collect()
+    assert {r.cluster_id for r in got} == {0} and len(got) == n
+
+
+def test_connected_components_raise_on_nonconvergence(spark):
+    """on_nonconvergence='raise' (used by the leakage-safe split, where
+    partial labels ARE the leak) aborts loudly instead of warning."""
+    import pytest as _pytest
+
+    from dffoo_data_pipeline_spark.operators.graph import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="max_iterations"):
+        connected_components(nodes, edges, max_iterations=1, on_nonconvergence="raise")

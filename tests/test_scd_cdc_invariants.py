@@ -75,3 +75,63 @@ def test_cdc_delete_removes_key(spark):
         EV.load_table = orig
     assert 10 not in snap              # last op was D → key gone
     assert snap[20].current_value == 9.0 and snap[20].n_changes == 3
+
+
+def test_scd2_same_microsecond_tier_changes_are_deterministic(spark):
+    """Two tier changes in the SAME microsecond (r10 self-review): both
+    windows tiebreak on event_id, so the change rows get deterministic
+    valid_to chaining — event 1 ('low') closed by event 2 ('mid'),
+    which is current.  Without the second window's tiebreak the
+    valid_to/is_current assignment between the two identical-valid_from
+    rows was nondeterministic run-to-run and engine-to-engine."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 10.0, "{}"),    # low
+        (2, "2024-01-01 00:00:00", 10, "view", 100.0, "{}"),   # mid, same us
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import dffoo_data_pipeline_spark.plans.events as EV
+
+    orig = EV.load_table
+    EV.load_table = lambda *a, **k: df
+    try:
+        got = sorted(
+            (r.tier, r.valid_to is None, r.is_current)
+            for r in EV.QUERIES["scd2_user_tier"](spark, "x").collect()
+        )
+    finally:
+        EV.load_table = orig
+    # deterministic: 'low' (event 1) is closed by 'mid' (event 2)
+    assert got == [("low", False, False), ("mid", True, True)]
+
+
+def test_ordered_funnel_excludes_null_users(spark):
+    """Anonymous (NULL user_id) events are excluded from every funnel
+    step in the Spark plan, matching the oracle where inner equi-joins
+    drop NULL keys after step 1 (r10 self-review: a window partitionBy
+    treats NULL as a normal group, so a NULL user's view>click>purchase
+    chain counted toward steps 2/3 in Spark only)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", None, "view", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", None, "click", 1.0, "{}"),
+        (3, "2024-01-01 02:00:00", None, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (5, "2024-01-01 01:00:00", 7, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import dffoo_data_pipeline_spark.plans.events as EV
+
+    orig = EV.load_table
+    EV.load_table = lambda *a, **k: df
+    try:
+        got = {r.step: r.n_users for r in EV.QUERIES["events_ordered_funnel"](spark, "x").collect()}
+    finally:
+        EV.load_table = orig
+    assert got == {1: 1, 2: 1, 3: 0}  # only user 7; the NULL chain contributes nowhere
