@@ -170,14 +170,18 @@ def connected_components(
         neighbor_labels = und.join(
             labels, und.src == labels.id, "inner"
         ).select(F.col("dst").alias("id"), "cluster_id")
-        prop, prop_ids = _checkpoint(
+        prop = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # pointer jump: label := min(label, label(label)).  Every label
         # is itself an active node id (a min over node ids), so the
-        # self-join always resolves; left + coalesce for safety.
+        # self-join always resolves; left + coalesce for safety.  prop
+        # stays UN-checkpointed: its subtree (a join of two materialized
+        # frames + a subgraph-sized agg) evaluates twice inside the one
+        # checkpoint below, which is cheaper than a second per-round
+        # materialization + job barrier.
         new_labels, new_ids = _checkpoint(
             prop.alias("a")
             .join(
@@ -195,7 +199,6 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
-        _unpersist(prop_ids)  # the jump's input generation
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
