@@ -39,25 +39,32 @@ def avg_token_len(text, toks=None) -> Column:
     """
     toks = tokens(text) if toks is None else toks
     total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
-    return round_det(total / F.size(toks), 4)
+    # NULL (not a crash) for a token-less doc: under the pinned ANSI-on
+    # sessions a 0/0 aborts the whole query, while the DuckDB oracles'
+    # x*1.0/0 yields NULL (r10 review) — guard every ratio denominator
+    n = F.size(toks)
+    return round_det(F.when(n > 0, total / n), 4)
 
 
 def stopword_ratio(text, stopwords=EN_STOPWORDS) -> Column:
     """Fraction of tokens that are stopwords — cheap language/quality signal."""
     toks = tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return round_det(hits / F.size(toks), 4)
+    n = F.size(toks)
+    return round_det(F.when(n > 0, hits / n), 4)
 
 
 def punct_ratio(text) -> Column:
     """Punctuation chars / total chars."""
     n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
-    return round_det(n_punct / F.length(text), 4)
+    n = F.length(text)
+    return round_det(F.when(n > 0, n_punct / n), 4)
 
 
 def digit_ratio(text) -> Column:
     n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    return round_det(n_digit / F.length(text), 4)
+    n = F.length(text)
+    return round_det(F.when(n > 0, n_digit / n), 4)
 
 
 def quality_score(text, toks=None) -> Column:
@@ -132,17 +139,19 @@ def quality_score_sql(text_expr: str = "text") -> str:
     the oracle fragment from drifting between plan modules — any change
     to the Spark expression and this SQL must land together."""
     toks = rf"string_split_regex(trim({text_expr}), '\s+')"
+    # NULLIF denominators: empty/token-less docs get NULL ratios in both
+    # engines (the Spark side guards with F.when; ANSI would crash on /0)
     avg_len = (
         rf"(FLOOR((list_sum(list_transform({toks}, x -> length(x))) * 1.0"
-        rf" / len({toks})) * 10000 + 0.5) / 10000)"
+        rf" / NULLIF(len({toks}), 0)) * 10000 + 0.5) / 10000)"
     )
     punct = (
         rf"FLOOR((length(regexp_replace({text_expr}, '[^.!?,;:]', '', 'g')) * 1.0"
-        rf" / length({text_expr})) * 10000 + 0.5) / 10000"
+        rf" / NULLIF(length({text_expr}), 0)) * 10000 + 0.5) / 10000"
     )
     digit = (
         rf"FLOOR((length(regexp_replace({text_expr}, '[^0-9]', '', 'g')) * 1.0"
-        rf" / length({text_expr})) * 10000 + 0.5) / 10000"
+        rf" / NULLIF(length({text_expr}), 0)) * 10000 + 0.5) / 10000"
     )
     return (
         rf"FLOOR(((CASE WHEN len({toks}) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END"

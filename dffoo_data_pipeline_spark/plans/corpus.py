@@ -459,12 +459,12 @@ WITH per_doc AS (
                                   BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
                         + CASE WHEN (FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                                                                     x -> length(x))) * 1.0
-                                            / len(string_split_regex(trim(text), '\s+'))) * 10000 + 0.5) / 10000)
+                                            / NULLIF(len(string_split_regex(trim(text), '\s+')), 0)) * 10000 + 0.5) / 10000)
                                     BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
                         + (1 - LEAST(FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
-                                            / length(text)) * 10000 + 0.5) / 10000
+                                            / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000
                                      + FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                                              / length(text)) * 10000 + 0.5) / 10000, 1.0)))
+                                              / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000, 1.0)))
                        / 3) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS quality
     FROM documents)
 SELECT source,
@@ -617,12 +617,12 @@ quality AS (
                              BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
                    + CASE WHEN (FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                                                                x -> length(x))) * 1.0
-                                       / len(string_split_regex(trim(text), '\s+'))) * 10000 + 0.5) / 10000)
+                                       / NULLIF(len(string_split_regex(trim(text), '\s+')), 0)) * 10000 + 0.5) / 10000)
                                BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
                    + (1 - LEAST(FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
-                                       / length(text)) * 10000 + 0.5) / 10000
+                                       / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000
                                 + FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                                         / length(text)) * 10000 + 0.5) / 10000, 1.0)))
+                                         / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000, 1.0)))
                   / 3) * 10000 + 0.5) / 10000 AS quality
     FROM documents)
 SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_quality,

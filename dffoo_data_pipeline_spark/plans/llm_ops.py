@@ -361,7 +361,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)                                  AS n_chars_measured,
            FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
                                           t -> length(t))) * 1.0
-                  / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000
+                  / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0)) * 10000 + 0.5) / 10000
              AS avg_token_len
     FROM documents
     """,
@@ -389,11 +389,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(string_split_regex(trim(text), '\\s+')) AS n_tok,
                FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
                                               x -> length(x))) * 1.0
-                      / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000 AS avg_len,
+                      / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0)) * 10000 + 0.5) / 10000 AS avg_len,
                FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
-                      / length(text)) * 10000 + 0.5) / 10000 AS pr,
+                      / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000 AS pr,
                FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                      / length(text)) * 10000 + 0.5) / 10000 AS dr
+                      / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000 AS dr
         FROM documents)
     SELECT doc_id,
            FLOOR(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
@@ -460,7 +460,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, COUNT(*) AS n_docs,
            FLOOR((CAST(SUM(CAST(FLOOR((len(list_filter(string_split_regex(trim(text), '\\s+'),
                        t -> t IN ('the','a','of','and','to','in','is','it')))
-                       * 1.0 / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000
+                       * 1.0 / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0)) * 10000 + 0.5) / 10000
                      AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
              AS avg_stopword_ratio
     FROM documents
