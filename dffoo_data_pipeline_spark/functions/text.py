@@ -16,10 +16,24 @@ from dffoo_data_pipeline_spark.functions.numeric import round_det
 # oracles (plans/llm_ops.py keeps SQL literals in sync).
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# THE cross-engine whitespace spec (r11, closing the r10 \v gap): token
+# separators are exactly RE2's \s = [ \t\n\r\f] — what the DuckDB
+# oracles' '\s+' matches.  Java \s (Spark regexp) ADDITIONALLY matches
+# \v (0x0B) and Python's ASCII \s matches \v too, so every Spark-side
+# tokenizer here spells the class out explicitly instead of writing \s;
+# a doc containing a vertical tab must tokenize identically in every
+# engine that probes a portable index, and under this spec \v stays
+# INSIDE a token everywhere (pinned against live DuckDB in
+# tests/test_dedup.py::test_shingler_uses_ascii_whitespace_spec).
+WS_CHARS = " \t\n\r\f"  # the actual characters (Python-side membership tests)
+WS_RE = r" \t\n\r\f"  # escape spelling for regex classes (Java + RE2 + SQL-safe)
+WS_CLASS = "[" + WS_RE + "]"
+
 
 def tokens(text) -> Column:
-    """Whitespace tokenization of trimmed text → array<string>."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization of trimmed text → array<string>
+    (separator spec: ``WS_CLASS``, the RE2-\\s portable class)."""
+    return F.split(F.trim(text), WS_CLASS + "+")
 
 
 def token_count(text) -> Column:
@@ -95,8 +109,10 @@ def quality_score_from_parts(n_tok, avg_len, text) -> Column:
 # BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
 # RE2-compatible — no lookarounds — so the DuckDB oracle matches exactly):
 # runs of letters (with optional leading apostrophe for contractions),
-# runs of digits, or single non-space symbols.
-BPE_PATTERN = r"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# runs of digits, or single non-space symbols.  "Non-space" uses the
+# explicit WS_CHARS class, not \s: under Java regex \s would also eat
+# \v, making Spark drop a symbol the RE2 oracle keeps (r11 spec fix).
+BPE_PATTERN = rf"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_RE}]"
 
 
 def bpe_tokens(text) -> Column:
@@ -111,8 +127,9 @@ def bpe_token_count(text) -> Column:
 
 
 def normalized_text(text) -> Column:
-    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed
+    (``WS_CLASS`` spec — \\v survives, exactly as in the RE2 oracles)."""
+    return F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
 
 
 def fingerprint_md5(text) -> Column:

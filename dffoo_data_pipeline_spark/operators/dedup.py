@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from dffoo_data_pipeline_spark.functions import text as TX
+from dffoo_data_pipeline_spark.functions.text import WS_RE
 
 
 def exact_keep_first(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
@@ -55,31 +56,36 @@ def _shingles_udf(n: int):
     (`functions.text.word_shingles`) re-inlines the tokenization into
     every element_at under Catalyst's projection collapse, turning one
     split per document into one split per shingle (~60× slower measured).
-    Tokenization here (lower/strip/ASCII-\\s+ split) matches the DuckDB
+    Tokenization here (lower/strip/RE2-\\s+ split) matches the DuckDB
     oracle's `string_split_regex(regexp_replace(lower(trim(text)),
-    '\\s+',' '), ' ')` — the cross-engine whitespace spec is ASCII
-    [ \\t\\n\\r\\f\\v] (RE2 and Java \\s), NOT Python str.split()'s
-    Unicode whitespace: a doc containing e.g. U+00A0 must shingle
-    identically in every engine that probes the portable index (r10
-    self-review; the ASCII-only synthetic corpus masked the difference).
+    '\\s+',' '), ' ')` — the cross-engine whitespace spec is RE2's \\s,
+    i.e. [ \\t\\n\\r\\f] and NOTHING else (`functions.text.WS_CHARS`).
+    It is deliberately NOT Python str.split()'s Unicode whitespace (a
+    U+00A0 doc must shingle identically in every engine probing the
+    portable index — r10 self-review) and NOT Java \\s either: Java \\s
+    additionally matches \\v (0x0B), which RE2 does not (r11 ADVICE —
+    verified live against DuckDB), so a \\v stays INSIDE a token here,
+    exactly as the oracles keep it.  Spark-side expression tokenizers
+    spell the same explicit class (`functions.text.WS_CLASS`) for the
+    same reason.
     """
-    # token regex = the complement of ASCII \s; findall avoids the
-    # empty-edge tokens a split would need filtering for
-    tok_re = re.compile(r"[^ \t\n\r\f\v]+")
-    # str.split() additionally treats \x1c-\x1f (FS/GS/RS/US controls)
-    # as separators, which ASCII \s+ does not — the fast path must
-    # exclude docs containing them too, not just non-ASCII ones
-    _fs_controls = "\x1c\x1d\x1e\x1f"
+    # token regex = the complement of the portable whitespace class;
+    # findall avoids the empty-edge tokens a split would need filtering
+    tok_re = re.compile(f"[^{WS_RE}]+")
+    # str.split() additionally treats \v and \x1c-\x1f (FS/GS/RS/US
+    # controls) as separators, which the RE2 spec does not — the fast
+    # path must exclude docs containing any of them, not just non-ASCII
+    _split_extras = "\x0b\x1c\x1d\x1e\x1f"
 
     @pandas_udf("array<string>")
     def shingle(texts: pd.Series) -> pd.Series:
         def sh(t: str):
             tl = t.lower()
-            # fast path: for pure-ASCII text without the FS controls,
-            # C-level str.split() is spec-identical to ASCII \s+ and
+            # fast path: for pure-ASCII text without \v/FS controls,
+            # C-level str.split() is spec-identical to RE2 \s+ and
             # ~40% cheaper than the regex (measured; shingling is the
             # hot loop of every near-dup query)
-            if tl.isascii() and not any(c in tl for c in _fs_controls):
+            if tl.isascii() and not any(c in tl for c in _split_extras):
                 w = tl.split()
             else:
                 w = tok_re.findall(tl)
@@ -518,7 +524,12 @@ def bloom_bitmap(
     batch pays the exact join) — so the row is STAMPED with
     ``bloom_fill_ratio`` (popcount/num_bits; ≈50% at the optimal
     operating point) and probes REFUSE a bitmap past ``max_fill``
-    (default 0.5) instead of failing slow.  Ceiling: the 1-row packed
+    instead of failing slow.  ``max_fill`` defaults to 0.55, NOT 0.5:
+    a correctly-sized bitmap sits AT the 50% operating point, so a
+    refusal threshold of exactly 0.5 would reject it on sampling noise
+    alone (r11 ADVICE) — the default leaves headroom above the design
+    point while still firing long before the filter degrades (fpp
+    rises ~(fill)^k, still < 2× design fpp at 55%).  Ceiling: the 1-row packed
     array must fit a broadcast/driver row, which bounds ``num_bits`` to
     the low billions (~10^9 bits ≈ 128 MiB); a multi-billion-fingerprint
     ledger at useful fpp needs more — shard the ledger (e.g. by
@@ -610,7 +621,7 @@ def _bloom_checked(
     num_hashes: int,
     *,
     family: str = "xx64",
-    max_fill: float = 0.5,
+    max_fill: float = 0.55,
 ) -> DataFrame:
     """Refuse a malformed or saturated bitmap LOUDLY, before it can
     silently corrupt (or silently un-optimize) a probe:
@@ -623,8 +634,10 @@ def _bloom_checked(
       per-row assert is vacuous.
     - stamped build geometry differs from the probe's: bits would be
       tested that the build never set → silent false negatives.
-    - fill ratio past ``max_fill`` (default 0.5, the optimal Bloom
-      operating point): a saturated bitmap answers "maybe" for
+    - fill ratio past ``max_fill`` (default 0.55 — just above the 0.5
+      optimal operating point, so a correctly-sized bitmap sitting AT
+      its design fill isn't spuriously refused): a saturated bitmap
+      answers "maybe" for
       everything, degrading the prefilter to a no-op — correct answers,
       zero pruning, the failure mode that should fail loud, not slow.
       Re-size per the rule in `bloom_bitmap`'s docstring (num_bits ≈
@@ -793,7 +806,7 @@ def dedup_against_seen_bloom(
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
     bitmap: DataFrame | None = None,
-    max_fill: float = 0.5,
+    max_fill: float = 0.55,
     family: str = "xx64",
 ) -> DataFrame:
     """`dedup_against_seen` with an EXPLICIT broadcast-Bloom prefilter —
@@ -816,9 +829,10 @@ def dedup_against_seen_bloom(
     stamped build geometry differs from this probe's
     num_bits/num_hashes is REFUSED at runtime (a mismatch would produce
     silent false negatives, i.e. dropped duplicates), as is a bitmap
-    filled past ``max_fill`` (default 0.5 — a saturated bitmap answers
-    "maybe" for everything and the prefilter silently stops pruning;
-    see `bloom_bitmap` for the sizing rule).
+    filled past ``max_fill`` (default 0.55 — headroom above the 50%
+    design point so a correctly-sized bitmap isn't refused on noise; a
+    saturated bitmap answers "maybe" for everything and the prefilter
+    silently stops pruning; see `bloom_bitmap` for the sizing rule).
     """
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
@@ -874,7 +888,27 @@ def dedup_against_seen_bloom(
 _BLOOM_SHARD_SEED = -1
 
 
-def _bloom_shard_of(col, shards: int):
+def _bloom_shard_of(col, shards: int, family: str = "xx64"):
+    """Shard router for the sharded Bloom family.  ``xx64``: seeded
+    xxhash64 — fastest, JVM-side, Spark-specific values.  ``md5``
+    (r11, the portable router the r10 build deferred): the first 8 hex
+    chars of a FRESH md5 over the fingerprint string, mod ``shards``.
+    Re-hashing — rather than reusing one of the fp's own four 8-hex
+    probe windows — keeps the routing value statistically independent
+    of the bit positions: with power-of-two shards and num_bits, a
+    window-reusing router would fix ``position % shards`` per shard and
+    concentrate that probe's bits on 1/shards of each bitmap.  Any
+    md5-capable engine reproduces the routing bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(fp), 1, 8))::BIGINT % shards``), which makes
+    the SHARDED bitmap artifact itself cross-engine, completing the
+    portable Bloom family past the broadcast ceiling."""
+    if family == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"),
+            F.lit(shards),
+        )
+    if family != "xx64":
+        raise ValueError(f"unknown bloom family {family!r} (xx64 or md5)")
     return F.pmod(F.xxhash64(col, F.lit(_BLOOM_SHARD_SEED)), F.lit(shards))
 
 
@@ -885,9 +919,12 @@ def bloom_bitmap_sharded(
     shards: int = 8,
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
+    family: str = "xx64",
 ) -> DataFrame:
     """The past-the-broadcast-ceiling form of `bloom_bitmap`: fingerprints
-    route to ``pmod(xxhash64(fp, seed), shards)`` and each shard folds
+    route to ``pmod(xxhash64(fp, seed), shards)`` (or, under the ``md5``
+    family, an md5-rehash prefix modulus any engine reproduces — see
+    `_bloom_shard_of`) and each shard folds
     into its OWN packed bitmap row — an at-most-``shards``-row relation
     carrying ``shards × num_bits`` total capacity with no single giant
     row/broadcast (the 1-row form tops out around 10^9 bits ≈ 128 MiB;
@@ -907,14 +944,13 @@ def bloom_bitmap_sharded(
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
-    # xx64 positions only: shard ROUTING is xxhash64, so an md5-family
-    # sharded bitmap would not be cross-engine probe-able anyway (the
-    # routing, not just the bits, must be reproducible) — portability
-    # stays the 1-row form's job until a portable router is needed
+    # a NULL fp routes to a NULL shard and derives NULL positions only
+    # (both come from the fp), so _bloom_fold_words' NULL-bit drop also
+    # keeps any NULL-shard row from materializing
     bits = fingerprints.select(
-        _bloom_shard_of(F.col(fp_col), shards).alias("shard"),
+        _bloom_shard_of(F.col(fp_col), shards, family).alias("shard"),
         F.explode(
-            F.array(*_bloom_positions(F.col(fp_col), num_bits, num_hashes))
+            F.array(*_bloom_positions(F.col(fp_col), num_bits, num_hashes, family))
         ).alias("bit"),
     )
     return (
@@ -925,6 +961,7 @@ def bloom_bitmap_sharded(
             F.lit(shards).alias("bloom_shards"),
             F.lit(num_bits).alias("bloom_num_bits"),
             F.lit(num_hashes).alias("bloom_num_hashes"),
+            F.lit(family).alias("bloom_family"),
         )
         .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
@@ -936,7 +973,8 @@ def _bloom_sharded_checked(
     num_bits: int,
     num_hashes: int,
     *,
-    max_fill: float = 0.5,
+    family: str = "xx64",
+    max_fill: float = 0.55,
 ) -> DataFrame:
     """`_bloom_checked`'s sharded sibling, same lazy 1-row-aggregate
     pattern: refuse duplicate shard rows (each would fan its shard's
@@ -948,10 +986,15 @@ def _bloom_sharded_checked(
     if "bloom_fill_ratio" not in bitmaps.columns:
         # externally-assembled shard rows predating the stamp: derivable
         bitmaps = bitmaps.withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
+    if "bloom_family" not in bitmaps.columns:
+        # pre-family shard rows were all xxhash64-built (r11: the md5
+        # portable router stamps its family; legacy rows default)
+        bitmaps = bitmaps.withColumn("bloom_family", F.lit("xx64"))
     geom_ok = (
         (F.col("bloom_shards") == shards)
         & (F.col("bloom_num_bits") == num_bits)
         & (F.col("bloom_num_hashes") == num_hashes)
+        & (F.col("bloom_family") == family)
     )
     guard = bitmaps.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -993,7 +1036,8 @@ def _bloom_sharded_checked(
             F.col("__geom_ok") == 0,
             F.lit(
                 f"sharded bloom bitmap stamp mismatch: probe expects "
-                f"shards={shards}, num_bits={num_bits}, num_hashes={num_hashes}"
+                f"shards={shards}, num_bits={num_bits}, "
+                f"num_hashes={num_hashes}, family={family}"
             ),
         )
         .otherwise(
@@ -1028,8 +1072,17 @@ def bloom_union_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
     shards present on both sides).  Merged rows are re-stamped with
     their own fill ratios."""
 
+    def _norm(df: DataFrame) -> DataFrame:
+        if "bloom_family" not in df.columns:
+            df = df.withColumn("bloom_family", F.lit("xx64"))
+        return df
+
+    a, b = _norm(a), _norm(b)
+
     def _stats(df: DataFrame, side: str):
-        g = F.struct("bloom_shards", "bloom_num_bits", "bloom_num_hashes")
+        g = F.struct(
+            "bloom_shards", "bloom_num_bits", "bloom_num_hashes", "bloom_family"
+        )
         return df.agg(
             F.count(F.lit(1)).alias(f"__n_{side}"),
             F.count_distinct(F.col("shard")).alias(f"__nd_{side}"),
@@ -1065,21 +1118,33 @@ def bloom_union_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
         .where(F.assert_true(ok, msg).isNull())
         .select(F.lit(1).alias("__union_checked"))
     )
-    a = a.crossJoin(F.broadcast(guard)).drop("__union_checked")
     rhs = b.select(
         F.col("shard"),
         F.col("bloom").alias("__b2"),
         F.col("bloom_shards").alias("__s2"),
         F.col("bloom_num_bits").alias("__nb2"),
         F.col("bloom_num_hashes").alias("__nh2"),
+        F.col("bloom_family").alias("__bf2"),
         F.col("bloom_fill_ratio").alias("__fr2"),
     )
-    merged = a.join(rhs, "shard", "full_outer")
+    # The aggregate guard hangs off the MERGED output, not either input
+    # (r11 ADVICE): attached to one side, a statically-empty side (e.g.
+    # .where(lit(False)) constant-folded to an empty LocalRelation) lets
+    # PropagateEmptyRelation prune the guard subtree, and a corrupt
+    # OTHER side would sail through the full-outer join unvalidated.
+    # Post-join, the guard survives whenever any row survives; if BOTH
+    # sides are statically empty the merge is vacuously valid anyway.
+    merged = (
+        a.join(rhs, "shard", "full_outer")
+        .crossJoin(F.broadcast(guard))
+        .drop("__union_checked")
+    )
     both = F.col("bloom").isNotNull() & F.col("__b2").isNotNull()
     ok = ~both | (
         (F.col("bloom_shards") == F.col("__s2"))
         & (F.col("bloom_num_bits") == F.col("__nb2"))
         & (F.col("bloom_num_hashes") == F.col("__nh2"))
+        & (F.col("bloom_family") == F.col("__bf2"))
     )
     return (
         merged.where(
@@ -1095,6 +1160,7 @@ def bloom_union_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
             F.coalesce("bloom_shards", "__s2").alias("bloom_shards"),
             F.coalesce("bloom_num_bits", "__nb2").alias("bloom_num_bits"),
             F.coalesce("bloom_num_hashes", "__nh2").alias("bloom_num_hashes"),
+            F.coalesce("bloom_family", "__bf2").alias("bloom_family"),
         )
         .withColumn("bloom_fill_ratio", _bloom_fill_ratio("bloom"))
     )
@@ -1111,7 +1177,9 @@ def dedup_against_seen_bloom_sharded(
     num_bits: int = 1 << 16,
     num_hashes: int = 4,
     bitmaps: DataFrame | None = None,
-    max_fill: float = 0.5,
+    max_fill: float = 0.55,
+    family: str = "xx64",
+    broadcast: bool = True,
 ) -> DataFrame:
     """`dedup_against_seen_bloom` for ledgers whose Bloom capacity
     outgrows one broadcastable row: the prefilter is a BROADCAST EQUI-
@@ -1127,8 +1195,20 @@ def dedup_against_seen_bloom_sharded(
     every row stays broadcast-sized; size per the per-shard rule
     num_bits ≈ 1.44·(n/shards)·log2(1/fpp).  Pass pre-built ``bitmaps``
     (a `bloom_bitmap_sharded` result) to amortize the ledger fold;
-    routing-modulus/geometry/fill mismatches are refused lazily at
-    action time (`_bloom_sharded_checked`)."""
+    routing-modulus/geometry/fill/family mismatches are refused lazily
+    at action time (`_bloom_sharded_checked`).  ``family='md5'`` makes
+    routing AND positions md5-hex-derived, so the sharded artifact is
+    rebuildable and probe-able by any md5-capable engine (the portable
+    family past the broadcast ceiling; certified word-for-word by the
+    `dedup_bloom_sharded_portable` driver query).
+
+    Broadcast-TOTAL ceiling (r10 verdict note): the broadcast ships ALL
+    shard rows to every executor — total ≈ shards × num_bits/8 bytes —
+    so per-row sizing alone isn't enough; past ~1 GiB total (e.g. 128
+    shards × 2^30 bits), pass ``broadcast=False`` to run the prefilter
+    as a SHUFFLE equi-join on the shard id instead (same answer, same
+    refusals — the shard-id join makes the switch a config flip, not a
+    redesign; plan shape pinned in tests/test_scale_behaviors.py)."""
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
     if bitmaps is None:
@@ -1138,18 +1218,16 @@ def dedup_against_seen_bloom_sharded(
             shards=shards,
             num_bits=num_bits,
             num_hashes=num_hashes,
+            family=family,
         ).localCheckpoint(eager=False)
     checked = _bloom_sharded_checked(
-        bitmaps, shards, num_bits, num_hashes, max_fill=max_fill
+        bitmaps, shards, num_bits, num_hashes, family=family, max_fill=max_fill
     )
+    rhs = checked.withColumnRenamed("shard", "__shard")
     stamped = (
         new_docs.withColumn(fp_col, fingerprint_md5(text_col))
-        .withColumn("__shard", _bloom_shard_of(F.col(fp_col), shards))
-        .join(
-            F.broadcast(checked.withColumnRenamed("shard", "__shard")),
-            "__shard",
-            "left",
-        )
+        .withColumn("__shard", _bloom_shard_of(F.col(fp_col), shards, family))
+        .join(F.broadcast(rhs) if broadcast else rhs, "__shard", "left")
         .withColumn(
             "__maybe_seen",
             F.coalesce(
@@ -1158,6 +1236,7 @@ def dedup_against_seen_bloom_sharded(
                     F.col("bloom"),
                     num_bits=num_bits,
                     num_hashes=num_hashes,
+                    family=family,
                 ),
                 F.lit(False),  # missing shard row == all-zeros bitmap
             ),

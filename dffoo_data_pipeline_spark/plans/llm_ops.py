@@ -329,6 +329,107 @@ def dedup_bloom_portable_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the md5 SHARDED artifact (r11 — the portable router r10 deferred):
+# routing is an md5-REHASH prefix modulus (('0x'||substr(md5(fp),1,8))
+# ::BIGINT % shards — rehashing keeps routing independent of the fp's
+# own four probe windows, so per-shard bit positions stay uniform), and
+# positions are the fp windows as in the 1-row portable family.  DuckDB
+# rebuilds every shard row word-for-word below, which closes the r10
+# gap "cross-engine probing past the broadcast ceiling not yet possible"
+_BLOOM_SHARDED_PORTABLE_ORACLE = r"""
+    WITH fp AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 7 >= 2),
+    routed AS (
+        SELECT fp, ('0x' || substr(md5(fp), 1, 8))::BIGINT % 8 AS shard
+        FROM fp WHERE fp IS NOT NULL),
+    bits AS (
+        SELECT shard,
+               (('0x' || substr(fp, 1 + 8 * h.i, 8))::BIGINT % 65536) AS bit
+        FROM routed CROSS JOIN (VALUES (0), (1), (2), (3)) h(i))
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(bit // 64 AS INT) AS word_idx,
+           bit_or({mask}) AS word
+    FROM bits GROUP BY shard, word_idx
+    """.format(mask=_BLOOM_PORTABLE_MASK_SQL.format(bit="bit"))
+
+
+@_register("dedup_bloom_sharded_portable", _BLOOM_SHARDED_PORTABLE_ORACLE)
+def dedup_bloom_sharded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PORTABLE **sharded** Bloom bitmap, certified as an artifact:
+    the ledger's md5-family sharded bitmap (operators/dedup.py:
+    bloom_bitmap_sharded with family='md5') unpacked to one
+    (shard, word_idx, word) row per non-zero 64-bit word and value-hash
+    compared against DuckDB deriving the identical shard rows from
+    scratch — router included.  This is the capacity story and the
+    portability story at once: shards × num_bits bits of ledger, every
+    row broadcast-sized, and any md5-capable engine can rebuild, audit,
+    or probe the artifact bit-for-bit (the r10 verdict's one deferred
+    item).
+
+    Scale: identical fold to the xx64 sharded form — one shuffle on
+    (shard, word_idx) with map-side bit_or partials, then one on shard;
+    the unpack is posexplode of ≤1024 words per shard row; nothing is
+    collected."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = (
+        d.where(F.col("doc_id") % 7 >= 2)
+        .select(TX.fingerprint_md5("text").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    bm = dedup.bloom_bitmap_sharded(seen, shards=8, family="md5")
+    return (
+        bm.select("shard", F.posexplode("bloom").alias("word_idx", "word"))
+        .where(F.col("word") != 0)
+    )
+
+
+# answer-identical to the plain anti-join truth (the Bloom never changes
+# the answer), certified on its own batch split (% 11) so each bloom
+# path's driver row evidences its own plan — % 7 is the 1-row portable
+# family's split, % 9 the xx64 sharded one
+_BLOOM_SHARDED_PORTABLE_NOVEL_ORACLE = r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 11 < 2),
+    seen AS (SELECT fp FROM fp WHERE doc_id % 11 >= 2)
+    SELECT n.doc_id, n.fp
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = n.fp)
+    """
+
+
+@_register(
+    "dedup_bloom_sharded_portable_novel", _BLOOM_SHARDED_PORTABLE_NOVEL_ORACLE
+)
+def dedup_bloom_sharded_portable_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-day novelty split through the PORTABLE sharded prefilter
+    end-to-end (family='md5', routing and positions both md5-derived):
+    proves the cross-engine sharded path keeps the family's exactness
+    contract — false negatives impossible, result byte-identical to the
+    plain anti-join — while `dedup_bloom_sharded_portable` separately
+    certifies the artifact it probes.  Together the pair is the full
+    portable story past the broadcast ceiling: a non-Spark engine can
+    rebuild the index AND reproduce the verdicts.
+
+    Scale: same plan as dedup_bloom_sharded_novel — broadcast equi-join
+    prefilter on the shard id (broadcast=False flips it to a shuffle
+    equi-join past ~1 GiB of total shard rows), exact anti-join only for
+    the maybe-seen slice."""
+    d = load_table(spark, sf_dir, "documents")
+    novel = dedup.dedup_against_seen_bloom_sharded(
+        new_docs=d.where(F.col("doc_id") % 11 < 2),
+        seen_fingerprints=d.where(F.col("doc_id") % 11 >= 2).select(
+            TX.fingerprint_md5("text").alias("fp")
+        ),
+        shards=8,
+        family="md5",
+    )
+    return novel.select("doc_id", "fp")
+
+
 @_register(
     "doc_fingerprint",
     """

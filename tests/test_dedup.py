@@ -1038,23 +1038,110 @@ def test_sharded_bloom_union_refusals(spark):
     with pytest.raises(Exception, match="duplicate shard rows"):
         dedup.bloom_union_sharded(day2, day1.union(day1)).collect()
     # disjoint shard sets, different moduli: rows never meet in the
-    # outer join, so only the cross-side guard can catch it
-    m8 = dedup.bloom_bitmap_sharded(fps, shards=8).where(F.col("shard") >= 4)
-    m4 = day2.where(F.col("shard") < 4)
-    if m8.count() > 0 and m4.count() > 0:  # fixture-dependent occupancy
-        with pytest.raises(Exception, match="mismatched bitmap geometries"):
-            dedup.bloom_union_sharded(m4, m8).collect()
+    # outer join, so only the cross-side guard can catch it.  Literal
+    # one-row bitmaps with CHOSEN shard ids (r11 ADVICE): the branch
+    # must always run, not depend on fixture shard occupancy.
+    schema = (
+        "shard int, bloom array<bigint>, bloom_shards int, "
+        "bloom_num_bits int, bloom_num_hashes int, bloom_fill_ratio double"
+    )
+    m4 = spark.createDataFrame([(1, [1], 4, 64, 1, 1 / 64)], schema)
+    m8 = spark.createDataFrame([(5, [2], 8, 64, 1, 1 / 64)], schema)
+    with pytest.raises(Exception, match="mismatched bitmap geometries"):
+        dedup.bloom_union_sharded(m4, m8).collect()
+    # guard survives a STATICALLY-EMPTY side (r11 ADVICE): attached to
+    # one input, PropagateEmptyRelation would prune it with the whole
+    # side and a corrupt other side would pass unvalidated — post-join
+    # attachment keeps the refusal live.
+    empty4 = m4.where(F.lit(False))
+    with pytest.raises(Exception, match="duplicate shard rows"):
+        dedup.bloom_union_sharded(empty4, m8.union(m8)).collect()
+    with pytest.raises(Exception, match="duplicate shard rows"):
+        dedup.bloom_union_sharded(m4.union(m4), empty4).collect()
+    # and an empty side with a VALID other side still merges cleanly
+    assert dedup.bloom_union_sharded(empty4, m4).collect()[0]["bloom"] == [1]
+
+
+def test_sharded_bloom_md5_family(spark):
+    """The portable (md5) router past the broadcast ceiling (r11, the
+    router r10 deferred): routing AND positions are md5-hex-derived, so
+    the sharded family keeps the exactness contract (novel set equals
+    the plain anti-join) while every shard row is rebuildable outside
+    Spark.  Cross-family mixes — probe vs build, and union sides — are
+    refused: the two families' routings disagree, so fingerprints would
+    be tested against bits a different shard set."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+
+    texts = {i: f"portable sharded doc {i} body" for i in range(30)}
+    texts.update({1: texts[11], 3: texts[13]})  # cross-split dupes
+    d = _docs_df(spark, texts)
+    new = d.where(F.col("doc_id") < 10)
+    seen = d.where(F.col("doc_id") >= 10).select(fingerprint_md5("text").alias("fp"))
+    want = {r.doc_id for r in dedup.dedup_against_seen(new, seen)[0].collect()}
+    for shards in (1, 4, 64):
+        got = {
+            r.doc_id
+            for r in dedup.dedup_against_seen_bloom_sharded(
+                new, seen, shards=shards, family="md5"
+            ).collect()
+        }
+        assert got == want, (shards, got ^ want)
+    # family stamped on every shard row; routing differs from xx64's
+    md5_bm = dedup.bloom_bitmap_sharded(seen, shards=4, family="md5")
+    assert {r.bloom_family for r in md5_bm.collect()} == {"md5"}
+    # cross-family probe refused (stamp mismatch, not silent false negs)
+    with pytest.raises(Exception, match="stamp mismatch"):
+        dedup.dedup_against_seen_bloom_sharded(
+            new, seen, shards=4, bitmaps=md5_bm
+        ).collect()
+    with pytest.raises(Exception, match="stamp mismatch"):
+        dedup.dedup_against_seen_bloom_sharded(
+            new,
+            seen,
+            shards=4,
+            family="md5",
+            bitmaps=dedup.bloom_bitmap_sharded(seen, shards=4),
+        ).collect()
+    # cross-family union refused, including on DISJOINT shard sets where
+    # only the aggregate cross-side guard can see the mismatch (literal
+    # rows: the branch must not depend on fixture shard occupancy)
+    xx_bm = dedup.bloom_bitmap_sharded(seen, shards=4)
+    with pytest.raises(Exception, match="mismatched bitmap geometries"):
+        dedup.bloom_union_sharded(md5_bm, xx_bm).collect()
+    lit_schema = (
+        "shard int, bloom array<bigint>, bloom_shards int, bloom_num_bits int,"
+        " bloom_num_hashes int, bloom_family string, bloom_fill_ratio double"
+    )
+    lit_md5 = spark.createDataFrame([(0, [1], 4, 64, 1, "md5", 1 / 64)], lit_schema)
+    lit_xx = spark.createDataFrame([(3, [2], 4, 64, 1, "xx64", 1 / 64)], lit_schema)
+    with pytest.raises(Exception, match="mismatched bitmap geometries"):
+        dedup.bloom_union_sharded(lit_md5, lit_xx).collect()
+    # md5-family union equals the md5-family full rebuild, bit-exactly
+    day1 = dedup.bloom_bitmap_sharded(seen.limit(5), shards=4, family="md5")
+    merged = {
+        r.shard: r.bloom for r in dedup.bloom_union_sharded(day1, md5_bm).collect()
+    }
+    full = {r.shard: r.bloom for r in md5_bm.collect()}
+    assert merged == full
+    # unknown family refused eagerly
+    with pytest.raises(ValueError, match="unknown bloom family"):
+        dedup.bloom_bitmap_sharded(seen, shards=4, family="sha9")
 
 
 def test_shingler_uses_ascii_whitespace_spec(spark):
-    """Cross-engine tokenizer spec (r10 self-review): the shingler must
-    split on ASCII \\s+ exactly like the oracles' RE2 and the JVM-side
-    regexes — Python str.split() also splits on Unicode whitespace
-    (U+00A0 etc.), which would shingle such docs differently per engine
-    and break the portable-index contract."""
+    """Cross-engine tokenizer spec (r10 self-review, tightened r11): the
+    shingler must split exactly like the oracles' RE2 \\s+, i.e. on
+    [ \\t\\n\\r\\f] and NOTHING else — Python str.split() also splits
+    on Unicode whitespace (U+00A0 etc.) and on \\v/\\x1c-\\x1f, and Java
+    \\s also matches \\v (which RE2 does NOT; r11 ADVICE, verified live),
+    any of which would shingle such docs differently per engine and
+    break the portable-index contract.  Both probes run against DuckDB.
+    """
     import duckdb
 
-    text = "foo bar baz qux quux"
+    text = "foo bar baz v\x0bv qux quux"
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = set(
         dedup._shingle_rows(df, "doc_id", "text", 3)
@@ -1079,3 +1166,6 @@ def test_shingler_uses_ascii_whitespace_spec(spark):
     assert got == want
     # U+00A0 stays INSIDE a token in both engines
     assert any("foo bar" in sh for sh in got)
+    # \x0b (vertical tab) stays INSIDE a token too: RE2 \s does not
+    # match it, so neither may the UDF (fast path AND regex path)
+    assert any("v\x0bv" in sh for sh in got)

@@ -309,3 +309,59 @@ def test_priority_window_names_all_resolve():
 
     stale = [n for n in bench.HEADLINE if n not in q]
     assert not stale, f"bench.HEADLINE names missing from registry: {stale}"
+
+
+def test_sharded_bloom_broadcast_knob_switches_to_shuffle_join(spark):
+    """Past the broadcast-TOTAL ceiling (shards × row size ≳ 1 GiB) the
+    sharded Bloom prefilter must run as a SHUFFLE equi-join on the shard
+    id instead of shipping every shard row to every executor — the
+    `broadcast=False` knob (r10 verdict note, delivered r11).  Pin both
+    sides of the flip with auto-broadcast disabled: the default forces a
+    BroadcastHashJoin via its hint regardless of threshold, the knob'd
+    plan contains NO broadcast of the bitmap relation — and both return
+    the identical novel set (the knob changes distribution, not answers).
+    """
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.operators import dedup
+
+    conf = spark.conf
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+    }
+    d = spark.createDataFrame(
+        [(i, f"knob doc {i} text") for i in range(24)], "doc_id long, text string"
+    )
+    new = d.where(F.col("doc_id") < 8)
+    seen = d.where(F.col("doc_id") >= 4).select(fingerprint_md5("text").alias("fp"))
+    want = {r.doc_id for r in dedup.dedup_against_seen(new, seen)[0].collect()}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plans = {}
+        for knob in (True, False):
+            df = dedup.dedup_against_seen_bloom_sharded(
+                new, seen, shards=4, broadcast=knob
+            )
+            assert {r.doc_id for r in df.collect()} == want, knob
+            plans[knob] = df._jdf.queryExecution().executedPlan().toString()
+        # default: the explicit hint forces the broadcast even at -1
+        assert "BroadcastHashJoin" in plans[True], plans[True]
+        # knob'd: the bitmap equi-join runs as a shuffle (sort-merge or
+        # shuffled-hash) — no BroadcastHashJoin in the plan (the ≤1-row
+        # stamp guard keeps its broadcast NESTED-LOOP attach, which is
+        # the point: only the shards×row-size relation stops shipping)
+        assert "BroadcastHashJoin" not in plans[False], plans[False]
+        assert ("SortMergeJoin" in plans[False]) or (
+            "ShuffledHashJoin" in plans[False]
+        ), plans[False]
+    finally:
+        for k, v in old.items():
+            if v:
+                conf.set(k, v)
+            else:
+                conf.unset(k)
