@@ -16,90 +16,104 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-10 window (50 slots).  The r9 window came back 50/50 green (the
-# second consecutive all-green window).  This rotation, per the r9
-# verdict's explicit ask:
-# (a) certifies the 14 queries NEW in round 9 (Bloom ingest prefilter,
-# persisted-ANN asymmetric probe family, PQ rerank / IVF-PQ / IVFADC+R,
-# ingest-day E2E batch+stream) that registered past the r9 window edge —
-# all locally oracle-green but, by the hard-signal bar, untested until a
-# CORRECTNESS row exists; (b) re-certifies q20_dominant_supplier, whose
-# dominance threshold was loosened 0.5→0.24 this round so its green row
-# evidences >=1 supplier instead of 0-vs-0 (r9 verdict "What's wrong"),
-# and first-certifies the 3 queries new this round (see below);
-# (c) closes the r02 staleness frontier with the 15 overflow rows
-# (abilities_full_pipeline .. multimodal_modality_zscore) that rolled
-# over from r9's window; and (d) spends the remaining 17 slots on the
-# stalest r04 rows in registry order (skew_heavy_hitter_report ..
-# curation_temporal_split), leaving 22 r04 rows for the r11 window.
+# Round-11 window (50 slots + 22 overflow).  The r10 window came back
+# 50/50 green (third consecutive).  This rotation, per the r10 verdict:
+# (a) first-certifies the 2 queries NEW this round — the portable (md5)
+# sharded Bloom pair (artifact word-for-word + end-to-end novel), the
+# router the r10 build deferred;
+# (b) retires the r04 staleness frontier ENTIRELY: all 22 oracled rows
+# whose newest green is r04 (curation_e2e_corpus .. 
+# profile_quantiles_docs_by_lang), in registry order;
+# (c) re-certifies the 22 stalest r06 oracled rows in registry order
+# (orders_monthly_growth .. streaming_error_rate_alert);
+# (d) spends the window's last 4 slots on rows-only freshness checks
+# for the stalest no-oracle queries (verdict item 5):
+# agg_approx_distinct (no driver row since r01!) and the r04
+# minhash/simhash trio — rows-only, but a stable spark_rows under the
+# current registry is the only freshness signal these can get.
+# Positions 51-72 queue the REMAINING 22 r06 oracled rows (insurance if
+# the driver checks past 50; otherwise they are r12's window, leaving
+# nothing oracled older than r07 after that round).
 # Everything previously verified follows in module order via
 # all_queries()'s tail append, so its existing green row stands.
-# UNLIKE prior rounds, the 3 queries NEW this round (the sharded and
-# md5-portable Bloom family: dedup_bloom_sharded_novel,
-# dedup_bloom_portable_words, dedup_bloom_portable_flags) are IN the
-# window — the r9 verdict's one material gap was "new queries never
-# driver-checked", and first-certification outranks drift
-# re-certification, so they take the window's last three slots and
-# curation_e2e_corpus / streaming_dedup_against_ledger /
-# embedding_norm_stats join the r04 remainder queued for r11 (22 rows).
 _PRIORITY = [
-    # ---- (a) the 14 round-9 additions: never driver-checked ----
-    "similarity_lsh_probe_topk",
-    "streaming_ann_probe",
-    "dedup_prefix_filter_rotated",
-    "similarity_lsh_probe_recall_report",
-    "similarity_lsh_probe_indexed",
-    "dedup_bloom_prefilter_novel",
-    "similarity_pq_rerank_topk",
-    "similarity_ivfpq_topk",
-    "streaming_bloom_dedup",
-    "similarity_ivfpq_recall_report",
-    "pipeline_ingest_day",
-    "streaming_ingest_day",
-    "similarity_ivfpq_rerank_topk",
-    "similarity_ivfpq_rerank_recall_report",
-    # ---- (b) changed this round: dominance threshold 0.5 -> 0.24;
-    # plus the 3 queries NEW this round (sharded + md5-portable Bloom) --
-    "q20_dominant_supplier",
-    "dedup_bloom_sharded_novel",
-    "dedup_bloom_portable_words",
-    "dedup_bloom_portable_flags",
-    # ---- (c) r02 overflow: the last 15 rows whose newest green is r02,
-    # registry order — closes the r02 frontier entirely ----
-    "abilities_full_pipeline",
-    "abilities_attribute_list_parity",
-    "bt_effects_parse",
-    "ha_caps_parse",
-    "streaming_tumbling_hourly",
-    "streaming_session_window",
-    "streaming_interval_join",
-    "streaming_custom_sessionizer",
-    "streaming_dedup_events",
-    "streaming_stateful_user_totals",
-    "streaming_enrich_static",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "multimodal_arrow_byte_len",
-    "multimodal_modality_zscore",
-    # ---- (d) drift re-certification: first 17 of the 39 r04 rows,
-    # registry order (remaining 22 queue for r11) ----
-    "skew_heavy_hitter_report",
-    "customers_rfm",
-    "flagship_pricing_under_cap",
-    "events_ordered_funnel",
-    "events_max_gap",
-    "events_type_transitions",
-    "events_cohort_retention",
-    "events_sessionization",
-    "events_hourly_error_rate",
-    "events_anomaly_mad",
-    "scd2_user_tier",
-    "cdc_apply_latest",
-    "dedup_incremental_novel",
-    "text_contamination_overlap",
-    "dedup_shingle_containment",
-    "curation_split_assign",
-    "curation_temporal_split",
+    # ---- (a) NEW this round: the portable sharded Bloom pair ----
+    "dedup_bloom_sharded_portable",
+    "dedup_bloom_sharded_portable_novel",
+    # ---- (b) the 22 r04-stale oracled rows, registry order ----
+    "curation_e2e_corpus",
+    "streaming_dedup_against_ledger",
+    "embedding_norm_stats",
+    "embedding_nearest_seed",
+    "embedding_quantize_int8",
+    "similarity_int8_topk",
+    "text_chunk_windows",
+    "corpus_token_budget",
+    "text_tfidf_top_terms",
+    "curation_length_outliers",
+    "corpus_snapshot_diff",
+    "corpus_top_ngrams",
+    "text_lang_predict",
+    "corpus_source_report",
+    "corpus_repeated_unit_removal",
+    "dedup_best_survivor",
+    "curation_token_budget_fill",
+    "text_unigram_logprob",
+    "corpus_ppl_buckets",
+    "profile_lineitem",
+    "profile_quantiles_lineitem",
+    "profile_quantiles_docs_by_lang",
+    # ---- (c) the 22 stalest r06 oracled rows, registry order ----
+    "orders_monthly_growth",
+    "supplier_revenue_pareto",
+    "orders_open_backlog",
+    "orders_market_basket",
+    "events_top_paths",
+    "events_churned_users",
+    "events_dau_wau",
+    "events_lateness_audit",
+    "events_pit_enrich",
+    "events_gapfill_interpolate",
+    "events_rolling_range",
+    "events_ab_wilson",
+    "events_kaplan_meier",
+    "events_exp_smoothing",
+    "events_isotonic_daily_rate",
+    "text_kwic",
+    "text_char_ngram_profile",
+    "curation_source_caps",
+    "pipeline_latest_abilities",
+    "pipeline_db_load",
+    "streaming_db_exactly_once",
+    "streaming_error_rate_alert",
+    # ---- (d) rows-only freshness tail (no oracle possible) ----
+    "agg_approx_distinct",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # ---- overflow: remaining 22 r06 rows (r12's window if unreached) --
+    "streaming_quality_gate",
+    "streaming_embedding_assign",
+    "streaming_pit_enrich",
+    "streaming_continuous_rollup",
+    "streaming_interval_join_outer",
+    "streaming_countmin_topk",
+    "multimodal_feature_bins",
+    "embedding_centroid_dist",
+    "corpus_zipf_heaps",
+    "corpus_bigram_logprob",
+    "corpus_data_card",
+    "text_langid_confusion",
+    "corpus_drift_psi",
+    "corpus_loo_source_ablation",
+    "profile_corr_lineitem",
+    "profile_sample_estimate",
+    "profile_benford_audit",
+    "corpus_duplicate_span_removal",
+    "text_classifier_score",
+    "text_cdc_chunks",
+    "events_hist_quantile_rollup",
+    "events_countmin_topk",
 ]
 
 
