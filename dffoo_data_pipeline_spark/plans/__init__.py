@@ -16,29 +16,30 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-11 window (50 slots + 22 overflow).  The r10 window came back
+# Round-11 window (50 slots + 23 overflow).  The r10 window came back
 # 50/50 green (third consecutive).  This rotation, per the r10 verdict:
-# (a) first-certifies the 2 queries NEW this round — the portable (md5)
-# sharded Bloom pair (artifact word-for-word + end-to-end novel), the
-# router the r10 build deferred;
+# (a) first-certifies the 3 queries NEW this round — the portable (md5)
+# sharded Bloom triple (artifact word-for-word + membership flags +
+# end-to-end novel), the router the r10 build deferred;
 # (b) retires the r04 staleness frontier ENTIRELY: all 22 oracled rows
-# whose newest green is r04 (curation_e2e_corpus .. 
+# whose newest green is r04 (curation_e2e_corpus ..
 # profile_quantiles_docs_by_lang), in registry order;
-# (c) re-certifies the 22 stalest r06 oracled rows in registry order
-# (orders_monthly_growth .. streaming_error_rate_alert);
+# (c) re-certifies the 21 stalest r06 oracled rows in registry order
+# (orders_monthly_growth .. streaming_db_exactly_once);
 # (d) spends the window's last 4 slots on rows-only freshness checks
 # for the stalest no-oracle queries (verdict item 5):
 # agg_approx_distinct (no driver row since r01!) and the r04
 # minhash/simhash trio — rows-only, but a stable spark_rows under the
 # current registry is the only freshness signal these can get.
-# Positions 51-72 queue the REMAINING 22 r06 oracled rows (insurance if
+# Positions 51-73 queue the REMAINING 23 r06 oracled rows (insurance if
 # the driver checks past 50; otherwise they are r12's window, leaving
 # nothing oracled older than r07 after that round).
 # Everything previously verified follows in module order via
 # all_queries()'s tail append, so its existing green row stands.
 _PRIORITY = [
-    # ---- (a) NEW this round: the portable sharded Bloom pair ----
+    # ---- (a) NEW this round: the portable sharded Bloom triple ----
     "dedup_bloom_sharded_portable",
+    "dedup_bloom_sharded_portable_flags",
     "dedup_bloom_sharded_portable_novel",
     # ---- (b) the 22 r04-stale oracled rows, registry order ----
     "curation_e2e_corpus",
@@ -63,7 +64,7 @@ _PRIORITY = [
     "profile_lineitem",
     "profile_quantiles_lineitem",
     "profile_quantiles_docs_by_lang",
-    # ---- (c) the 22 stalest r06 oracled rows, registry order ----
+    # ---- (c) the 21 stalest r06 oracled rows, registry order ----
     "orders_monthly_growth",
     "supplier_revenue_pareto",
     "orders_open_backlog",
@@ -85,13 +86,13 @@ _PRIORITY = [
     "pipeline_latest_abilities",
     "pipeline_db_load",
     "streaming_db_exactly_once",
-    "streaming_error_rate_alert",
     # ---- (d) rows-only freshness tail (no oracle possible) ----
     "agg_approx_distinct",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    # ---- overflow: remaining 22 r06 rows (r12's window if unreached) --
+    # ---- overflow: remaining 23 r06 rows (r12's window if unreached) --
+    "streaming_error_rate_alert",
     "streaming_quality_gate",
     "streaming_embedding_assign",
     "streaming_pit_enrich",

@@ -384,6 +384,93 @@ def dedup_bloom_sharded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_SHARDED_PORTABLE_FLAGS_ORACLE = r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    bits AS (
+        SELECT ('0x' || substr(md5(fp), 1, 8))::BIGINT % 8 AS shard,
+               (('0x' || substr(fp, 1 + 8 * h.i, 8))::BIGINT % 65536) AS bit
+        FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+        WHERE doc_id % 7 >= 2 AND fp IS NOT NULL),
+    words AS (
+        SELECT shard, CAST(bit // 64 AS INT) AS word_idx,
+               bit_or({mask}) AS word
+        FROM bits GROUP BY shard, word_idx),
+    dbits AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(fp), 1, 8))::BIGINT % 8 AS shard,
+               (('0x' || substr(fp, 1 + 8 * h.i, 8))::BIGINT % 65536) AS bit
+        FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+        WHERE doc_id % 7 < 2),
+    dtest AS (
+        SELECT d.doc_id,
+               CASE WHEN w.word IS NULL THEN FALSE
+                    ELSE (w.word & {dmask}) != 0 END AS hit
+        FROM dbits d
+        LEFT JOIN words w
+          ON w.shard = d.shard AND w.word_idx = CAST(d.bit // 64 AS INT))
+    SELECT doc_id, bool_and(hit) AS maybe_seen
+    FROM dtest GROUP BY doc_id
+    """.format(
+    mask=_BLOOM_PORTABLE_MASK_SQL.format(bit="bit"),
+    dmask=_BLOOM_PORTABLE_MASK_SQL.format(bit="d.bit"),
+)
+
+
+@_register(
+    "dedup_bloom_sharded_portable_flags", _BLOOM_SHARDED_PORTABLE_FLAGS_ORACLE
+)
+def dedup_bloom_sharded_portable_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable SHARDED Bloom's membership answers, certified
+    exactly — false positives included: one (doc_id, maybe_seen) row per
+    batch doc, probed against the md5-family sharded bitmap via the
+    production plan (broadcast equi-join on the md5-rehash shard id; a
+    missing shard row is proof of absence).  Same batch split as the
+    1-row `dedup_bloom_portable_flags`, deliberately: sharding
+    partitions the bit space, so the two paths' false-positive SETS
+    differ while both are deterministic and engine-independent — DuckDB
+    reproduces each byte-for-byte, pinning router, positions, and the
+    missing-shard semantics at once.  Completes the sharded family's
+    certification triple (artifact / flags / end-to-end novel), mirroring
+    the 1-row portable family's structure.
+
+    Scale: the probe is the production prefilter shape — ≤shards
+    broadcast rows, pure column-expression bit tests, no exact-join
+    stage (this query IS the prefilter output).  A NULL-text doc routes
+    to a NULL shard, misses the join, and flags false in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = (
+        d.where(F.col("doc_id") % 7 >= 2)
+        .select(TX.fingerprint_md5("text").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    checked = dedup._bloom_sharded_checked(
+        dedup.bloom_bitmap_sharded(seen, shards=8, family="md5"),
+        8,
+        1 << 16,
+        4,
+        family="md5",
+    )
+    batch = (
+        d.where(F.col("doc_id") % 7 < 2)
+        .withColumn("fp", TX.fingerprint_md5("text"))
+        .withColumn("__shard", dedup._bloom_shard_of(F.col("fp"), 8, "md5"))
+    )
+    return batch.join(
+        F.broadcast(checked.withColumnRenamed("shard", "__shard")),
+        "__shard",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(
+            dedup.bloom_might_contain(F.col("fp"), F.col("bloom"), family="md5"),
+            F.lit(False),
+        ).alias("maybe_seen"),
+    )
+
+
 # answer-identical to the plain anti-join truth (the Bloom never changes
 # the answer), certified on its own batch split (% 11) so each bloom
 # path's driver row evidences its own plan — % 7 is the 1-row portable
