@@ -91,6 +91,11 @@ HEADLINE += [
     "similarity_ivf_topk",           # seeded IVF (best oracled recall)
     "similarity_lsh_probe_topk",     # asymmetric search(queries, index)
     "similarity_ivfpq_rerank_topk",  # IVFADC+R full stack
+    # round-11: the sharded Bloom prefilter, both hash families — the
+    # pair measures the portability premium (md5 routing+positions vs
+    # JVM xxhash64) for the past-the-broadcast-ceiling ledger shape
+    "dedup_bloom_sharded_novel",     # xx64 sharded bloom ledger anti-join
+    "dedup_bloom_sharded_portable_novel",  # md5 (cross-engine) sharded bloom
 ]
 
 

@@ -109,8 +109,8 @@ def quality_score_from_parts(n_tok, avg_len, text) -> Column:
 # BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
 # RE2-compatible — no lookarounds — so the DuckDB oracle matches exactly):
 # runs of letters (with optional leading apostrophe for contractions),
-# runs of digits, or single non-space symbols.  "Non-space" uses the
-# explicit WS_CHARS class, not \s: under Java regex \s would also eat
+# runs of digits, or single non-space symbols.  "Non-space" spells the
+# explicit WS_RE class, not \s: under Java regex \s would also eat
 # \v, making Spark drop a symbol the RE2 oracle keeps (r11 spec fix).
 BPE_PATTERN = rf"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_RE}]"
 

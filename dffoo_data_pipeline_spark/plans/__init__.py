@@ -16,31 +16,34 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-11 window (50 slots + 23 overflow).  The r10 window came back
+# Round-11 window (50 slots + 24 overflow).  The r10 window came back
 # 50/50 green (third consecutive).  This rotation, per the r10 verdict:
-# (a) first-certifies the 3 queries NEW this round — the portable (md5)
+# (a) first-certifies the 4 queries NEW this round — the portable (md5)
 # sharded Bloom triple (artifact word-for-word + membership flags +
-# end-to-end novel), the router the r10 build deferred;
+# end-to-end novel; the router the r10 build deferred) plus the sharded
+# prefilter's streaming twin;
 # (b) retires the r04 staleness frontier ENTIRELY: all 22 oracled rows
 # whose newest green is r04 (curation_e2e_corpus ..
 # profile_quantiles_docs_by_lang), in registry order;
-# (c) re-certifies the 21 stalest r06 oracled rows in registry order
-# (orders_monthly_growth .. streaming_db_exactly_once);
+# (c) re-certifies the 20 stalest r06 oracled rows in registry order
+# (orders_monthly_growth .. pipeline_db_load);
 # (d) spends the window's last 4 slots on rows-only freshness checks
 # for the stalest no-oracle queries (verdict item 5):
 # agg_approx_distinct (no driver row since r01!) and the r04
 # minhash/simhash trio — rows-only, but a stable spark_rows under the
 # current registry is the only freshness signal these can get.
-# Positions 51-73 queue the REMAINING 23 r06 oracled rows (insurance if
+# Positions 51-74 queue the REMAINING 24 r06 oracled rows (insurance if
 # the driver checks past 50; otherwise they are r12's window, leaving
 # nothing oracled older than r07 after that round).
 # Everything previously verified follows in module order via
 # all_queries()'s tail append, so its existing green row stands.
 _PRIORITY = [
-    # ---- (a) NEW this round: the portable sharded Bloom triple ----
+    # ---- (a) NEW this round: the portable sharded Bloom triple + the
+    # sharded prefilter's streaming twin ----
     "dedup_bloom_sharded_portable",
     "dedup_bloom_sharded_portable_flags",
     "dedup_bloom_sharded_portable_novel",
+    "streaming_bloom_dedup_sharded",
     # ---- (b) the 22 r04-stale oracled rows, registry order ----
     "curation_e2e_corpus",
     "streaming_dedup_against_ledger",
@@ -64,7 +67,7 @@ _PRIORITY = [
     "profile_lineitem",
     "profile_quantiles_lineitem",
     "profile_quantiles_docs_by_lang",
-    # ---- (c) the 21 stalest r06 oracled rows, registry order ----
+    # ---- (c) the 20 stalest r06 oracled rows, registry order ----
     "orders_monthly_growth",
     "supplier_revenue_pareto",
     "orders_open_backlog",
@@ -85,13 +88,13 @@ _PRIORITY = [
     "curation_source_caps",
     "pipeline_latest_abilities",
     "pipeline_db_load",
-    "streaming_db_exactly_once",
     # ---- (d) rows-only freshness tail (no oracle possible) ----
     "agg_approx_distinct",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    # ---- overflow: remaining 23 r06 rows (r12's window if unreached) --
+    # ---- overflow: remaining 24 r06 rows (r12's window if unreached) --
+    "streaming_db_exactly_once",
     "streaming_error_rate_alert",
     "streaming_quality_gate",
     "streaming_embedding_assign",

@@ -1054,6 +1054,91 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# answer-identical to the plain anti-join truth on its own batch split
+# (% 13): the sharded Bloom provably never changes the answer, so the
+# stream certifies against the same NOT-EXISTS shape as every other
+# bloom path, each on a distinct split so each driver row evidences its
+# own plan (%7 = 1-row family, %9 = xx64 sharded, %11 = md5 sharded)
+_STREAMING_BLOOM_SHARDED_ORACLE = r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 13 < 2),
+    seen AS (SELECT fp FROM fp WHERE doc_id % 13 >= 2)
+    SELECT n.doc_id, n.fp
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = n.fp)
+    """
+
+
+@_register("streaming_bloom_dedup_sharded", _STREAMING_BLOOM_SHARDED_ORACLE)
+def streaming_bloom_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_bloom_dedup past the broadcast ceiling: the ingest
+    stream dedups behind the SHARDED Bloom prefilter — the shape when
+    the cumulative ledger's bitmap outgrows one broadcastable row
+    (capacity = shards × num_bits at constant row size).  The ≤shards-row
+    bitmap relation is built ONCE per run (lazy localCheckpoint,
+    geometry/family/fill stamped — a stale or foreign bitmap is refused
+    loudly at the first micro-batch); each arriving batch equi-joins its
+    docs to their shard's row on the md5-routed shard id, and only
+    bloom-positive rows pay the exact anti-join against the ledger.
+    Steady-state mostly-novel batches never touch the ledger at all;
+    a doc whose shard has no row is PROVEN novel without any probe.
+
+    Per-doc verdicts touch only the doc and the STATIC sharded bitmap +
+    ledger, so any micro-batching yields the batch twin's exact result
+    (false negatives impossible ⇒ shares the NOT-EXISTS oracle shape).
+    Sink is replay-idempotent (per-batch overwritten subdir).  At a real
+    deployment's shard counts, pass broadcast=False inside the probe to
+    flip the prefilter to a shuffle equi-join (see
+    dedup_against_seen_bloom_sharded's broadcast-total ceiling note)."""
+    from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
+    from dffoo_data_pipeline_spark.operators import dedup
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    docs = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 13 < 2)
+    seen = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 >= 2)
+        .select(fingerprint_md5("text").alias("fp"))
+    )
+    bitmaps = dedup.bloom_bitmap_sharded(seen, shards=8).localCheckpoint(
+        eager=False
+    )
+    out_dir = tempfile.mkdtemp(prefix="sg_bloomshard_out_")
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        novel = dedup.dedup_against_seen_bloom_sharded(
+            batch_df, seen, shards=8, bitmaps=bitmaps
+        ).select("doc_id", "fp")
+        novel.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("fp", T.StringType()),
+                ]
+            )
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )
+
+
 def _streaming_ingest_day_oracle() -> str:
     from dffoo_data_pipeline_spark.plans.llm_ops import _ingest_day_oracle
 
