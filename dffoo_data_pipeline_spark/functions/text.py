@@ -32,8 +32,20 @@ WS_CLASS = "[" + WS_RE + "]"
 
 def tokens(text) -> Column:
     """Whitespace tokenization of trimmed text → array<string>
-    (separator spec: ``WS_CLASS``, the RE2-\\s portable class)."""
-    return F.split(F.trim(text), WS_CLASS + "+")
+    (separator spec: ``WS_CLASS``, the RE2-\\s portable class).
+
+    TOKEN SPEC (r11 hostile-input sweep): a token is a maximal
+    NON-EMPTY run of non-whitespace — empty or whitespace-only text has
+    ZERO tokens, never the edge-'' tokens a bare split() emits (trim()
+    strips spaces only, so a doc like ``'\\tfoo'`` still splits to an
+    edge '').  Without the filter, empty/whitespace-only docs counted
+    1-2 phantom tokens, shifting every corpus-total statistic and
+    diverging from the Python paths (str.split/findall never emit '').
+    NULL text stays NULL (SQL propagation; consumers guard like any
+    aggregate).  DuckDB mirror:
+    ``list_filter(string_split_regex(trim(x), '\\s+'), t -> t <> '')``.
+    """
+    return F.filter(F.split(F.trim(text), WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count(text) -> Column:
@@ -155,7 +167,9 @@ def quality_score_sql(text_expr: str = "text") -> str:
     same 1e-4 rounding).  Keeping the one authoritative string here stops
     the oracle fragment from drifting between plan modules — any change
     to the Spark expression and this SQL must land together."""
-    toks = rf"string_split_regex(trim({text_expr}), '\s+')"
+    # the non-empty-token spec, mirrored (see tokens()): edge ''
+    # tokens from whitespace-only docs are dropped in both engines
+    toks = rf"list_filter(string_split_regex(trim({text_expr}), '\s+'), t -> t <> '')"
     # NULLIF denominators: empty/token-less docs get NULL ratios in both
     # engines (the Spark side guards with F.when; ANSI would crash on /0)
     avg_len = (

@@ -162,7 +162,11 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
                 continue
             feats, means, stds = [], [], []
             for payload in pb["payload"]:
-                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                # NULL payload == empty payload here: zero-vector
+                # features, not a frombuffer crash (r11 hostile sweep)
+                b = np.frombuffer(
+                    payload if payload is not None else b"", dtype=np.uint8
+                ).astype(np.int64)
                 h = np.bincount(b // width, minlength=bins)[:bins]
                 feats.append((h / max(len(b), 1)).astype(np.float64))
                 # moments-exact mean/std (Σb, Σb² are exact int64): the
@@ -288,15 +292,19 @@ def audio_rms_windows(df: DataFrame, window_samples: int = 256) -> DataFrame:
     # is full·Σ + prefix(rem) — no 143k-element unnest per image needed.
     """
     WITH img AS (
-        SELECT doc_id AS asset_id, text,
+        SELECT doc_id AS asset_id,
+               hex(encode(text)) AS hx,
                octet_length(encode(text)) AS len,
                doc_id % 512 + 16 AS w,
                doc_id % 256 + 16 AS h
         FROM documents WHERE doc_id % 3 = 0
     ),
     bytes AS (
+        -- TRUE payload bytes via the hex encoding (r11): ord(substring)
+        -- reads CHARACTERS, which silently diverges from the UTF-8
+        -- byte stream on any non-ASCII doc
         SELECT asset_id, i,
-               CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS b
+               ('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2))::BIGINT AS b
         FROM img, unnest(range(1, len + 1)) AS t(i)
     ),
     agg AS (
@@ -329,8 +337,10 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(E[x²] − E[x]²) over exact sums, not numpy's subtract-the-mean
     form (identical to the last ulp across engines; the two forms differ
     by ~1 ulp on real data, and only this one is cross-engine exact)."""
+    # an empty or NULL payload is undecodable — no stats row, matching
+    # the oracle whose per-byte join naturally omits such assets (r11)
     a = documents_as_assets(load_table(spark, sf_dir, "documents")).where(
-        F.col("modality") == "image"
+        (F.col("modality") == "image") & (F.length("payload") > 0)
     )
     schema = T.StructType(
         [
@@ -403,16 +413,19 @@ def multimodal_arrow_byte_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (byte − 128), so Σs² is an exact integer in double regardless of
     # summation order; /256 is a power-of-two scale (exact); sqrt is
     # IEEE-correctly-rounded in both engines → bit-identical doubles.
-    # ord(substring()) is byte-accurate because the corpus is ASCII
-    # (precondition pinned in tests/test_multimodal.py).
+    # bytes come from the hex encoding, so the oracle reads the TRUE
+    # UTF-8 byte stream even for non-ASCII docs (r11; ord(substring)
+    # read characters).
     """
     WITH audio AS (
-        SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
         FROM documents WHERE doc_id % 3 = 1
     ),
     samples AS (
         SELECT asset_id, CAST(i // 256 AS INT) AS window_no,
-               CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS DOUBLE) - 128.0 AS s
+               CAST(('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2))::BIGINT
+                    AS DOUBLE) - 128.0 AS s
         FROM audio, unnest(range(0, (n // 256) * 256)) AS t(i)
     )
     SELECT asset_id, window_no, sqrt(SUM(s * s) / 256.0) AS rms
@@ -530,8 +543,15 @@ def byte_histogram_rows(df: DataFrame, bins: int = 16) -> DataFrame:
             # per ASSET (numpy-vectorized within), not per byte.
             # Empty payloads contribute no rows (share would be 0/0, and
             # the byte-level oracle, which joins through per-byte rows,
-            # omits those assets entirely — match it).
-            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pb["payload"]]
+            # omits those assets entirely — match it).  NULL payloads
+            # (NULL-text docs) are the same case, not a frombuffer crash
+            # (r11 hostile-input sweep).
+            arrs = [
+                np.frombuffer(p, dtype=np.uint8)
+                if p is not None
+                else np.empty(0, dtype=np.uint8)
+                for p in pb["payload"]
+            ]
             kept = [(i, a) for i, a in enumerate(arrs) if len(a)]
             if not kept:
                 yield empty
@@ -577,10 +597,15 @@ def byte_histogram_rows(df: DataFrame, bins: int = 16) -> DataFrame:
     # the dense bin range keeps zero-count bins, matching the dense
     # feature vector the Python path emits.
     """
-    WITH b AS (
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS len
+        FROM documents
+    ),
+    b AS (
         SELECT doc_id AS asset_id,
-               CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS v
-        FROM documents, unnest(range(1, octet_length(encode(text)) + 1)) AS t(i)
+               ('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2))::BIGINT AS v
+        FROM hx, unnest(range(1, len + 1)) AS t(i)
     ),
     mom AS (
         SELECT asset_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
@@ -809,7 +834,8 @@ def phash_neardup(codes: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> Da
     # Spark plan, expressed relationally.
     """
 WITH img AS (
-    SELECT doc_id AS asset_id, text,
+    SELECT doc_id AS asset_id,
+           hex(encode(text)) AS hx,
            octet_length(encode(text)) AS len,
            doc_id % 512 + 16 AS w,
            doc_id % 256 + 16 AS h
@@ -818,7 +844,7 @@ WITH img AS (
 ),
 bytes AS (
     SELECT asset_id, i,
-           CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS b
+           ('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2))::BIGINT AS b
     FROM img, unnest(range(0, len)) AS t(i)
 ),
 pre AS (
@@ -988,13 +1014,14 @@ def audio_activity_segments(
     # dependent; consumers who want it use audio_activity_segments.
     """
     WITH audio AS (
-        SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
         FROM documents WHERE doc_id % 3 = 1
     ),
     win AS (
         SELECT asset_id, CAST(i // 256 AS INT) AS window_no,
-               SUM((CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) - 128)
-                   * (CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) - 128))
+               SUM((('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2))::BIGINT - 128)
+                   * (('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2))::BIGINT - 128))
                  AS k
         FROM audio, unnest(range(0, (n // 256) * 256)) AS t(i)
         GROUP BY asset_id, i // 256

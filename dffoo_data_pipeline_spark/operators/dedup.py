@@ -79,7 +79,16 @@ def _shingles_udf(n: int):
 
     @pandas_udf("array<string>")
     def shingle(texts: pd.Series) -> pd.Series:
-        def sh(t: str):
+        def sh(t: str | None):
+            # NULL text shingles to the empty set, NOT a crash: real
+            # corpora carry NULL docs, and every shingle consumer
+            # (near-dup pairs, band indexes, containment) treats "no
+            # shingles" as "participates in nothing" — the same verdict
+            # the fingerprint family gives NULL docs (r11 hostile-input
+            # sweep; previously t.lower() raised AttributeError and took
+            # down every shingle-based query on the first NULL doc)
+            if t is None:
+                return []
             tl = t.lower()
             # fast path: for pure-ASCII text without \v/FS controls,
             # C-level str.split() is spec-identical to RE2 \s+ and

@@ -33,7 +33,9 @@ def pack_sequences(
     packing per partition into bins of `budget` tokens.
 
     Documents longer than `budget` get a dedicated bin each (truncation is
-    the caller's policy decision, not the packer's).
+    the caller's policy decision, not the packer's).  Rows with a NULL
+    length are EXCLUDED (r11: nothing to pack; previously the int64 cast
+    crashed the whole partition on the first NULL-text doc).
     """
     schema = T.StructType(
         [
@@ -83,9 +85,9 @@ def pack_sequences(
 
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
-    return ensure_min_partitions(df.select(id_col, len_col), id_col).mapInPandas(
-        gen, schema
-    )
+    return ensure_min_partitions(
+        df.where(F.col(len_col).isNotNull()).select(id_col, len_col), id_col
+    ).mapInPandas(gen, schema)
 
 
 def pack_sequences_deterministic(
@@ -152,7 +154,12 @@ def pack_sequences_deterministic(
 
     chunk = F.substring(F.md5(F.col(id_col).cast("string")), 1, chunk_hex_chars)
     return (
-        df.select(id_col, len_col, chunk.alias("__chunk"))
+        # input contract (r11): a NULL length is not packable — such
+        # rows (e.g. NULL-text docs) are EXCLUDED, deterministically,
+        # rather than crashing the int64 cast mid-chunk; zero-length
+        # rows pack normally (consume 0 budget)
+        df.where(F.col(len_col).isNotNull())
+        .select(id_col, len_col, chunk.alias("__chunk"))
         .groupBy("__chunk")
         .applyInPandas(pack_chunk, schema)
     )

@@ -49,13 +49,15 @@ _STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 _CHUNK_ORACLE = rf"""
 WITH toks AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
     FROM documents),
 starts AS (
+    -- a token-less doc (empty/whitespace-only/NULL text) has nothing to
+    -- chunk: zero output rows, not one degenerate empty chunk (r11)
     SELECT doc_id, t,
            unnest(range(1, greatest(len(t) - {CHUNK_OVERLAP}, 1) + 1, {_STRIDE}))
              AS start
-    FROM toks)
+    FROM toks WHERE len(t) > 0)
 SELECT doc_id,
        CAST((start - 1) / {_STRIDE} + 1 AS BIGINT) AS chunk_no,
        CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS INT)
@@ -80,7 +82,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts sequence and the slices read it.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    staged = d.select("doc_id", TX.tokens("text").alias("t"))
+    # token-less docs (NULL size is filtered too) produce no chunks
+    staged = d.select("doc_id", TX.tokens("text").alias("t")).where(F.size("t") > 0)
     n = F.size("t")
     starts = staged.select(
         "doc_id",
@@ -104,7 +107,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUDGET_ORACLE = r"""
 WITH per_doc AS (
-    SELECT lang, source, len(string_split_regex(trim(text), '\s+')) AS n_tok
+    SELECT lang, source, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tok
     FROM documents),
 grouped AS (
     SELECT lang, source,
@@ -161,7 +164,7 @@ _TFIDF_TOPK = 3
 _TFIDF_ORACLE = rf"""
 WITH tok AS (
     SELECT doc_id,
-           unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+           unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> ''))
              AS term
     FROM documents),
 tf AS (
@@ -331,7 +334,7 @@ _TOP_NGRAMS_K = 50
 _TOP_NGRAMS_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents),
 grams AS (
     SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
@@ -392,7 +395,7 @@ def _lang_ratio_sql(toks_expr: str, words: tuple) -> str:
 _LANG_PREDICT_ORACLE = r"""
 WITH t AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS tk
     FROM documents),
 scored AS (
     SELECT doc_id,
@@ -425,9 +428,15 @@ def text_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("tk"))
     n = F.size("tk")
+    # n=0 (empty/whitespace-only doc under the non-empty-token spec)
+    # must yield NULL scores like the oracle's x*1.0/0, not an ANSI
+    # DIVIDE_BY_ZERO (r11 hostile-input sweep); the argmax ladder then
+    # falls through every NULL comparison to the 'fr' default in both
+    # engines
     scores = {
         lang: round_det(
-            F.size(F.filter(F.col("tk"), lambda x: x.isin(*ws))) / n, 4
+            F.when(n > 0, F.size(F.filter(F.col("tk"), lambda x: x.isin(*ws))) / n),
+            4,
         ).alias(f"s_{lang}")
         for lang, ws in _LANG_SETS.items()
     }
@@ -454,12 +463,12 @@ _SOURCE_REPORT_ORACLE = r"""
 WITH per_doc AS (
     SELECT source,
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-           len(string_split_regex(trim(text), '\s+')) AS n_tok,
-           CAST(FLOOR(((CASE WHEN len(string_split_regex(trim(text), '\s+'))
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tok,
+           CAST(FLOOR(((CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
                                   BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
-                        + CASE WHEN (FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                        + CASE WHEN (FLOOR((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
                                                                     x -> length(x))) * 1.0
-                                            / NULLIF(len(string_split_regex(trim(text), '\s+')), 0)) * 10000 + 0.5) / 10000)
+                                            / NULLIF(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 0)) * 10000 + 0.5) / 10000)
                                     BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
                         + (1 - LEAST(FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
                                             / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000
@@ -531,7 +540,7 @@ _MAX_OCC = 2
 _REPEAT_REMOVAL_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents),
 units AS (
     SELECT doc_id, i - 1 AS unit_no,
@@ -588,7 +597,7 @@ WITH clusters AS (
     WITH RECURSIVE
     toks AS (
         SELECT doc_id,
-               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+               list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
         FROM documents),
     shingles AS (
         SELECT DISTINCT doc_id,
@@ -613,11 +622,11 @@ WITH clusters AS (
 ),
 quality AS (
     SELECT doc_id,
-           FLOOR(((CASE WHEN len(string_split_regex(trim(text), '\s+'))
+           FLOOR(((CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
                              BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
-                   + CASE WHEN (FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                   + CASE WHEN (FLOOR((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
                                                                x -> length(x))) * 1.0
-                                       / NULLIF(len(string_split_regex(trim(text), '\s+')), 0)) * 10000 + 0.5) / 10000)
+                                       / NULLIF(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 0)) * 10000 + 0.5) / 10000)
                                BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
                    + (1 - LEAST(FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
                                        / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000
@@ -694,7 +703,7 @@ _BUDGET_TOKENS = 500
 _BUDGET_FILL_ORACLE = rf"""
 WITH t AS (
     SELECT source, doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tok,
            md5(CAST(doc_id AS VARCHAR)) AS h
     FROM documents),
 c AS (
@@ -745,7 +754,7 @@ def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIGRAM_ORACLE = r"""
 WITH tok AS (
     SELECT doc_id,
-           unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+           unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> ''))
              AS tok
     FROM documents),
 freq AS (
@@ -892,8 +901,8 @@ _ZIPF_TOPK = 50
 _ZIPF_HEAPS_ORACLE = rf"""
 WITH tok AS (
     SELECT source,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                               ' ')) AS term
+           unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                               ' '), t -> t <> '')) AS term
     FROM documents),
 tf AS (
     SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
@@ -990,8 +999,8 @@ _LAMBDA = 0.8  # bigram weight; (1-λ) backs off to the unigram MLE
 _BIGRAM_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                        ' ') AS t
+           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' '), x -> x <> '') AS t
     FROM documents),
 eligible AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
 bi AS (
@@ -1194,7 +1203,7 @@ _ENTROPY_TERM = "CAST(FLOOR(c * ln(c) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6
 _DATA_CARD_ORACLE = rf"""
 WITH base AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT)
              AS n_tokens,
            CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,

@@ -308,7 +308,7 @@ def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
         SELECT doc_id, lang, text,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tok,
                md5(lower(trim(text))) AS chash
         FROM documents),
     s1 AS (SELECT * FROM q),
@@ -477,7 +477,7 @@ def _e2e_sql() -> str:
     return rf"""
 WITH scored AS (
     SELECT doc_id, lang, n_chars,
-           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tok,
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
            {quality_score_sql('text')} AS quality
     FROM documents),
@@ -580,7 +580,7 @@ _LEAKAGE_SPLIT_ORACLE = r"""
 WITH RECURSIVE
 toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -721,7 +721,7 @@ _MIX_TEMP_ORACLE = f"""
 WITH per_source AS (
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT)
              AS n_tokens
     FROM documents GROUP BY source),
 sq AS (
@@ -876,7 +876,7 @@ _BUDGET_X = 2  # token budget = 2x the corpus (forces some sources past 1 epoch)
 _EPOCH_MIX_ORACLE = rf"""
 WITH avail AS (
     SELECT source,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT)
              AS avail_tokens,
            CAST(10 + (('0x' || substr(md5(source), 1, 8))::BIGINT) % 41 AS BIGINT)
              AS priority

@@ -545,11 +545,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     """
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+'))  AS n_tokens,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))  AS n_tokens,
            length(text)                                  AS n_chars_measured,
-           FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+           FLOOR((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
                                           t -> length(t))) * 1.0
-                  / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0)) * 10000 + 0.5) / 10000
+                  / NULLIF(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) * 10000 + 0.5) / 10000
              AS avg_token_len
     FROM documents
     """,
@@ -574,10 +574,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-               FLOOR((list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+               len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tok,
+               FLOOR((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
                                               x -> length(x))) * 1.0
-                      / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0)) * 10000 + 0.5) / 10000 AS avg_len,
+                      / NULLIF(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) * 10000 + 0.5) / 10000 AS avg_len,
                FLOOR((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
                       / NULLIF(length(text), 0)) * 10000 + 0.5) / 10000 AS pr,
                FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
@@ -622,7 +622,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
              AS n_bpe_tokens,
-           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_ws_tokens,
            len(list_distinct(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
              AS n_unique_bpe
     FROM documents
@@ -648,7 +648,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, COUNT(*) AS n_docs,
            FLOOR((CAST(SUM(CAST(FLOOR((len(list_filter(string_split_regex(trim(text), '\\s+'),
                        t -> t IN ('the','a','of','and','to','in','is','it')))
-                       * 1.0 / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0)) * 10000 + 0.5) / 10000
+                       * 1.0 / NULLIF(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) * 10000 + 0.5) / 10000
                      AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
              AS avg_stopword_ratio
     FROM documents
@@ -676,7 +676,7 @@ def text_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+               list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
         FROM documents),
     base AS (
         SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, t
@@ -740,7 +740,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+               list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
         FROM documents),
     tri AS (
         SELECT doc_id,
@@ -803,7 +803,12 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="sent_no int, sentence string")
     class SplitSentences:
-        def eval(self, text: str):
+        def eval(self, text: str | None):
+            # NULL doc → zero sentence rows, same as the oracle's
+            # unnest(string_split(NULL, '. ')) (r11 hostile-input sweep;
+            # None.split previously crashed the whole lateral join)
+            if text is None:
+                return
             for i, s in enumerate(text.split(". "), 1):
                 yield (i, s)
 
@@ -824,7 +829,7 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -967,7 +972,7 @@ def dedup_prefix_filter_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SURVIVOR_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -1013,7 +1018,7 @@ _CLUSTERS_ORACLE = r"""
 WITH RECURSIVE
 toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -1107,7 +1112,7 @@ def _minhash_portable_oracle(num_hashes: int = 15, bands: int = 5, threshold: fl
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -1196,7 +1201,7 @@ def _simhash_portable_oracle(sig_bits: int = 48, bands: int = 4, max_hamming: in
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+           unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')) AS tok
     FROM documents
 ),
 hashed AS (
@@ -1241,7 +1246,7 @@ def _portable_quality_oracle(num_hashes: int = 15, bands: int = 5) -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -1413,13 +1418,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKING_ORACLE = r"""
 WITH RECURSIVE docs AS (
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS chunk
     FROM documents),
 seq AS (
+    -- NULL-length docs are not packable and are excluded (r11, matches
+    -- the operator's input contract)
     SELECT doc_id, n, chunk,
            ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY n DESC, doc_id) AS rn
-    FROM docs),
+    FROM docs WHERE n IS NOT NULL),
 pack AS (
     SELECT chunk, rn, doc_id, n,
            CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off, n AS fill
@@ -2500,7 +2507,7 @@ def similarity_ivfpq_rerank_recall_report(
 _CONTAINMENT_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents),
 shingles AS (
     SELECT DISTINCT doc_id,
@@ -2543,7 +2550,7 @@ _KWIC_CTX = 3
 _KWIC_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents),
 hits AS (
     SELECT doc_id, t, u.p, t[u.p] AS term
@@ -2661,7 +2668,7 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_BASE_SQL = r"""
 WITH t AS (
     SELECT doc_id, source, text,
-           string_split_regex(lower(trim(text)), '\s+') AS toks
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
     FROM documents),
 m AS (
     SELECT doc_id, source,
@@ -2678,25 +2685,25 @@ m AS (
     FROM t)
 """
 
+# rule flags are definite booleans — NULL ratios (zero-token docs) FAIL
+# the ratio rules, mirroring gopher_rule_flags (r11)
 _GOPHER_PASS_SQL = (
-    "(n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)"
-    " AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8"
-    " AND stop_hits >= 2"
+    "COALESCE(n_words BETWEEN 50 AND 100000, FALSE)"
+    " AND COALESCE(mean_word_len BETWEEN 3 AND 10, FALSE)"
+    " AND COALESCE(symbol_word_ratio <= 0.1, FALSE)"
+    " AND COALESCE(alpha_word_ratio >= 0.8, FALSE)"
+    " AND COALESCE(stop_hits >= 2, FALSE)"
 )
 
 _GOPHER_ORACLE = _GOPHER_BASE_SQL + f"""
 SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_ratio,
        stop_hits,
-       n_words BETWEEN 50 AND 100000                 AS r_word_count,
-       mean_word_len BETWEEN 3 AND 10                AS r_mean_len,
-       symbol_word_ratio <= 0.1                      AS r_symbol,
-       alpha_word_ratio >= 0.8                       AS r_alpha,
-       stop_hits >= 2                                AS r_stops,
-       (n_words BETWEEN 50 AND 100000)
-         AND (mean_word_len BETWEEN 3 AND 10)
-         AND symbol_word_ratio <= 0.1
-         AND alpha_word_ratio >= 0.8
-         AND stop_hits >= 2                          AS passes_gopher
+       COALESCE(n_words BETWEEN 50 AND 100000, FALSE)       AS r_word_count,
+       COALESCE(mean_word_len BETWEEN 3 AND 10, FALSE)      AS r_mean_len,
+       COALESCE(symbol_word_ratio <= 0.1, FALSE)            AS r_symbol,
+       COALESCE(alpha_word_ratio >= 0.8, FALSE)             AS r_alpha,
+       COALESCE(stop_hits >= 2, FALSE)                      AS r_stops,
+       {_GOPHER_PASS_SQL}                                   AS passes_gopher
 FROM m
 """
 
@@ -2741,12 +2748,20 @@ def gopher_rule_flags(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     )
     n_words = F.size("toks").cast("bigint")
     mean_len = TX.avg_token_len(None, toks=F.col("toks"))
+    # a zero-token doc (empty/whitespace-only under the non-empty-token
+    # spec) gets NULL ratios like the oracle's x*1.0/0, not an ANSI
+    # DIVIDE_BY_ZERO; its rule booleans are then NULL and passes_gopher
+    # falls out false-y in both engines (r11 hostile-input sweep)
+    n_toks = F.size("toks")
     symbol_ratio = N.round_det(
-        F.length(F.regexp_replace("text", "[^#…]", "")) / F.size("toks"), 4
+        F.when(n_toks > 0, F.length(F.regexp_replace("text", "[^#…]", "")) / n_toks),
+        4,
     )
     alpha_ratio = N.round_det(
-        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]")))
-        / F.size("toks"),
+        F.when(
+            n_toks > 0,
+            F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]"))) / n_toks,
+        ),
         4,
     )
     stop_hits = F.size(
@@ -2762,11 +2777,16 @@ def gopher_rule_flags(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
         alpha_ratio.alias("alpha_word_ratio"),
         stop_hits.alias("stop_hits"),
     )
-    r_word = F.col("n_words").between(50, 100000)
-    r_mean = F.col("mean_word_len").between(3, 10)
-    r_symbol = F.col("symbol_word_ratio") <= 0.1
-    r_alpha = F.col("alpha_word_ratio") >= 0.8
-    r_stops = F.col("stop_hits") >= 2
+    # rule flags are DEFINITE booleans: a zero-token doc has NULL
+    # ratios, and a NULL rule would (a) leak SQL three-valued logic
+    # into the pass gate and (b) come back as float-NaN from some
+    # client dtypes — such a doc FAILS the ratio rules outright (r11
+    # hostile-input sweep; Gopher rejects empty docs by definition)
+    r_word = F.coalesce(F.col("n_words").between(50, 100000), F.lit(False))
+    r_mean = F.coalesce(F.col("mean_word_len").between(3, 10), F.lit(False))
+    r_symbol = F.coalesce(F.col("symbol_word_ratio") <= 0.1, F.lit(False))
+    r_alpha = F.coalesce(F.col("alpha_word_ratio") >= 0.8, F.lit(False))
+    r_stops = F.coalesce(F.col("stop_hits") >= 2, F.lit(False))
     return m.select(
         "*",
         r_word.alias("r_word_count"),
@@ -2784,10 +2804,14 @@ def gopher_rule_flags(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
 
 _TRIMMED_ORACLE = r"""
 WITH r AS (
+    -- NULL lengths carry no location information and are excluded
+    -- BEFORE trimming in both engines (r11: a NULL previously sorted
+    -- NULLS-LAST here but NaN->INT64_MIN-first in the pandas UDF,
+    -- shifting the trim window differently per engine)
     SELECT lang, n_chars,
            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
            COUNT(*)    OVER (PARTITION BY lang) AS n
-    FROM documents),
+    FROM documents WHERE n_chars IS NOT NULL),
 kept AS (
     SELECT lang, n_chars, n FROM r
     WHERE rn > n // 10 AND rn <= n - n // 10)
@@ -2838,9 +2862,13 @@ def udaf_trimmed_mean_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(v)
 
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        group_count("n_chars").alias("n_docs"),
-        N.round_det(trimmed_mean("n_chars"), 6).alias("trimmed_mean_chars"),
+    return (
+        d.where(F.col("n_chars").isNotNull())
+        .groupBy("lang")
+        .agg(
+            group_count("n_chars").alias("n_docs"),
+            N.round_det(trimmed_mean("n_chars"), 6).alias("trimmed_mean_chars"),
+        )
     )
 
 
@@ -2885,7 +2913,7 @@ def _portable_band_cte_sql(num_hashes: int = 15, bands: int = 5) -> str:
     )
     return f"""toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents
 ),
 shingles AS (
@@ -3370,7 +3398,7 @@ def _gate_overlap_oracle() -> str:
 WITH ql AS (
     SELECT doc_id,
            {quality_score_sql('text')} >= 0.5 AS g_quality,
-           len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 5000
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) BETWEEN 50 AND 5000
              AS g_length
     FROM documents),
 gop AS (SELECT doc_id, passes_gopher AS g_gopher FROM ({_GOPHER_ORACLE})),
@@ -3498,7 +3526,11 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
+            # NULL text == empty bytes for compression purposes: the
+            # metric is bytes-in vs bytes-out, and a crash on the first
+            # NULL doc (NaN from .str.len() breaking the int64 cast)
+            # is not an acceptable reading (r11 hostile-input sweep)
+            raw = pdf["text"].fillna("").str.encode("utf-8")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -3516,5 +3548,11 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "raw_bytes",
         "zlib_bytes",
-        F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 4).alias("compress_ratio"),
+        # zero raw bytes → NULL ratio (zlib's 8-byte header over 0 bytes
+        # would otherwise read as Infinity), consistent with every other
+        # guarded ratio in the package
+        F.round(
+            F.when(F.col("raw_bytes") > 0, F.col("zlib_bytes") / F.col("raw_bytes")),
+            4,
+        ).alias("compress_ratio"),
     )

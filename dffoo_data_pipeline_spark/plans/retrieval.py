@@ -58,7 +58,7 @@ def _register(name: str, oracle: str | None = None):
 
 
 # DuckDB twin of TX.tokens(TX.normalized_text(text))
-_SQL_TOKS = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+_SQL_TOKS = r"list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '')"
 
 
 # ---------------------------------------------------------------------------
@@ -429,7 +429,7 @@ _RRF_SEED_LIST = ", ".join(str(s) for s in _RRF_SEEDS)
 _HYBRID_RRF_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
     FROM documents),
 shingles AS (
     SELECT DISTINCT doc_id,

@@ -66,8 +66,8 @@ DUP_FRAC_DROP = 0.2  # drop a doc when ≥20% of its windows are duplicated
 _SPANS_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                        ' ') AS t
+           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' '), x -> x <> '') AS t
     FROM documents),
 eligible AS (
     SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {W_SPAN}),
@@ -169,8 +169,8 @@ _TARGET_LANG = "en"  # stand-in target slice for the registered query
 _DSIR_SCORED_CTE = rf"""
 tok AS (
     SELECT doc_id, lang,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                               ' ')) AS tok
+           unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                               ' '), t -> t <> '')) AS tok
     FROM documents),
 b AS (
     SELECT doc_id, lang,
@@ -366,8 +366,8 @@ def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REMOVAL_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                        ' ') AS t
+           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' '), x -> x <> '') AS t
     FROM documents),
 nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
 wins AS (
@@ -463,8 +463,8 @@ def corpus_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame
 _EVIDENCE_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id,
-           string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                        ' ') AS t
+           list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        ' '), x -> x <> '') AS t
     FROM documents),
 shing AS (
     SELECT DISTINCT doc_id,
