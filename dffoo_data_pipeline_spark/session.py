@@ -124,6 +124,14 @@ def get_spark(app_name: str = "dffoo-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "true"))
+        # this build ships legacy.sizeOfNull=true, whose EFFECTIVE value
+        # is (legacy AND NOT ansi): with ANSI on, size(NULL) is NULL, but
+        # an ANSI-off session silently flips every size(NULL) in the
+        # engine to -1 — miscounting NULL-text docs as -1 tokens in
+        # corpus totals and defeating isNotNull length guards (r11
+        # hostile sweep under the SPARK_GRAFT_ANSI=false knob).  Pin the
+        # SQL-standard NULL so the two ANSI modes agree
+        .config("spark.sql.legacy.sizeOfNull", "false")
         # Python DataSource filter pushdown (sources/pysource.py prunes
         # charwiki partitions on pushed char_name equality)
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -120,3 +120,19 @@ def test_hostile_rows_only_paths_do_not_crash(spark, hostile_sf):
     for name in ("text_compression_ratio", "dedup_minhash_lsh", "dedup_simhash"):
         assert name in q
         assert q[name](spark, hostile_sf).count() >= 0, name
+
+
+def test_size_of_null_is_null_in_our_session(spark):
+    """This Spark build ships spark.sql.legacy.sizeOfNull=true, whose
+    EFFECTIVE value is (legacy AND NOT ansi): an ANSI-off session would
+    silently turn every size(NULL) into -1 — miscounting NULL-text docs
+    as -1 tokens in corpus totals and defeating isNotNull guards (r11
+    hostile sweep under SPARK_GRAFT_ANSI=false).  session.get_spark pins
+    the SQL-standard NULL; this holds under BOTH ANSI modes and the
+    stock driver-twin (whose ANSI-on default already yields NULL)."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.size(F.lit(None).cast("array<string>")).alias("n")
+    ).collect()[0]
+    assert row["n"] is None
