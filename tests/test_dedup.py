@@ -482,7 +482,13 @@ def _py_simhash_portable(texts, sig_bits=48, bands=4, max_hamming=3):
     width = sig_bits // bands
     sigs = {}
     for d, t in texts.items():
-        toks = t.lower().strip().split() or [""]
+        # non-empty-token spec (r11): a token-less doc has NO signature
+        # and participates in no near-dup pairs (identical empty docs
+        # are the exact-dedup path's job); previously a fabricated ''
+        # token gave empty docs a signature the engine no longer derives
+        toks = t.lower().strip().split()
+        if not toks:
+            continue
         votes = [0] * sig_bits
         for tok in toks:
             th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
