@@ -62,7 +62,15 @@ def _collect_index(
     collect at sf0.1: limit-probe +43 ms vs a separate count() job
     +113 ms — the single bounded job wins.
     """
-    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    # NULL vectors participate in nothing (they have no geometry) —
+    # filtered here so np.stack never sees a ragged batch (r11 hostile
+    # embeddings sweep: one NULL row crashed the whole kernel)
+    pdf = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .limit(max_rows + 1)
+        .toPandas()
+    )
     if len(pdf) > max_rows:
         raise IndexTooLargeError(
             f"exact cosine index needs > {max_rows} vectors; "
@@ -103,6 +111,7 @@ def cosine_topk_bruteforce(
     `cosine_topk_auto` for the self-routing entry point.
     """
     spark = df.sparkSession
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vecs query nothing
     ids, M, norms = _collect_index(df, id_col, vec_col, max_index_rows)
     b = spark.sparkContext.broadcast((ids, M, norms))
     schema = _out_schema(df, id_col)
@@ -152,6 +161,7 @@ def cosine_neardup_pairs(
     Raises `IndexTooLargeError` past `max_index_rows` — see
     `cosine_neardup_auto`."""
     spark = df.sparkSession
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vecs pair with nothing
     ids, M, norms = _collect_index(df, id_col, vec_col, max_index_rows)
     b = spark.sparkContext.broadcast((ids, M, norms))
     id_type = df.schema[id_col].dataType
@@ -208,6 +218,7 @@ def ivf_topk(
     global index ever sits in one executor — the beyond-memory path, same
     shape as FAISS IVF-Flat distributed over Spark.
     """
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vecs have no cell
     pdf = df.select(vec_col).limit(sample_size).toPandas()
     if len(pdf) == 0:
         return df.sparkSession.createDataFrame([], _out_schema(df, id_col))

@@ -1156,10 +1156,20 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     move any centroid, so assignments are bit-identical cross-engine.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    vec = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: N.round_det(x.cast("double"), 9)).alias("v"),
-    ).localCheckpoint(eager=False)
+    # a NULL embedding has no geometry to cluster: excluded, matching
+    # the oracle whose per-element unnest yields no rows for it (r11
+    # hostile embeddings sweep — unexcluded, its NULL distance ranked
+    # NULLS-FIRST and won an arbitrary cluster)
+    vec = (
+        e.where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: N.round_det(x.cast("double"), 9)
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
     cent = vec.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )

@@ -1361,10 +1361,19 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COSINE_TOPK_ORACLE = """
-WITH pairs AS (
+WITH nz AS (
+    -- a NULL or zero-norm vector has no angle: it is neither a query
+    -- nor a neighbor (r11 hostile embeddings sweep — DuckDB's
+    -- list_cosine_similarity returns -1.0 for a zero vector and NULL
+    -- for a NULL one, both of which would otherwise survive the window)
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           list_cosine_similarity(a.v, b.v) AS cos_sim
+    FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
     SELECT query_id, neighbor_id, cos_sim,

@@ -136,3 +136,60 @@ def test_size_of_null_is_null_in_our_session(spark):
         F.size(F.lit(None).cast("array<string>")).alias("n")
     ).collect()[0]
     assert row["n"] is None
+
+
+# ---------------------------------------------------------------------------
+# Hostile EMBEDDINGS leg (r11): NULL embedding, zero vector, tiny-norm
+# vector, NULL label — the degenerate-geometry classes clean testdata
+# never exercises.
+# ---------------------------------------------------------------------------
+
+HOSTILE_EMB_QUERIES = [
+    "similarity_cosine_topk",    # zero-vec cosine: DuckDB says -1.0, NULL rows survived the window
+    "dedup_embedding_cosine",    # NULL vec crashed np.stack in the matmul kernel
+    "embedding_kmeans_train",    # NULL vec won an arbitrary cluster via NULLS FIRST
+    "similarity_ivf_topk",       # int-code path: n2 > 0 guards must hold
+    "embedding_norm_stats",      # NULL/zero norms in the stats
+    "similarity_lsh_topk",       # bucketed path on degenerate vectors
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_sf(tmp_path_factory):
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("hostile_emb")
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE e AS SELECT * FROM read_parquet('{src}/embeddings.parquet')"
+    )
+    mx = con.execute("SELECT max(vec_id) FROM e").fetchone()[0]
+    con.execute("INSERT INTO e VALUES (?, NULL, 3)", [mx + 1])
+    con.execute("INSERT INTO e VALUES (?, ?, 1)", [mx + 2, [0.0] * 64])
+    con.execute("INSERT INTO e VALUES (?, ?, NULL)", [mx + 3, [1e-30] * 64])
+    con.execute(f"COPY e TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_duck(hostile_emb_sf):
+    con = duckdb_conn(hostile_emb_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HOSTILE_EMB_QUERIES)
+def test_hostile_embeddings_query_matches_oracle(
+    name, spark, hostile_emb_sf, hostile_emb_duck
+):
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    errs = compare(
+        q[name](spark, hostile_emb_sf),
+        hostile_emb_duck.execute(o[name]).fetchdf(),
+        name,
+    )
+    assert not errs, "\n".join(errs)
