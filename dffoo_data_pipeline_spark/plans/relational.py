@@ -838,11 +838,18 @@ def scalar_math_case_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "scalar_json_extraction",
     """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
-                THEN 'hi' ELSE 'lo' END AS k_band
-    FROM events
+    WITH p AS (
+        -- malformed props → NULL k, like Spark's get_json_object;
+        -- DuckDB's json_extract_string THROWS on invalid JSON (r11
+        -- hostile events sweep), so guard with json_valid
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+               END AS k
+        FROM events)
+    SELECT event_id, k AS k_value,
+           CASE WHEN k >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+    FROM p
     """,
 )
 def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,10 +867,14 @@ def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "scalar_variant_extraction",
     """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
-    FROM events
+    WITH p AS (
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+               END AS k
+        FROM events)
+    SELECT event_id, k AS k_value, k % 10 AS k_mod
+    FROM p
     """,
 )
 def scalar_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,7 +888,11 @@ def scalar_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     same paths from the JSON text.
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: a malformed props row yields a NULL variant (and
+    # NULL extractions) instead of aborting the scan — real event
+    # streams carry junk rows (r11 hostile events sweep; ANSI
+    # parse_json throws on the first bad row)
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return e.select("event_id", k.alias("k_value"), (k % 10).alias("k_mod"))
 
 
@@ -1550,10 +1565,14 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "scalar_variant_json",
     """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
-    FROM events WHERE event_type = 'purchase'
+    WITH p AS (
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events WHERE event_type = 'purchase')
+    SELECT event_id, k AS k_value, k % 7 AS k_mod
+    FROM p
     """,
 )
 def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,7 +1581,7 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     shredding-friendly path for JSON columns at scale (vs per-access
     string re-parsing with get_json_object)."""
     e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     return e.select(
         "event_id", k.alias("k_value"), (k % 7).alias("k_mod")
