@@ -842,6 +842,10 @@ def _lsh_bucketize(
 ) -> DataFrame:
     """(id, v, bucket) with bucket = first `prefix_bits` sign bits of the
     random-hyperplane projections — pure JVM column expressions, one pass."""
+    # NULL vectors have no signature and would put the whole NULL-bucket
+    # group's np.stack at crash risk — same boundary filter as
+    # _collect_index (r11 hostile embeddings sweep, extended per ADVICE)
+    df = df.where(F.col(vec_col).isNotNull())
     if dim is None:
         first = df.select(vec_col).head()
         dim = len(first[0]) if first is not None else 1
@@ -1039,9 +1043,12 @@ def cosine_topk_against_index(
     Scale: index is collected via the bounded limit-probe guard
     (`IndexTooLargeError` past `max_index_rows`) and broadcast; probes
     stream through one Arrow-batched pass — no shuffle of the probe
-    side at all.  Zero-norm vectors are the CALLER's contract to filter
-    (division here is IEEE: a zero norm yields ±inf/nan scores).
+    side at all.  NULL probe vectors are dropped at the boundary (they
+    have no geometry to rank with — same contract as `_collect_index`);
+    zero-norm vectors are the CALLER's contract to filter (division
+    here is IEEE: a zero norm yields ±inf/nan scores).
     """
+    probe_df = probe_df.where(F.col(vec_col).isNotNull())
     spark = probe_df.sparkSession
     iid = index_id_col or id_col
     ivec = index_vec_col or vec_col

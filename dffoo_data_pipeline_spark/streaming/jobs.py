@@ -1103,16 +1103,21 @@ def streaming_bloom_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("doc_id") % 13 >= 2)
         .select(fingerprint_md5("text").alias("fp"))
     )
-    bitmaps = dedup.bloom_bitmap_sharded(seen, shards=8).localCheckpoint(
-        eager=False
-    )
+    # family="md5" on BOTH build and probe so the routing really is the
+    # md5 portable router the docstring describes (r11 ADVICE: the code
+    # defaulted to xx64 while the doc claimed md5 — results were already
+    # identical because the Bloom never changes the answer, only which
+    # docs pay the exact anti-join)
+    bitmaps = dedup.bloom_bitmap_sharded(
+        seen, shards=8, family="md5"
+    ).localCheckpoint(eager=False)
     out_dir = tempfile.mkdtemp(prefix="sg_bloomshard_out_")
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         novel = dedup.dedup_against_seen_bloom_sharded(
-            batch_df, seen, shards=8, bitmaps=bitmaps
+            batch_df, seen, shards=8, bitmaps=bitmaps, family="md5"
         ).select("doc_id", "fp")
         novel.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"b{batch_id:05d}")

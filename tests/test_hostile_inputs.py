@@ -151,6 +151,7 @@ HOSTILE_EMB_QUERIES = [
     "similarity_ivf_topk",       # int-code path: n2 > 0 guards must hold
     "embedding_norm_stats",      # NULL/zero norms in the stats
     "similarity_lsh_topk",       # bucketed path on degenerate vectors
+    "similarity_int8_topk",      # asymmetric probe scorer (r12 ADVICE: NULL probe vec)
 ]
 
 
@@ -178,6 +179,46 @@ def hostile_emb_duck(hostile_emb_sf):
     con = duckdb_conn(hostile_emb_sf)
     yield con
     con.close()
+
+
+def test_hostile_probe_side_kernels_do_not_crash(spark, hostile_emb_sf):
+    """Probe-side Arrow kernels must drop NULL vectors at the boundary
+    (r12 ADVICE: cosine_topk_against_index and the float-LSH bucketizer
+    np.stack'd unfiltered probe batches — one NULL embedding in a batch
+    crashed the whole kernel).  Value parity for the registered probe
+    query is pinned by similarity_int8_topk above; this pins the raw
+    operators, NULL rows mixed in."""
+    from pyspark.sql import functions as F
+
+    from dffoo_data_pipeline_spark.operators import similarity
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, hostile_emb_sf, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    idx = e.where(F.col("vec_id") < 32).where(sumsq > 0)
+    out = similarity.cosine_topk_against_index(
+        e, idx, id_col="vec_id", vec_col="embedding", k=3
+    ).cache()
+    # the NULL-vec probe is dropped at the boundary; the zero-norm probe
+    # degenerating to NULL/NaN sims is the documented caller contract
+    null_vec_ids = [
+        r["vec_id"] for r in e.where("embedding IS NULL").collect()
+    ]
+    assert out.count() > 0
+    assert out.where(F.col("query_id").isin(null_vec_ids)).count() == 0
+    assert similarity.lsh_topk(e, "vec_id", "embedding", k=3).count() > 0
+    assert (
+        similarity.lsh_neardup_pairs(
+            e, "vec_id", "embedding", threshold=0.99
+        ).count()
+        >= 0
+    )
 
 
 @pytest.mark.parametrize("name", HOSTILE_EMB_QUERIES)
