@@ -55,3 +55,21 @@ def sql_round_det(expr: str, digits: int) -> str:
     """The DuckDB-side twin of round_det, as SQL text."""
     scale = 10**digits
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def event_order(ts: str = "ts", id_col: str = "event_id") -> tuple[Column, Column]:
+    """The engine's TOTAL-ORDER convention for ts-ordered windows over an
+    event stream (README determinism notes, r12): order by
+    (ts ASC NULLS LAST, unique_id ASC).
+
+    Two same-key events in the same microsecond make any ts-only window
+    (lag/lead, cumulative sums, EWMA, SCD2 valid_from, as-of) emit
+    whichever answer the shuffle happened to sort first — the unique id
+    tiebreak restores run-to-run AND cross-engine determinism.  NULLS
+    LAST (not Spark's ASC default NULLS FIRST) matches the default NULL
+    placement of DuckDB/Postgres ASC windows, so oracles need no
+    engine-specific NULLS clause.  Queries whose semantics EXCLUDE
+    timeless rows filter `ts IS NOT NULL` before the window instead of
+    relying on placement.
+    """
+    return (F.col(ts).asc_nulls_last(), F.col(id_col).asc_nulls_last())

@@ -38,6 +38,14 @@ def asof_join(
 
     Right columns come back as `<col><suffix>` plus `<on><suffix>` (the
     matched right time); unmatched left rows keep nulls.
+
+    NULL-time contract (r12 hostile sweep): a LEFT row with a NULL time
+    is kept (left join) but matches NOTHING — "as of no particular
+    time" has no nearest row; a RIGHT row with a NULL time matches
+    nothing either.  Sort-based ASOF implementations that binary-search
+    the probe (DuckDB's) silently place a NULL probe after every right
+    row and hand it the globally latest match — oracles must mask that
+    (see join_asof_generic's CASE guard).
     """
     assert direction in ("backward", "forward")
     payload = F.struct(F.col(on).alias("__rt"), *[F.col(c) for c in value_cols])
@@ -69,16 +77,21 @@ def asof_join(
     # several right rows share the same (by, on) instant: last() then
     # picks the struct-largest payload every run, instead of whichever
     # tied row the shuffle happened to sort last
+    # NULLS FIRST in BOTH directions: a NULL-time LEFT row must precede
+    # every right row so last(ignorenulls) has nothing to carry into it
+    # (asc's Spark default is already NULLS FIRST; desc's is NULLS LAST,
+    # which would have handed forward-direction NULL probes the carried
+    # payload of the entire right stream)
     if direction == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.asc(on), F.asc("__side"), F.asc("__p"))
+            .orderBy(F.asc_nulls_first(on), F.asc("__side"), F.asc("__p"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.desc(on), F.asc("__side"), F.asc("__p"))
+            .orderBy(F.desc_nulls_first(on), F.asc("__side"), F.asc("__p"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))

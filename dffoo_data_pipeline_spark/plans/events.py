@@ -239,7 +239,7 @@ WITH seq AS (
     SELECT user_id, event_type,
            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS next_type
-    FROM events)
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT event_type AS from_type, next_type AS to_type,
        CAST(COUNT(*) AS BIGINT) AS n_transitions
 FROM seq WHERE next_type IS NOT NULL
@@ -257,8 +257,18 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams sort within partitions), then a map-side-combined count on
     the (from, to) pair — at most |event types|² groups.  event_id
     tiebreak keeps equal-timestamp ordering engine-identical.
+
+    NULL-user_id and NULL-ts events are excluded in both engines: an
+    uncorrelatable or timeless event has no position in anyone's
+    sequence (r12 hostile sweep — Spark/DuckDB NULL-ts placement split
+    adjacent pairs differently).  A NULL event_TYPE row stays: it is a
+    real step in its user's sequence (both engines group NULL labels
+    identically; transitions *into* it are conflated with end-of-stream
+    by the next_type IS NOT NULL filter, equally in both engines).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -330,7 +340,7 @@ WITH ordered AS (
                      OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
                         > {SESSION_GAP_SECONDS} * 1000000
                 THEN 1 ELSE 0 END AS new_session
-    FROM events
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 sessions AS (
     SELECT user_id, ts, value,
@@ -341,7 +351,8 @@ sessions AS (
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DOUBLE)
+         AS session_value
 FROM sessions GROUP BY user_id, session_no
 """
 
@@ -353,8 +364,17 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id; the cumulative sum is a streaming-order
     scan within each key — no self-join, no range explosion.
+
+    A session needs a user identity and a time: NULL-user_id events
+    cannot be correlated into anyone's session and NULL-ts events cannot
+    be placed on the gap axis, so both are EXCLUDED in both engines
+    (r12 hostile-events sweep — Spark windows order NULL ts FIRST,
+    DuckDB LAST, so retaining them split sessions differently; the
+    events_ordered_funnel NULL-user rationale applied stream-wide).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     ordered = e.select(
@@ -372,11 +392,16 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = ordered.withColumn("session_no", F.sum("new_session").over(wsum))
+    # COALESCE(…, 0): a session whose every event has a NULL value sums
+    # to 0, not NULL — matching the stateful streaming kernel's integer-
+    # cents accumulator, which has no NULL state (r12 hostile sweep)
     return sessions.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(N.dec2("value")).cast("double").alias("session_value"),
+        F.coalesce(F.sum(N.dec2("value")).cast("double"), F.lit(0.0)).alias(
+            "session_value"
+        ),
     )
 
 
@@ -485,7 +510,7 @@ WITH tiers AS (
            CASE WHEN value < 50 THEN 'low'
                 WHEN value < 200 THEN 'mid'
                 ELSE 'high' END AS tier
-    FROM events),
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 changes AS (
     SELECT user_id, ts, tier, event_id,
            lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -522,8 +547,18 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows with identical valid_from, so a lead() ordered by valid_from
     alone would assign valid_to/is_current nondeterministically (r10
     self-review; the synthetic events' all-distinct ts masked it).
+
+    A dimension version needs a KEY and a VALID_FROM: NULL-user_id and
+    NULL-ts events are excluded in both engines (r12 hostile sweep —
+    the engines' opposite NULL-ts window placement otherwise shifted
+    which event opens each user's first tier range).  Downstream
+    consumers (events_pit_enrich and its streaming twin) join on
+    user_id with a ts range predicate, so NULL-key/NULL-ts facts drop
+    there in both engines regardless.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     tier = (
         F.when(F.col("value") < 50, "low")
         .when(F.col("value") < 200, "mid")
@@ -618,7 +653,7 @@ WITH ordered AS (
                      OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
                         > {SESSION_GAP_SECONDS} * 1000000
                 THEN 1 ELSE 0 END AS new_session
-    FROM events),
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 sessions AS (
     SELECT user_id, ts, event_id, event_type,
            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -653,9 +688,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Catalyst reuses the Exchange, sorting only); the path count is a
     map-side-combined shuffle on path (≤ |types|³ groups); top-k is
     TakeOrderedAndProject heaps, no global sort.  NULL-ended windows at
-    session tails drop before counting in both engines.
+    session tails drop before counting in both engines.  NULL-user/
+    NULL-ts events excluded, as in events_sessionization (r12 sweep).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     ordered = e.select(
@@ -743,7 +781,8 @@ def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAU_WAU_SQL = """
 WITH day_users AS (
-    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 days AS (SELECT DISTINCT day FROM day_users),
 wau AS (
     SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
@@ -778,8 +817,16 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ×7 explode multiplies only the already-collapsed (days × active
     users) table.  At extreme user counts the exact distinct swaps for
     HLL sketch unions (events_sketch_rollup's pattern), same shape.
+
+    "Active USER on a DAY" requires both a user and a day: NULL-user_id
+    (anonymous) and NULL-ts events are excluded in both engines (r12
+    hostile sweep — the oracle's COUNT(*) over day_users counted the
+    NULL-user row while count_distinct skipped it, and a NULL day row
+    survived DAU but dropped from the WAU range join).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     day_users = e.select(
         F.col("ts").cast("date").alias("day"), "user_id"
     ).distinct()
@@ -987,18 +1034,22 @@ _GAPFILL_SQL = """
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket,
            COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS obs_dec
-    FROM events GROUP BY 1, 2),
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 bounds AS (
     SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
-    FROM events),
+    FROM events WHERE ts IS NOT NULL),
 grid AS (
     SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
-types AS (SELECT DISTINCT event_type FROM events),
+types AS (SELECT DISTINCT event_type FROM events WHERE ts IS NOT NULL),
 dense AS (SELECT t.event_type, g.bucket FROM types t CROSS JOIN grid g),
 j AS (
+    -- IS NOT DISTINCT FROM: a NULL event_type is a real series (both
+    -- engines' GROUP BY keeps it); a NULL-strict equi-join here would
+    -- orphan its observations from its own grid row (r12 hostile sweep)
     SELECT d.event_type, d.bucket, h.n, h.obs_dec
     FROM dense d LEFT JOIN hourly h
-      ON d.event_type = h.event_type AND d.bucket = h.bucket),
+      ON d.event_type IS NOT DISTINCT FROM h.event_type
+     AND d.bucket = h.bucket),
 w AS (
     SELECT event_type, bucket, n, obs_dec,
            last_value(obs_dec IGNORE NULLS) OVER (
@@ -1055,8 +1106,11 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL until the final cast; the interpolation's division is spelled
     identically in both engines over exact inputs (bigint hour offsets,
     decimal-exact neighbor values), then floor-rounded at 1e-4.
+    NULL-ts events excluded in both engines: a time grid has no NULL
+    bucket, and a type observed ONLY at NULL ts must not spawn a series
+    (r12 hostile sweep).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
@@ -1393,7 +1447,7 @@ _EWMA_ALPHA = "0.3"  # literal, spelled identically in both engines
 _EWMA_SQL = f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY 1),
+    FROM events WHERE ts IS NOT NULL GROUP BY 1),
 idx AS (
     SELECT day, n,
            CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
@@ -1433,9 +1487,13 @@ def events_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.  Determinism: pow() of identical doubles is identical (libm
     on the same bits, like exp in the sigmoid queries); each weighted
     term is floor-rounded at 1e-9 and summed as DECIMAL(24,9), so the
-    fold is partition-order-exact; outputs round at 1e-6.
+    fold is partition-order-exact; outputs round at 1e-6.  NULL-ts
+    events are excluded in both engines: a daily series has no NULL
+    day, and the engines' opposite NULL placement under ORDER BY day
+    otherwise re-indexed t=1 — shifting EVERY smoothed value (r12
+    hostile sweep).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -1479,7 +1537,7 @@ WITH daily AS (
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_purch
-    FROM events GROUP BY 1),
+    FROM events WHERE ts IS NOT NULL GROUP BY 1),
 idx AS (
     SELECT day, n_events, n_purch,
            CAST(FLOOR(CAST(n_purch AS DOUBLE) / n_events * 1000000000 + 0.5)
@@ -1529,9 +1587,11 @@ def events_isotonic_daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: daily rates are floor-rounded at 1e-9 into
     DECIMAL(20,9), prefix sums are exact decimals, interval means are
     identical IEEE divides, and min/max of identical doubles are exact
-    in any engine; output rounds at 1e-6.
+    in any engine; output rounds at 1e-6.  NULL-ts events excluded in
+    both engines — a daily series has no NULL day (r12 hostile sweep:
+    NULL placement under ORDER BY day re-indexed the series).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))

@@ -461,7 +461,11 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_type"))  # 'click' < 'purchase': same-ts click visible
+        # 'click' < 'purchase': same-ts click visible.  NULLS FIRST
+        # (explicit, though it is Spark's asc default): a NULL-ts
+        # purchase must precede every click so it carries NO match —
+        # the operator NULL-time contract (operators/asof.py)
+        .orderBy(F.asc_nulls_first("ts"), F.col("event_type"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -516,15 +520,23 @@ def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_diff('microsecond', lag(ts)  OVER w, ts) AS micros_since_prev,
            lead(event_type) OVER w                        AS next_event_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
 )
 def window_lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag over an ordered per-key stream — the exact Spark analog of
     the reference's offset line addressing (`lines[i ± k]`,
-    web_scraper.py:392-441 → SURVEY.md §2e)."""
+    web_scraper.py:392-441 → SURVEY.md §2e).
+
+    Descriptive per-event window: NULL-ts rows are RETAINED (their gap
+    is NULL but their neighbors are still reported) under the engine's
+    total-order convention (ts ASC NULLS LAST, event_id) — Spark's ASC
+    default is NULLS FIRST, DuckDB's is NULLS LAST, so an unspelled
+    order put timeless rows at opposite stream ends (r12 hostile
+    sweep; functions/numeric.py:event_order).
+    """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     return e.select(
         "event_id",
         "user_id",
@@ -539,20 +551,22 @@ def window_lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
+                PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value_3,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
+                PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_avg
     FROM events
     """,
 )
 def window_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit rowsBetween frames (gap §2e): 3-row rolling sum + running avg."""
+    """Explicit rowsBetween frames (gap §2e): 3-row rolling sum + running
+    avg.  NULL-ts rows retained under the (ts ASC NULLS LAST, event_id)
+    total-order convention — see window_lead_lag_gap / event_order."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     return e.select(
         "event_id",
         "user_id",
@@ -1465,7 +1479,9 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_generic",
     """
     SELECT c.event_id, c.user_id, c.ts,
-           v.ts AS ts_right, CAST(v.value AS DOUBLE) AS value_right
+           CASE WHEN c.ts IS NOT NULL THEN v.ts END AS ts_right,
+           CAST(CASE WHEN c.ts IS NOT NULL THEN v.value END AS DOUBLE)
+             AS value_right
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON c.user_id = v.user_id AND v.ts <= c.ts
@@ -1475,7 +1491,13 @@ def join_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General as-of join operator (operators/asof.py): every click joined
     to the same user's latest preceding view — checked against DuckDB's
     native ASOF JOIN.  Union-window formulation: |L|+|R| rows, one
-    shuffle on user_id, no pair explosion."""
+    shuffle on user_id, no pair explosion.
+
+    The oracle's CASE guard pins the operator's NULL-time contract
+    (operators/asof.py): a NULL-ts click keeps its row but matches no
+    view — DuckDB's sort-based ASOF binary search instead hands a NULL
+    probe the user's globally latest view (r12 hostile sweep), an
+    implementation artifact the guard masks."""
     from dffoo_data_pipeline_spark.operators.asof import asof_join
 
     e = load_table(spark, sf_dir, "events")

@@ -155,20 +155,28 @@ def run_stream_to_table(result: DataFrame, output_mode: str) -> DataFrame:
 
 @_register(
     "streaming_tumbling_hourly",
-    # identical semantics to the batch twin → same oracle
+    # batch-twin semantics MINUS timeless rows: streaming event-time
+    # aggregation requires an event time (a NULL-ts row has no window
+    # and no watermark position), so the oracle filters what the stream
+    # cannot hold — the batch twin keeps its NULL-hour bucket as a
+    # data-quality signal (r12 hostile sweep)
     """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window agg as a stream: watermark 1h, windowed
-    groupBy, incremental state.  Streaming twin of events_tumbling_hourly."""
-    e = read_events_stream(spark, sf_dir)
+    groupBy, incremental state.  Streaming twin of events_tumbling_hourly.
+    NULL-ts rows are filtered EXPLICITLY (not left to the window
+    expression's silent NULL-drop) so the contract is visible in the
+    plan."""
+    e = read_events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -195,8 +203,12 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization via F.session_window (30-min gap) —
     the stateful merge-adjacent-windows operator the batch cumulative-sum
-    form (events_sessionization) emulates."""
-    e = read_events_stream(spark, sf_dir)
+    form (events_sessionization) emulates.  Same exclusions as the batch
+    twin (whose oracle this projects): a session needs a user identity
+    and an event time."""
+    e = read_events_stream(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(
@@ -205,7 +217,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(N.dec2("value")).cast("double").alias("session_value"),
+            F.coalesce(F.sum(N.dec2("value")).cast("double"), F.lit(0.0)).alias(
+                "session_value"
+            ),
         )
         .select(
             "user_id",
@@ -315,7 +329,9 @@ def _sessionizer_fn(
         if len(pdf) == 0:
             continue
         us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-        cts = (pdf["value"] * 100).round().astype("int64").to_numpy()
+        # NULL value = 0-contribution (the session still counts the
+        # event); bare astype crashes the whole Arrow batch on one NaN
+        cts = (pdf["value"].fillna(0.0) * 100).round().astype("int64").to_numpy()
         for t, c in zip(us, cts):
             sess.append((int(t), int(t), 1, int(c)))
     sess.sort()
@@ -364,8 +380,15 @@ def streaming_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state per user = its session intervals (bounded by activity,
     evictable below the watermark); emissions are update-mode versioned,
     reconciled by max version — no global re-read of history.
+
+    NULL-user_id / NULL-ts rows are filtered AT THE OPERATOR BOUNDARY,
+    matching the batch oracle's exclusions: a NULL group key reaches the
+    Arrow kernel as NaN and crashes its int64 casts (the r11
+    NULL-crossing rule applied to applyInPandasWithState — r12 sweep).
     """
-    e = read_events_stream(spark, sf_dir)
+    e = read_events_stream(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     updates = (
         e.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -639,7 +662,9 @@ def _user_totals_fn(
         if len(pdf) == 0:
             continue
         n += len(pdf)
-        cents += int(round(pdf["value"] * 100).astype("int64").sum())
+        # NULL value = 0-contribution (counted, not summed) — matches
+        # the oracle's COALESCE(SUM(..), 0); bare astype crashes on NaN
+        cents += int(round(pdf["value"].fillna(0.0) * 100).astype("int64").sum())
         us = pdf["ts"].astype("int64") // 1000
         lo, hi = int(us.min()), int(us.max())
         first_us = lo if first_us is None else min(first_us, lo)
@@ -660,9 +685,11 @@ def _user_totals_fn(
     "streaming_stateful_user_totals",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DOUBLE)
+             AS total_value,
            MIN(ts) AS first_ts, MAX(ts) AS last_ts
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
     """,
 )
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,8 +701,15 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     The stream emits a running total per user per batch; the final row per
     user (max n_events) is the lifetime total — selected with one max_by
     agg so the result is batch-count-independent.
+
+    NULL-user_id / NULL-ts rows filtered at the operator boundary (and
+    identically in the oracle): a NULL group key reaches the Arrow
+    kernel as NaN and crashes its int64 casts, and a timeless event has
+    no first/last position (r12 hostile sweep).
     """
-    e = read_events_stream(spark, sf_dir)
+    e = read_events_stream(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     updates = (
         e.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -777,7 +811,9 @@ def streaming_dedup_against_ledger(spark: SparkSession, sf_dir: str) -> DataFram
 
 @_register(
     "streaming_error_rate_alert",
-    # identical semantics to the batch SLO rollup → same oracle
+    # batch SLO rollup semantics MINUS timeless rows (streaming
+    # event-time windows cannot hold a NULL-ts event; the batch twin
+    # keeps its NULL-hour bucket — r12 hostile sweep)
     """
     SELECT date_trunc('hour', ts) AS window_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -788,6 +824,7 @@ def streaming_dedup_against_ledger(spark: SparkSession, sf_dir: str) -> DataFram
            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
              > 0.25 AS alert
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts)
     """,
 )
@@ -805,7 +842,7 @@ def streaming_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dffoo_data_pipeline_spark.functions.numeric import round_det
 
-    e = read_events_stream(spark, sf_dir)
+    e = read_events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
     n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
     n_all = F.count(F.lit(1))
     agg = (
@@ -1643,13 +1680,16 @@ def read_rollup(spark: SparkSession, rollup_root: str) -> DataFrame:
 
 @_register(
     "streaming_continuous_rollup",
-    # the maintained table must equal the batch tumbling aggregate exactly
+    # the maintained table must equal the batch tumbling aggregate
+    # exactly — over TIMED rows (a NULL-ts event has no rollup window;
+    # r12 hostile sweep)
     """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -1664,7 +1704,8 @@ def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sg_rollup_")
     rollup = f"{base}/rollup"
     ckpt = f"{base}/ckpt"
-    run_incremental_rollup(spark, read_events_stream(spark, sf_dir), rollup, ckpt)
+    timed = read_events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
+    run_incremental_rollup(spark, timed, rollup, ckpt)
     return read_rollup(spark, rollup)
 
 

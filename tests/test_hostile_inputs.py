@@ -234,3 +234,87 @@ def test_hostile_embeddings_query_matches_oracle(
         name,
     )
     assert not errs, "\n".join(errs)
+
+
+# ---------------------------------------------------------------------------
+# Hostile EVENTS leg (r12): NULL user_id / event_type / ts / value rows, a
+# same-user duplicate-timestamp pair, malformed props, an out-of-window
+# user — the row classes the clean fixture (all-distinct ts, no NULLs)
+# can never exercise.  The r11 sweep diagnosed 17 divergences here; the
+# r12 fixes pin three engine conventions:
+#   1. ts-ordered windows use the (ts ASC NULLS LAST, event_id) total
+#      order in BOTH engines (functions/numeric.py:event_order);
+#   2. session/series/user analytics EXCLUDE NULL-ts / NULL-user rows,
+#      spelled identically in query and oracle;
+#   3. stateful Arrow kernels filter NULL group keys / NULL values at
+#      the operator boundary (a NaN key crashes int64 casts).
+# One representative query per root-cause family, value-exact vs DuckDB.
+# ---------------------------------------------------------------------------
+
+HOSTILE_EVENT_QUERIES = [
+    "events_dau_wau",              # NULL user counted by COUNT(*), skipped by count_distinct
+    "events_sessionization",       # NULL-ts placement split sessions differently
+    "events_type_transitions",     # NULL-ts placement shifted adjacent pairs
+    "events_exp_smoothing",        # NULL day re-indexed t=1 -> every EWMA value
+    "events_gapfill_interpolate",  # NULL-type series orphaned by NULL-strict oracle join
+    "events_pit_enrich",           # SCD2 dim shifted by NULL-ts tier ranges
+    "scd2_user_tier",              # dimension rows need a key and a valid_from
+    "join_asof_generic",           # DuckDB ASOF hands a NULL probe the latest match
+    "window_rolling_frame",        # retained NULL-ts rows at opposite stream ends
+    "streaming_tumbling_hourly",   # streaming window cannot hold a timeless row
+    "streaming_stateful_user_totals",  # NULL group key/value crashed the state kernel
+    "streaming_custom_sessionizer",    # same crash in the interval-merge kernel
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_events_sf(tmp_path_factory):
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("hostile_events")
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE e AS SELECT * FROM read_parquet('{src}/events.parquet')"
+    )
+    mx = con.execute("SELECT max(event_id) FROM e").fetchone()[0]
+    con.execute(
+        f"""
+        INSERT INTO e VALUES
+          ({mx + 1}, TIMESTAMP '2024-01-05 10:00:00', NULL, 'view', 12.5, '{{"k": 1}}'),
+          ({mx + 2}, TIMESTAMP '2024-01-05 10:05:00', NULL, 'purchase', 99.0, '{{"k": 2}}'),
+          ({mx + 3}, TIMESTAMP '2024-01-06 11:00:00', 3, NULL, 7.25, '{{"k": 3}}'),
+          ({mx + 4}, NULL, 4, 'click', 3.5, '{{"k": 4}}'),
+          ({mx + 5}, NULL, NULL, 'error', 1.0, '{{"k": 5}}'),
+          ({mx + 6}, TIMESTAMP '2024-01-07 12:30:00', 5, 'view', 10.0, '{{"k": 6}}'),
+          ({mx + 7}, TIMESTAMP '2024-01-07 12:30:00', 5, 'purchase', 250.0, '{{"k": 7}}'),
+          ({mx + 8}, TIMESTAMP '2024-01-08 09:00:00', 6, 'click', 5.0, '{{not json'),
+          ({mx + 9}, TIMESTAMP '2024-03-15 00:00:00', 9999, 'signup', 42.0, '{{"k": 9}}'),
+          ({mx + 10}, TIMESTAMP '2024-01-09 15:00:00', 7, 'purchase', NULL, '{{"k": 10}}')
+        """
+    )
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def hostile_events_duck(hostile_events_sf):
+    con = duckdb_conn(hostile_events_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HOSTILE_EVENT_QUERIES)
+def test_hostile_events_query_matches_oracle(
+    name, spark, hostile_events_sf, hostile_events_duck
+):
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    errs = compare(
+        q[name](spark, hostile_events_sf),
+        hostile_events_duck.execute(o[name]).fetchdf(),
+        name,
+    )
+    assert not errs, "\n".join(errs)
