@@ -16,90 +16,50 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-11 window (50 slots + 24 overflow).  The r10 window came back
-# 50/50 green (third consecutive).  This rotation, per the r10 verdict:
-# (a) first-certifies the 4 queries NEW this round — the portable (md5)
-# sharded Bloom triple (artifact word-for-word + membership flags +
-# end-to-end novel; the router the r10 build deferred) plus the sharded
-# prefilter's streaming twin;
-# (b) retires the r04 staleness frontier ENTIRELY: all 22 oracled rows
-# whose newest green is r04 (curation_e2e_corpus ..
-# profile_quantiles_docs_by_lang), in registry order;
-# (c) re-certifies the 20 stalest r06 oracled rows in registry order
-# (orders_monthly_growth .. pipeline_db_load);
-# (d) spends the window's last 4 slots on rows-only freshness checks
-# for the stalest no-oracle queries (verdict item 5):
-# agg_approx_distinct (no driver row since r01!) and the r04
-# minhash/simhash trio — rows-only, but a stable spark_rows under the
-# current registry is the only freshness signal these can get.
-# Positions 51-74 queue the REMAINING 24 r06 oracled rows (insurance if
-# the driver checks past 50; otherwise they are r12's window, leaving
-# nothing oracled older than r07 after that round).
+# Round-12 window (50 slots + overflow).  The r11 window came back all
+# green (fourth consecutive).  This rotation, per the r11 verdict:
+# (a) RE-CERTIFIES every query whose semantics changed in the r12
+# hostile-events package (NULL user/ts/value + duplicate-timestamp
+# total order, spelled identically in both engines) plus the
+# de-trivialized events_kaplan_meier (1-day censor horizon; it had
+# been vacuously green on 0 = 0 rows since r06) — 21 queries, three of
+# which (streaming error-rate/pit/rollup) were also r06-stale;
+# (b) retires the r06 oracled staleness frontier ENTIRELY: the
+# remaining 21 r06 rows, in registry order;
+# (c) spends 6 slots on rows-only freshness for the r06 no-oracle tail
+# (6 rounds stale) and the last 2 on the stalest r07 rows-only pair.
+# Overflow queues the other 2 r07 rows-only entries, then the 45
+# r07-stale oracled rows in registry order — r13's window base; after
+# r12 nothing oracled is older than r07.
 # Everything previously verified follows in module order via
 # all_queries()'s tail append, so its existing green row stands.
 _PRIORITY = [
-    # ---- (a) NEW this round: the portable sharded Bloom triple + the
-    # sharded prefilter's streaming twin ----
-    "dedup_bloom_sharded_portable",
-    "dedup_bloom_sharded_portable_flags",
-    "dedup_bloom_sharded_portable_novel",
-    "streaming_bloom_dedup_sharded",
-    # ---- (b) the 22 r04-stale oracled rows, registry order ----
-    "curation_e2e_corpus",
-    "streaming_dedup_against_ledger",
-    "embedding_norm_stats",
-    "embedding_nearest_seed",
-    "embedding_quantize_int8",
-    "similarity_int8_topk",
-    "text_chunk_windows",
-    "corpus_token_budget",
-    "text_tfidf_top_terms",
-    "curation_length_outliers",
-    "corpus_snapshot_diff",
-    "corpus_top_ngrams",
-    "text_lang_predict",
-    "corpus_source_report",
-    "corpus_repeated_unit_removal",
-    "dedup_best_survivor",
-    "curation_token_budget_fill",
-    "text_unigram_logprob",
-    "corpus_ppl_buckets",
-    "profile_lineitem",
-    "profile_quantiles_lineitem",
-    "profile_quantiles_docs_by_lang",
-    # ---- (c) the 20 stalest r06 oracled rows, registry order ----
-    "orders_monthly_growth",
-    "supplier_revenue_pareto",
-    "orders_open_backlog",
-    "orders_market_basket",
+    # ---- (a) r12 hostile-events-fix re-certs + kaplan_meier ----
+    "events_sessionization",
+    "events_type_transitions",
     "events_top_paths",
-    "events_churned_users",
     "events_dau_wau",
-    "events_lateness_audit",
+    "scd2_user_tier",
     "events_pit_enrich",
-    "events_gapfill_interpolate",
-    "events_rolling_range",
-    "events_ab_wilson",
-    "events_kaplan_meier",
     "events_exp_smoothing",
     "events_isotonic_daily_rate",
-    "text_kwic",
-    "text_char_ngram_profile",
-    "curation_source_caps",
-    "pipeline_latest_abilities",
-    "pipeline_db_load",
-    # ---- (d) rows-only freshness tail (no oracle possible) ----
-    "agg_approx_distinct",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    # ---- overflow: remaining 24 r06 rows (r12's window if unreached) --
-    "streaming_db_exactly_once",
+    "events_gapfill_interpolate",
+    "events_kaplan_meier",
+    "window_lead_lag_gap",
+    "window_rolling_frame",
+    "join_asof_generic",
+    "join_asof_last_click",
+    "streaming_tumbling_hourly",
+    "streaming_session_window",
+    "streaming_custom_sessionizer",
+    "streaming_stateful_user_totals",
     "streaming_error_rate_alert",
-    "streaming_quality_gate",
-    "streaming_embedding_assign",
     "streaming_pit_enrich",
     "streaming_continuous_rollup",
+    # ---- (b) the remaining 21 r06-stale oracled rows, registry order --
+    "streaming_db_exactly_once",
+    "streaming_quality_gate",
+    "streaming_embedding_assign",
     "streaming_interval_join_outer",
     "streaming_countmin_topk",
     "multimodal_feature_bins",
@@ -118,6 +78,64 @@ _PRIORITY = [
     "text_cdc_chunks",
     "events_hist_quantile_rollup",
     "events_countmin_topk",
+    # ---- (c) rows-only freshness: r06 tail + stalest r07 pair ----
+    "dedup_lsh_quality_report",
+    "text_compression_ratio",
+    "multimodal_features",
+    "corpus_bpe_learn",
+    "corpus_bpe_encode",
+    "profile_approx_quantiles_lineitem",
+    "dedup_incremental_neardup",
+    "embedding_pca_project",
+    # ---- overflow: r07 rows-only pair, then the 45 r07-stale oracled
+    # rows in registry order (r13's window base) ----
+    "events_sketch_rollup",
+    "similarity_ann_recall_report",
+    "scalar_variant_extraction",
+    "integrity_report",
+    "scalar_null_semantics",
+    "events_ks_test",
+    "dedup_prefix_filter_pairs",
+    "text_sequence_packing",
+    "similarity_lsh_topk",
+    "text_gopher_rules",
+    "udaf_trimmed_mean_length",
+    "curation_gate_overlap",
+    "dedup_lsh_verified",
+    "curation_leakage_safe_split",
+    "curation_k_anonymity",
+    "curation_mix_temperature",
+    "curation_dp_release",
+    "curation_epoch_mix",
+    "curation_contrastive_negatives",
+    "curation_trainonly_scaler",
+    "abilities_from_pysource",
+    "multimodal_phash_neardup",
+    "multimodal_audio_segments",
+    "dedup_semantic_int8",
+    "similarity_pq_topk",
+    "embedding_kmeans_train",
+    "embedding_covariance",
+    "corpus_chi2_independence",
+    "lineitem_price_regression",
+    "lineitem_conformal_interval",
+    "lineitem_regression_cv",
+    "profile_bootstrap_mean",
+    "dedup_duplicate_spans",
+    "curation_dsir_weights",
+    "curation_dsir_resample",
+    "dedup_pair_evidence",
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "text_classifier_train",
+    "graph_pagerank_nations",
+    "graph_triangle_count",
+    "hierarchy_rollup_closure",
+    "graph_khop_distances",
+    "linkage_blocked_match",
+    "bt_labeling_corrections",
+    "abilities_followups_enriched",
+    "abilities_effective_cap",
 ]
 
 
