@@ -64,8 +64,17 @@ def skew_safe_count_distinct(df: DataFrame, keys: list[str], value_col: str) -> 
     (key, value) — the shuffle key INCLUDES the value, so a hot key's rows
     spread uniformly — then count per key, where map-side partial combine
     means the second shuffle carries one row per (partition, key).
+
+    NULL values are excluded BEFORE the dedup: COUNT(DISTINCT x) skips
+    NULLs in every SQL engine, but the two-phase rewrite's dedup kept
+    the (key, NULL) pair as a countable row — off by one per key with
+    any NULL value (r12 hostile lineitem sweep).
     """
-    pairs = df.select(*keys, value_col).dropDuplicates([*keys, value_col])
+    pairs = (
+        df.select(*keys, value_col)
+        .where(F.col(value_col).isNotNull())
+        .dropDuplicates([*keys, value_col])
+    )
     return pairs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias(f"n_distinct_{value_col}")
     )
@@ -93,8 +102,13 @@ def heavy_hitter_report(
 
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").cast("bigint").alias("__total"))
-    topk = counts.orderBy(F.desc("n_rows"), *keys).limit(top_k)
-    w = Window.orderBy(F.desc("n_rows"), *keys)  # ≤ top_k rows by now
+    # asc_nulls_last on the key tiebreak: a NULL key is a legitimate
+    # (often the hottest!) group, and Spark's ASC default NULLS FIRST
+    # would rank a count-tied NULL key opposite to SQL engines' ASC
+    # default NULLS LAST (r12 hostile sweep)
+    tiebreak = [F.asc_nulls_last(k) for k in keys]
+    topk = counts.orderBy(F.desc("n_rows"), *tiebreak).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), *tiebreak)  # ≤ top_k rows by now
     return (
         topk.crossJoin(F.broadcast(total))
         .withColumn("row_frac", round_det(F.col("n_rows") / F.col("__total"), 6))

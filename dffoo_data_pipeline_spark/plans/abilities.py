@@ -852,11 +852,20 @@ ORACLES["abilities_attribute_list_parity"] = _attr_parity_oracle()
 def abilities_parse_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The parse pipeline at volume: fixture lines replicated across
     synthetic characters (scale follows the sf directory: sf0.1 → ~1.4M
-    lines / ~11k characters).  Rows-only — proves the window-offset parse
-    is one shuffle at ANY corpus size, not just the golden fixture.
+    lines / ~11k characters).  Proves the window-offset parse is one
+    shuffle at ANY corpus size, not just the golden fixture.
+
+    The replication factor is derived FROM THE DATA (orders rows / 150,
+    the generator's rows-per-0.0001-sf), exactly as the oracle derives
+    it — the old form parsed the scale factor out of the DIRECTORY NAME,
+    which crashed on any foreign directory and could silently disagree
+    with the oracle's data-derived count (r12 hostile sweep).  The
+    count() is one map-side-combined scan of the smallest fact table,
+    driver-bounded to a single long.
     """
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.001
-    copies = max(1, int(sf * 10_000))
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    copies = max(1, load_table(spark, sf_dir, "orders").count() // 150)
     lines = _fixture_lines_df(spark)
     reps = spark.range(copies).select(F.col("id").alias("__rep"))
     scaled = (

@@ -488,7 +488,7 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn,
                RANK()       OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderstatus) AS status_rank
+                                  ORDER BY o_orderstatus NULLS LAST) AS status_rank
         FROM orders)
     WHERE rn <= 2
     """,
@@ -498,10 +498,16 @@ def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: top-k-per-key via window avoids a global sort; one shuffle on
     the partition key. Unique tiebreak (o_orderkey) makes rn deterministic.
+    status_rank spells NULLS LAST in both engines (a NULL status at
+    Spark's ASC-default head shifted every rank in its partition — r12
+    hostile sweep); o_totalprice DESC already defaults NULLS LAST in
+    Spark, matching DuckDB's DESC NULLS LAST, but is spelled anyway.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(F.asc_nulls_last("o_orderstatus"))
     return (
         o.select(
             "o_custkey",
@@ -760,7 +766,7 @@ def explode_row_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            LOWER(c_mktsegment)                             AS seg_lc,
            LENGTH(c_name)                                  AS name_len,
            SUBSTR(c_name, 10, 8)                           AS name_digits,
-           CONCAT(c_mktsegment, '-', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
            REPLACE(c_name, 'Customer#', 'C')               AS short_name,
            LPAD(CAST(c_custkey AS VARCHAR), 6, '0')        AS padded_key,
            TRIM('  x  ')                                   AS trimmed
@@ -771,7 +777,11 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function battery (F2-F5 + gaps): case mapping, substring,
     split/element_at, concat_ws, translate, lpad, regexp extraction —
     every expression JVM-codegen (no UDFs), mirrored 1:1 in the DuckDB
-    oracle so the function semantics themselves are what's checked."""
+    oracle so the function semantics themselves are what's checked.
+    seg_key uses concat_ws in BOTH engines: CONCAT's NULL handling is
+    engine-specific (DuckDB treats NULL as '', keeping the separator;
+    Spark's concat_ws skips the NULL AND its separator), so a NULL
+    segment produced '-151' vs '151' (r12 hostile sweep)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -1453,15 +1463,20 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
                list(DISTINCT {'key': o_orderstatus, 'value': o_orderpriority})))) AS status_map,
            CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
     FROM (SELECT o_custkey, o_orderstatus, MIN(o_orderpriority) AS o_orderpriority
-          FROM orders GROUP BY o_custkey, o_orderstatus)
+          FROM orders WHERE o_orderstatus IS NOT NULL
+          GROUP BY o_custkey, o_orderstatus)
     GROUP BY o_custkey
     """,
 )
 def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type functions (§2h gap): build a status→min-priority map per
     customer, serialized via to_json with sorted keys so both engines
-    produce byte-identical text."""
-    o = load_table(spark, sf_dir, "orders")
+    produce byte-identical text.  NULL statuses are excluded in both
+    engines: a NULL cannot key a map (DuckDB's map_from_entries throws,
+    Spark's collect_set silently drops — r12 hostile sweep)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+    )
     per_status = o.groupBy("o_custkey", "o_orderstatus").agg(
         F.min("o_orderpriority").alias("o_orderpriority")
     )
@@ -2452,10 +2467,12 @@ ranked AS (
     SELECT *,
            ROW_NUMBER() OVER (PARTITION BY l_returnflag
                               ORDER BY v1 ASC NULLS FIRST,
-                                       l_orderkey, l_linenumber) AS rnf,
+                                       l_orderkey NULLS LAST,
+                                       l_linenumber NULLS LAST) AS rnf,
            ROW_NUMBER() OVER (PARTITION BY l_returnflag
                               ORDER BY v1 ASC NULLS LAST,
-                                       l_orderkey, l_linenumber) AS rnl
+                                       l_orderkey NULLS LAST,
+                                       l_linenumber NULLS LAST) AS rnl
     FROM base)
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2496,11 +2513,19 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(NULLIF(l_linenumber % 3, 0) AS BIGINT)").alias("v1"),
         F.expr("CAST(NULLIF(l_partkey % 3, 0) AS BIGINT)").alias("v2"),
     )
+    # the TIEBREAK columns are spelled NULLS LAST too: the battery's
+    # own subject columns (v1) carry explicit placements, but a NULL
+    # l_orderkey in the tiebreak silently fell to the engines' opposite
+    # ASC defaults and flipped which row is "first" (r12 hostile sweep)
     wf = Window.partitionBy("l_returnflag").orderBy(
-        F.col("v1").asc_nulls_first(), "l_orderkey", "l_linenumber"
+        F.col("v1").asc_nulls_first(),
+        F.asc_nulls_last("l_orderkey"),
+        F.asc_nulls_last("l_linenumber"),
     )
     wl = Window.partitionBy("l_returnflag").orderBy(
-        F.col("v1").asc_nulls_last(), "l_orderkey", "l_linenumber"
+        F.col("v1").asc_nulls_last(),
+        F.asc_nulls_last("l_orderkey"),
+        F.asc_nulls_last("l_linenumber"),
     )
     ranked = base.select(
         "*",
@@ -2534,7 +2559,8 @@ _BASKET_MIN_SUPPORT = 3
 _BASKET_TOPK = 20
 
 _BASKET_ORACLE = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
 pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM li GROUP BY 1),
 pairs AS (
@@ -2580,10 +2606,16 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the rank filter over a support-thresholded pair set.
     Determinism: all three metrics are quotients of exact integers,
     floor-rounded at 1e-6; ranking tiebreaks on (part_a, part_b).
+    A basket needs an order identity and its items need part identities:
+    NULL l_orderkey/l_partkey rows are excluded in BOTH engines — the
+    oracle's COUNT(DISTINCT l_orderkey) silently skipped a NULL basket
+    that Spark's groupBy counted, shifting every lift denominator (r12
+    hostile sweep).
     """
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))

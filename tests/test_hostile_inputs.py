@@ -318,3 +318,104 @@ def test_hostile_events_query_matches_oracle(
         name,
     )
     assert not errs, "\n".join(errs)
+
+
+# ---------------------------------------------------------------------------
+# Hostile RELATIONAL leg (r12): lineitem/orders salted with NULL join and
+# group keys, negative quantities, zero prices, a 100% discount, NULL
+# dates — plus referential breaks (order->customer, customer/supplier->
+# nation, nation->region all dangling or NULL).  The r12 sweep over all
+# 74 relational-table oracled queries found 8 divergences, fixed by:
+# count-distinct rewrites excluding NULL values like COUNT(DISTINCT);
+# NULLS LAST spelled on every rank/tiebreak ordering; concat_ws (not
+# CONCAT) for NULL-skipping key concatenation; NULL keys excluded from
+# maps and baskets in both engines; the scaled-parse replication factor
+# derived from the data, not the directory name.
+# ---------------------------------------------------------------------------
+
+HOSTILE_REL_QUERIES = [
+    "agg_skew_safe_count_distinct",  # two-phase rewrite counted the NULL value
+    "skew_heavy_hitter_report",      # NULL-key group ranked at engine-opposite tie ends
+    "window_rank_top_orders",        # NULL status at Spark's ASC-default head
+    "scalar_null_semantics",         # NULL in the tiebreak columns themselves
+    "scalar_string_functions",       # CONCAT vs concat_ws NULL handling
+    "scalar_map_functions",          # NULL cannot key a map, both engines
+    "orders_market_basket",          # NULL basket skipped by COUNT(DISTINCT) only
+    "abilities_parse_scaled",        # dir-name scale factor crashed on foreign dirs
+    "q1_pricing_summary",            # NULL group keys + negative qty in the rollup
+    "q5_local_supplier_volume",      # referential chain: dangling keys drop via inner joins
+    "integrity_report",              # must COUNT the planted referential breaks
+    "join_range_buckets",            # negative/zero/NULL prices vs the bucket ranges
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_rel_sf(tmp_path_factory):
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("hostile_rel")
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{src}/{t}.parquet')"
+        )
+    mo = con.execute("SELECT max(o_orderkey) FROM orders").fetchone()[0]
+    mc = con.execute("SELECT max(c_custkey) FROM customer").fetchone()[0]
+    ms = con.execute("SELECT max(s_suppkey) FROM supplier").fetchone()[0]
+    mn = con.execute("SELECT max(n_nationkey) FROM nation").fetchone()[0]
+    con.execute(f"""
+    INSERT INTO lineitem VALUES
+      (NULL, 101, 1, 1, 7.0, 1000.00, 0.05, 0.02, 'N', 'O', TIMESTAMP '1998-02-01'),
+      (0, NULL, NULL, 5, 3.0, 500.00, 0.00, 0.00, 'A', 'F', TIMESTAMP '1998-02-02'),
+      (1, 101, 1, 6, -5.0, -1200.50, 0.04, 0.01, 'R', 'F', TIMESTAMP '1998-02-03'),
+      (2, 102, 2, 7, 0.0, 0.00, 0.00, 0.00, 'N', 'O', TIMESTAMP '1998-02-04'),
+      (3, 103, 3, 8, 10.0, 2000.00, 1.00, 0.03, 'N', 'O', TIMESTAMP '1998-02-05'),
+      (4, 104, 4, 9, NULL, NULL, NULL, NULL, 'A', 'F', TIMESTAMP '1998-02-06'),
+      (5, 105, 5, 10, 12.0, 3000.00, 0.06, 0.04, NULL, NULL, TIMESTAMP '1998-02-07'),
+      (6, 106, 6, 11, 9.0, 1500.00, 0.02, 0.05, 'N', 'O', NULL),
+      ({mo + 1000}, 99999, 99999, 1, 4.0, 800.00, 0.01, 0.02, 'N', 'O', TIMESTAMP '1998-02-08')
+    """)
+    con.execute(f"""
+    INSERT INTO orders VALUES
+      ({mo + 1}, NULL, 'O', 5000.00, TIMESTAMP '1997-06-01', '1-URGENT'),
+      ({mo + 2}, 1, NULL, NULL, NULL, NULL),
+      ({mo + 3}, 2, 'F', 0.00, TIMESTAMP '1997-06-02', '2-HIGH'),
+      ({mo + 4}, 3, 'F', -250.00, TIMESTAMP '1997-06-03', '3-MEDIUM'),
+      ({mo + 5}, {mc + 500}, 'O', 1234.56, TIMESTAMP '1997-06-04', '5-LOW')
+    """)
+    con.execute(f"""
+    INSERT INTO customer VALUES
+      ({mc + 1}, 'Customer#hostile1', 99, -10.25, 'BUILDING'),
+      ({mc + 2}, 'Customer#hostile2', NULL, NULL, NULL)
+    """)
+    con.execute(f"INSERT INTO supplier VALUES ({ms + 1}, 'Supplier#hostile', 99, NULL)")
+    con.execute(
+        f"INSERT INTO nation VALUES ({mn + 1}, 'ATLANTIS', 99), ({mn + 2}, 'NULLLAND', NULL)"
+    )
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"COPY {t} TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def hostile_rel_duck(hostile_rel_sf):
+    con = duckdb_conn(hostile_rel_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HOSTILE_REL_QUERIES)
+def test_hostile_relational_query_matches_oracle(
+    name, spark, hostile_rel_sf, hostile_rel_duck
+):
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    errs = compare(
+        q[name](spark, hostile_rel_sf),
+        hostile_rel_duck.execute(o[name]).fetchdf(),
+        name,
+    )
+    assert not errs, "\n".join(errs)
