@@ -221,7 +221,7 @@ def events_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak keeps equal-timestamp ordering engine-identical.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     gaps = e.select("user_id", gap.alias("gap_us"))
     return (
@@ -269,7 +269,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     )
@@ -375,7 +375,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     ordered = e.select(
         "user_id",
@@ -388,7 +388,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # event_id tiebreak: two events at the same microsecond (ns timestamps
     # are truncated) must accumulate in the same order the lag() above saw
-    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    wsum = Window.partitionBy("user_id").orderBy(*N.event_order()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = ordered.withColumn("session_no", F.sum("new_session").over(wsum))
@@ -564,14 +564,14 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") < 200, "mid")
         .otherwise("high")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     changes = e.select("user_id", "ts", "event_id", tier.alias("tier")).withColumn(
         "prev_tier", F.lag("tier").over(w)
     )
     starts = changes.where(
         F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
     ).select("user_id", "tier", F.col("ts").alias("valid_from"), "event_id")
-    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(*N.event_order("valid_from"))
     valid_to = F.lead("valid_from").over(wv)
     return starts.select(
         "user_id",
@@ -694,7 +694,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(*N.event_order())
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     ordered = e.select(
         "user_id",
@@ -707,7 +707,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessions = ordered.withColumn("session_no", F.sum("new_session").over(wsum))
-    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    ws = Window.partitionBy("user_id", "session_no").orderBy(*N.event_order())
     path = F.concat_ws(
         ">",
         F.col("event_type"),
