@@ -18,23 +18,34 @@ from __future__ import annotations
 
 # Round-12 window (50 slots + overflow).  The r11 window came back all
 # green (fourth consecutive).  This rotation, per the r11 verdict:
-# (a) RE-CERTIFIES every query whose semantics changed in the r12
-# hostile-events package (NULL user/ts/value + duplicate-timestamp
-# total order, spelled identically in both engines) plus the
-# de-trivialized events_kaplan_meier (1-day censor horizon; it had
-# been vacuously green on 0 = 0 rows since r06) — 21 queries, three of
-# which (streaming error-rate/pit/rollup) were also r06-stale;
-# (b) retires the r06 oracled staleness frontier ENTIRELY: the
+# (a) first-certifies the 3 queries NEW this round — the quarantine /
+# dead-letter gate family (operators/quality.py: per-rule violation
+# report over lineitem with referential checks, per-row verdicts over
+# orders, and the streaming ingest gate);
+# (b) RE-CERTIFIES every query whose semantics changed in the r12
+# hostile-input packages (NULL user/ts/value + duplicate-timestamp
+# total order on events; NULL-key rank/concat/map/count-distinct
+# parity on the relational tables — all spelled identically in both
+# engines) plus the de-trivialized events_kaplan_meier (1-day censor
+# horizon; it had been vacuously green on 0 = 0 rows since r06) — 21
+# queries, three of which (streaming error-rate/pit/rollup) were also
+# r06-stale (the 8 relational-fix queries are certified fresh r08-r11
+# and re-verified locally; they queue behind the staleness frontier);
+# (c) retires the r06 oracled staleness frontier ENTIRELY: the
 # remaining 21 r06 rows, in registry order;
-# (c) spends 6 slots on rows-only freshness for the r06 no-oracle tail
-# (6 rounds stale) and the last 2 on the stalest r07 rows-only pair.
-# Overflow queues the other 2 r07 rows-only entries, then the 45
-# r07-stale oracled rows in registry order — r13's window base; after
-# r12 nothing oracled is older than r07.
+# (d) spends the last 5 slots on rows-only freshness for the stalest
+# r06 no-oracle entries (6 rounds stale).
+# Overflow queues the remaining r06/r07 rows-only entries, the 8
+# relational-fix re-certs, then the 45 r07-stale oracled rows in
+# registry order — r13's window base.
 # Everything previously verified follows in module order via
 # all_queries()'s tail append, so its existing green row stands.
 _PRIORITY = [
-    # ---- (a) r12 hostile-events-fix re-certs + kaplan_meier ----
+    # ---- (a) NEW this round: the quarantine / dead-letter gate ----
+    "lineitem_quarantine_report",
+    "orders_quarantine_verdicts",
+    "streaming_quarantine_gate",
+    # ---- (b) r12 hostile-events-fix re-certs + kaplan_meier ----
     "events_sessionization",
     "events_type_transitions",
     "events_top_paths",
@@ -78,19 +89,29 @@ _PRIORITY = [
     "text_cdc_chunks",
     "events_hist_quantile_rollup",
     "events_countmin_topk",
-    # ---- (c) rows-only freshness: r06 tail + stalest r07 pair ----
+    # ---- (d) rows-only freshness: the 5 stalest r06 no-oracle rows ----
     "dedup_lsh_quality_report",
     "text_compression_ratio",
     "multimodal_features",
     "corpus_bpe_learn",
     "corpus_bpe_encode",
+    # ---- overflow: remaining rows-only freshness, the 8 relational-fix
+    # re-certs, then the 45 r07-stale oracled rows in registry order
+    # (r13's window base) ----
     "profile_approx_quantiles_lineitem",
     "dedup_incremental_neardup",
     "embedding_pca_project",
-    # ---- overflow: r07 rows-only pair, then the 45 r07-stale oracled
-    # rows in registry order (r13's window base) ----
     "events_sketch_rollup",
     "similarity_ann_recall_report",
+    "agg_skew_safe_count_distinct",
+    "skew_heavy_hitter_report",
+    "window_rank_top_orders",
+    "scalar_string_functions",
+    "scalar_map_functions",
+    "orders_market_basket",
+    "abilities_parse_scaled",
+    # (scalar_null_semantics, also relational-fixed, sits in the r07
+    # block below)
     "scalar_variant_extraction",
     "integrity_report",
     "scalar_null_semantics",
@@ -155,6 +176,7 @@ def all_queries():
         llm_ops,
         manual_tables,
         profile,
+        quality,
         relational,
         retrieval,
         selection,
@@ -162,7 +184,7 @@ def all_queries():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph, linkage, manual_tables):
+    for mod in (relational, flagship, events, llm_ops, curation, abilities, bt_ha, job, streaming, multimodal, embeddings, corpus, profile, selection, retrieval, linkgraph, linkage, manual_tables, quality):
         merged_q.update(mod.QUERIES)
         merged_o.update(mod.ORACLES)
 

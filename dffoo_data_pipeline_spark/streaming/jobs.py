@@ -865,6 +865,78 @@ def streaming_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+_EVENT_QUARANTINE_RULES_SQL = [
+    ("malformed_props", "props IS NOT NULL AND NOT json_valid(props)"),
+    ("null_ts", "ts IS NULL"),
+    ("null_type", "event_type IS NULL"),
+    ("null_user", "user_id IS NULL"),
+    ("null_value", "value IS NULL"),
+]
+
+_EVENT_QUARANTINE_SQL = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule,"
+        f" CAST(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_checked FROM events"
+        for name, pred in _EVENT_QUARANTINE_RULES_SQL
+    )
+    + "\nUNION ALL\nSELECT 'clean', CAST(SUM(CASE WHEN NOT ("
+    + " OR ".join(
+        f"COALESCE({pred}, FALSE)" for _, pred in _EVENT_QUARANTINE_RULES_SQL
+    )
+    + ") THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events"
+)
+
+
+@_register("streaming_quarantine_gate", _EVENT_QUARANTINE_SQL)
+def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter gate (operators/quality.py) AT INGEST: classify
+    every streamed event against the NULL/malformed rule battery the
+    r12 hostile sweep established, maintaining per-rule violation
+    counts + the clean count incrementally — what routes hostile rows
+    to a quarantine topic BEFORE they reach the analytics the sweep
+    hardened.  Batch oracle: identical rule SQL over the events table.
+
+    Scale: rules are map-side codegen predicates on the stream; state
+    is ONE row of counters (complete-mode global aggregate); the
+    per-rule unpivot runs post-stream on that single row.  Malformed
+    JSON is detected with try_parse_json (NULL variant) — the engine
+    pair to DuckDB's json_valid (r11 JSON-tolerance convention).
+    """
+    from dffoo_data_pipeline_spark.operators.quality import flag_rules
+
+    e = read_events_stream(spark, sf_dir)
+    rules = {
+        "malformed_props": F.col("props").isNotNull()
+        & F.try_parse_json("props").isNull(),
+        "null_ts": F.col("ts").isNull(),
+        "null_type": F.col("event_type").isNull(),
+        "null_user": F.col("user_id").isNull(),
+        "null_value": F.col("value").isNull(),
+    }
+    flagged = flag_rules(e, rules)
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("is_clean"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        *[
+            F.sum(F.when(F.col(f"__viol_{name}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{i}")
+            for i, name in enumerate(rules)
+        ],
+    )
+    one_row = run_stream_to_table(agg, "complete")
+    cells = ", ".join(f"'{name}', n_{i}" for i, name in enumerate(rules))
+    return one_row.select(
+        F.expr(
+            f"stack({len(rules) + 1}, {cells}, 'clean', n_clean) AS (rule, n_rows)"
+        ),
+        "n_checked",
+    ).select("rule", "n_rows", "n_checked")
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus quality gate (documents stream × Gopher rules)
 # ---------------------------------------------------------------------------

@@ -264,6 +264,7 @@ HOSTILE_EVENT_QUERIES = [
     "streaming_tumbling_hourly",   # streaming window cannot hold a timeless row
     "streaming_stateful_user_totals",  # NULL group key/value crashed the state kernel
     "streaming_custom_sessionizer",    # same crash in the interval-merge kernel
+    "streaming_quarantine_gate",   # the gate must COUNT every hostile row class
 ]
 
 
@@ -346,6 +347,8 @@ HOSTILE_REL_QUERIES = [
     "q5_local_supplier_volume",      # referential chain: dangling keys drop via inner joins
     "integrity_report",              # must COUNT the planted referential breaks
     "join_range_buckets",            # negative/zero/NULL prices vs the bucket ranges
+    "lineitem_quarantine_report",    # the gate must COUNT every planted row class
+    "orders_quarantine_verdicts",    # per-row reasons for every planted violation
 ]
 
 
