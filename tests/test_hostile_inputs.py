@@ -349,6 +349,8 @@ HOSTILE_REL_QUERIES = [
     "join_range_buckets",            # negative/zero/NULL prices vs the bucket ranges
     "lineitem_quarantine_report",    # the gate must COUNT every planted row class
     "orders_quarantine_verdicts",    # per-row reasons for every planted violation
+    "q2_min_cost_supplier",          # part->supplier->nation->region chain w/ NULL part attrs
+    "q19_disjunctive_predicates",    # NULL part attributes inside OR-of-AND predicates
 ]
 
 
@@ -359,7 +361,7 @@ def hostile_rel_sf(tmp_path_factory):
     for p in src.glob("*.parquet"):
         shutil.copy(p, dst / p.name)
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "part", "region"):
         con.execute(
             f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{src}/{t}.parquet')"
         )
@@ -396,7 +398,18 @@ def hostile_rel_sf(tmp_path_factory):
     con.execute(
         f"INSERT INTO nation VALUES ({mn + 1}, 'ATLANTIS', 99), ({mn + 2}, 'NULLLAND', NULL)"
     )
-    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+    mp = con.execute("SELECT max(p_partkey) FROM part").fetchone()[0]
+    mr = con.execute("SELECT max(r_regionkey) FROM region").fetchone()[0]
+    con.execute(f"""
+    INSERT INTO part VALUES
+      ({mp + 1}, NULL, NULL, NULL, NULL, NULL),
+      ({mp + 2}, 'hostile negative part', 'Brand#00', 'HOSTILE TYPE', -3, -12.34),
+      ({mp + 3}, 'hostile zero part', 'Brand#00', 'HOSTILE TYPE', 0, 0.00)
+    """)
+    con.execute(
+        f"INSERT INTO region VALUES ({mr + 1}, 'NOWHERE'), ({mr + 2}, NULL)"
+    )
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "part", "region"):
         con.execute(f"COPY {t} TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
     con.close()
     return str(dst)
