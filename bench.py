@@ -96,6 +96,12 @@ HEADLINE += [
     # JVM xxhash64) for the past-the-broadcast-ceiling ledger shape
     "dedup_bloom_sharded_novel",     # xx64 sharded bloom ledger anti-join
     "dedup_bloom_sharded_portable_novel",  # md5 (cross-engine) sharded bloom
+    # round-12: the quarantine / dead-letter gate family — the rule
+    # battery's map-side cost and the presence-join shapes (2 broadcast
+    # + 1 fact-fact shuffle) are what the numbers certify
+    "lineitem_quarantine_report",    # 11-rule battery + 3 referential joins
+    "orders_quarantine_verdicts",    # per-row verdicts, corpus-wide
+    "streaming_quarantine_gate",     # the battery as an ingest stream gate
 ]
 
 
