@@ -1081,6 +1081,9 @@ FROM w
 """
 
 
+_GAPFILL_MAX_CELLS = 200_000  # refuse dense grids beyond ~23 years of hours
+
+
 @_register("events_gapfill_interpolate", _GAPFILL_SQL)
 def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-grid gap-fill (the hypertable `time_bucket_gapfill` op): the
@@ -1130,6 +1133,31 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bucket").over(wall).alias("lo"),
         F.max("bucket").over(wall).alias("hi"),
     )
+    # Grid-explosion refusal (r12 extreme-ts sweep): ONE corrupted
+    # epoch-0 / far-future timestamp stretches the observed range to a
+    # century and the dense grid to millions of cells per series — a
+    # silent 10^4× output blow-up.  Like TimescaleDB's gapfill (which
+    # REQUIRES explicit bounds) we refuse instead: past _GAPFILL_MAX_
+    # CELLS total grid hours the query raises (assert_true, evaluated
+    # inline — no extra pass), telling the caller to filter outliers or
+    # bound the window.  Engine-side policy: the SQL oracle's semantics
+    # stay unbounded, so the refusal only ever fires on data the driver
+    # never certifies.  Folded into `lo` so column pruning cannot drop
+    # the check.
+    span_cells = (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / 3600
+    guard = F.assert_true(
+        span_cells <= _GAPFILL_MAX_CELLS,
+        F.concat(
+            F.lit("events_gapfill_interpolate: observed range spans "),
+            span_cells.cast("long").cast("string"),
+            F.lit(
+                f" hourly cells (> {_GAPFILL_MAX_CELLS}): outlier timestamps"
+                " would explode the dense grid — filter them or gapfill an"
+                " explicit bounded window"
+            ),
+        ),
+    )
+    h2 = h2.withColumn("lo", F.when(guard.isNull(), F.col("lo")))
     empty = F.array().cast("array<timestamp>")
     lead_in = F.when(
         (F.col("rn") == 1) & (F.col("bucket") > F.col("lo")),
@@ -1159,7 +1187,20 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("event_type").orderBy("bucket")
     before = w.rowsBetween(Window.unboundedPreceding, -1)
-    after = w.rowsBetween(1, Window.unboundedFollowing)
+    # "nearest FOLLOWING observed" via a DESC-ordered GROWING frame, not
+    # first() over (1 FOLLOWING, UNBOUNDED FOLLOWING): Spark recomputes
+    # an UnboundedFollowing frame from scratch for EVERY row — O(n²) per
+    # series partition, a measured hang at ~1M grid cells (r12 extreme-
+    # ts sweep) — while sliding/growing frames update incrementally.
+    # last(ignorenulls) over desc [unbounded, -1] visits exactly the
+    # rows after the current bucket and keeps the closest — value-
+    # identical, O(n).  The SQL oracle keeps the FOLLOWING spelling
+    # (DuckDB's window engine handles it without the quadratic cliff).
+    after_desc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     obs_t = F.when(F.col("obs_dec").isNotNull(), F.col("bucket"))
     filled = j.select(
         "event_type",
@@ -1168,8 +1209,8 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obs_dec",
         F.last("obs_dec", ignorenulls=True).over(before).alias("prev_v"),
         F.last(obs_t, ignorenulls=True).over(before).alias("prev_t"),
-        F.first("obs_dec", ignorenulls=True).over(after).alias("next_v"),
-        F.first(obs_t, ignorenulls=True).over(after).alias("next_t"),
+        F.last("obs_dec", ignorenulls=True).over(after_desc).alias("next_v"),
+        F.last(obs_t, ignorenulls=True).over(after_desc).alias("next_t"),
     )
     pos_h = (
         F.unix_timestamp("bucket") - F.unix_timestamp("prev_t")

@@ -435,3 +435,104 @@ def test_hostile_relational_query_matches_oracle(
         name,
     )
     assert not errs, "\n".join(errs)
+
+
+# ---------------------------------------------------------------------------
+# EXTREME-TIMESTAMP leg (r12 extension): an epoch-0 row and a year-2100
+# row — the sentinel/corrupt timestamps that stretch any observed time
+# range to a century.  The r12 sweep over all 50 events oracles found:
+# 48 agree unchanged; events_gapfill_interpolate would silently explode
+# its dense grid ~10^4× (now a loud refusal, and its forward-fill window
+# was O(n²) per series — rewritten to a DESC growing frame);
+# streaming_dedup_events drops the epoch-0 row (event time not above
+# Spark's initial epoch watermark — documented boundary; quarantine such
+# rows upstream via streaming_quarantine_gate).
+# ---------------------------------------------------------------------------
+
+EXTREME_TS_QUERIES = [
+    "events_sessionization",
+    "events_max_gap",
+    "events_dau_wau",
+    "scd2_user_tier",
+    "cdc_apply_latest",
+    "events_kaplan_meier",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_sf(tmp_path_factory):
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("extreme_ts")
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE e AS SELECT * FROM read_parquet('{src}/events.parquet')"
+    )
+    mx = con.execute("SELECT max(event_id) FROM e").fetchone()[0]
+    con.execute(f"""
+    INSERT INTO e VALUES
+      ({mx + 1}, TIMESTAMP '1970-01-01 00:00:00', 8, 'view', 2.5, '{{"k": 1}}'),
+      ({mx + 2}, TIMESTAMP '2100-06-15 12:00:00', 8, 'click', 4.5, '{{"k": 2}}')
+    """)
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_duck(extreme_ts_sf):
+    con = duckdb_conn(extreme_ts_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EXTREME_TS_QUERIES)
+def test_extreme_ts_query_matches_oracle(name, spark, extreme_ts_sf, extreme_ts_duck):
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    errs = compare(
+        q[name](spark, extreme_ts_sf),
+        extreme_ts_duck.execute(o[name]).fetchdf(),
+        name,
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_gapfill_refuses_grid_explosion(spark, extreme_ts_sf):
+    """One corrupted timestamp must not silently 10^4x the gapfill
+    output: past _GAPFILL_MAX_CELLS observed hours the query raises
+    with remediation instead of densifying a century."""
+    import __spark_entry__ as entrymod
+
+    with pytest.raises(Exception, match="explode the dense grid"):
+        entrymod.queries()["events_gapfill_interpolate"](
+            spark, extreme_ts_sf
+        ).count()
+
+
+def test_streaming_dedup_drops_epoch_boundary_row(spark, extreme_ts_sf, extreme_ts_duck):
+    """Documented boundary: dropDuplicatesWithinWatermark cannot
+    guarantee exactly-once for an event AT the epoch floor (its event
+    time is not above Spark's initial watermark), so the epoch-0 row is
+    dropped — every other row agrees with the batch DISTINCT oracle.
+    Sentinel timestamps belong in the quarantine gate upstream."""
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    got = {
+        r["event_type"]: r["n_unique_events"]
+        for r in q["streaming_dedup_events"](spark, extreme_ts_sf).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in extreme_ts_duck.execute(
+            o["streaming_dedup_events"]
+        ).fetchall()
+    }
+    # the epoch-0 row is a 'view'; everything else must match exactly
+    assert got["view"] == want["view"] - 1
+    for k in want:
+        if k != "view":
+            assert got[k] == want[k], k

@@ -365,3 +365,47 @@ def test_sharded_bloom_broadcast_knob_switches_to_shuffle_join(spark):
                 conf.set(k, v)
             else:
                 conf.unset(k)
+
+
+def test_gapfill_forward_fill_is_linear_not_quadratic(spark, tmp_path):
+    """The gapfill "nearest following observed" fill must run as a
+    DESC-ordered GROWING frame, not first() over (1 FOLLOWING,
+    UNBOUNDED FOLLOWING): Spark recomputes an UnboundedFollowing frame
+    from scratch per row — O(n²) per series, a measured multi-minute
+    hang at ~1M grid cells (r12 extreme-ts sweep).  A 20k-cell-per-type
+    grid (60k rows) completing in seconds is the regression pin: the
+    quadratic form needs ~2·10^9 frame visits here and does not."""
+    import time
+
+    import duckdb
+
+    from dffoo_data_pipeline_spark.plans.events import events_gapfill_interpolate
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "gfwide"
+    dst.mkdir()
+    import shutil
+    from pathlib import Path
+
+    for p in Path(src).glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    eid = 0
+    for et in ("view", "click", "purchase"):
+        for ts in ("2020-01-01 00:00:00", "2022-04-15 00:00:00"):
+            con.execute(
+                f"INSERT INTO e VALUES ({eid}, TIMESTAMP '{ts}', 1, '{et}', 1.5, '{{}}')"
+            )
+            eid += 1
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    t0 = time.time()
+    n = events_gapfill_interpolate(spark, str(dst)).count()
+    elapsed = time.time() - t0
+    assert n == 60123  # 3 types x 20041 hourly cells
+    assert elapsed < 60, f"gapfill took {elapsed:.0f}s on 60k cells — quadratic frame is back?"
