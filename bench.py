@@ -102,6 +102,7 @@ HEADLINE += [
     "lineitem_quarantine_report",    # 11-rule battery + 3 referential joins
     "orders_quarantine_verdicts",    # per-row verdicts, corpus-wide
     "streaming_quarantine_gate",     # the battery as an ingest stream gate
+    "embeddings_quarantine_report",  # vector finite-domain gate (HOFs, no UDF)
 ]
 
 

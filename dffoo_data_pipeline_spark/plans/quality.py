@@ -192,3 +192,87 @@ def orders_quarantine_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_clean",
         F.concat_ws(",", "reasons").alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings quarantine: the FINITE-DOMAIN vector contract, enforced
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # the fixture corpus's embedding dimensionality
+
+_EMB_RULES_SQL = [
+    ("null_vector", "embedding IS NULL"),
+    (
+        "wrong_dim",
+        f"embedding IS NOT NULL AND len(embedding) <> {_EMB_DIM}",
+    ),
+    (
+        "nonfinite_component",
+        "embedding IS NOT NULL AND list_aggregate(list_transform(embedding,"
+        " x -> CAST(isnan(x) OR isinf(x) AS INT)), 'sum') > 0",
+    ),
+    (
+        "null_component",
+        "embedding IS NOT NULL AND list_aggregate(list_transform(embedding,"
+        " x -> CAST(x IS NULL AS INT)), 'sum') > 0",
+    ),
+    (
+        "zero_norm",
+        "embedding IS NOT NULL AND list_aggregate(list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * x), 'sum') = 0",
+    ),
+    ("null_label", "label IS NULL"),
+]
+
+_EMB_REPORT_SQL = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule,"
+        f" CAST(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_checked FROM embeddings"
+        for name, pred in _EMB_RULES_SQL
+    )
+    + "\nUNION ALL\nSELECT 'clean', CAST(SUM(CASE WHEN NOT ("
+    + " OR ".join(f"COALESCE({pred}, FALSE)" for _, pred in _EMB_RULES_SQL)
+    + ") THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM embeddings"
+)
+
+
+@_register("embeddings_quarantine_report", _EMB_REPORT_SQL)
+def embeddings_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-domain contract as an enforceable gate: NULL vectors,
+    wrong dimensionality, NON-FINITE components, zero norms, NULL
+    labels.  The r12 NaN/Inf sweep showed WHY this is a contract and
+    not per-query defense: a single Inf component crashes every
+    DECIMAL-exactness oracle (Inf/NaN are unrepresentable in DECIMAL,
+    the repo's cross-engine arithmetic backbone) and poisons every
+    float kernel downstream — 29/29 embeddings oracles fail on one bad
+    vector.  Like the 2-decimal money contract, the domain is enforced
+    at INGEST (this gate / its streaming twin) rather than re-checked
+    inside 29 hot paths; the ANN operators keep only the cheap NULL /
+    zero-norm boundary filters they already have (r11).
+
+    Scale: pure map-side predicates over the vector column (higher-
+    order functions, JVM-side — no Python crossing), one conditional
+    aggregation, |rules|+1 output rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    nonfinite = F.exists(
+        "embedding",
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    rules = {
+        "null_vector": F.col("embedding").isNull(),
+        "wrong_dim": F.col("embedding").isNotNull()
+        & (F.size("embedding") != _EMB_DIM),
+        "nonfinite_component": F.col("embedding").isNotNull() & nonfinite,
+        "null_component": F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x.isNull()),
+        "zero_norm": F.col("embedding").isNotNull() & (sumsq == 0),
+        "null_label": F.col("label").isNull(),
+    }
+    return quarantine_report(e, rules)

@@ -500,6 +500,60 @@ def test_extreme_ts_query_matches_oracle(name, spark, extreme_ts_sf, extreme_ts_
     assert not errs, "\n".join(errs)
 
 
+def test_embeddings_quarantine_flags_every_vector_domain_break(
+    spark, tmp_path_factory
+):
+    """The finite-domain vector contract, enforced: NaN / Inf / NULL
+    components, wrong dims, zero norms, NULL vectors and labels each
+    flag their rule, value-exact vs the DuckDB oracle.  The r12 NaN/Inf
+    sweep is WHY this is a contract, not per-query defense: one Inf
+    component crashed all 29 embeddings oracles (Inf/NaN are
+    unrepresentable in DECIMAL, the cross-engine arithmetic backbone),
+    so such vectors must be quarantined at ingest."""
+    import __spark_entry__ as entrymod
+
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("emb_quarantine")
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE e AS SELECT * FROM read_parquet('{src}/embeddings.parquet')"
+    )
+    mx = con.execute("SELECT max(vec_id) FROM e").fetchone()[0]
+    con.execute(f"""
+    INSERT INTO e VALUES
+      ({mx + 1}, list_append([0.1::FLOAT for _ in range(63)], 'nan'::FLOAT), 1),
+      ({mx + 2}, list_append([0.1::FLOAT for _ in range(63)], 'inf'::FLOAT), 2),
+      ({mx + 3}, list_append([0.1::FLOAT for _ in range(63)], NULL::FLOAT), 3),
+      ({mx + 4}, [0.5::FLOAT, 0.5::FLOAT], 4),
+      ({mx + 5}, [0.0::FLOAT for _ in range(64)], 5),
+      ({mx + 6}, NULL, 6),
+      ({mx + 7}, [0.3::FLOAT for _ in range(64)], NULL)
+    """)
+    con.execute(f"COPY e TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    name = "embeddings_quarantine_report"
+    duck = duckdb_conn(str(dst))
+    df = q[name](spark, str(dst))
+    errs = compare(df, duck.execute(o[name]).fetchdf(), name)
+    duck.close()
+    assert not errs, "\n".join(errs)
+    got = {r.rule: r.n_rows for r in df.collect()}
+    base = 500  # clean vectors in the sf0.001 fixture
+    assert got == {
+        "null_vector": 1,
+        "wrong_dim": 1,
+        "nonfinite_component": 2,
+        "null_component": 1,
+        "zero_norm": 1,
+        "null_label": 1,
+        "clean": base,
+    }
+
+
 def test_gapfill_refuses_grid_explosion(spark, extreme_ts_sf):
     """One corrupted timestamp must not silently 10^4x the gapfill
     output: past _GAPFILL_MAX_CELLS observed hours the query raises
