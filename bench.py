@@ -103,6 +103,7 @@ HEADLINE += [
     "orders_quarantine_verdicts",    # per-row verdicts, corpus-wide
     "streaming_quarantine_gate",     # the battery as an ingest stream gate
     "embeddings_quarantine_report",  # vector finite-domain gate (HOFs, no UDF)
+    "documents_quarantine_report",   # corpus-domain gate incl. oversize rule
 ]
 
 

@@ -18,11 +18,12 @@ from __future__ import annotations
 
 # Round-12 window (50 slots + overflow).  The r11 window came back all
 # green (fourth consecutive).  This rotation, per the r11 verdict:
-# (a) first-certifies the 4 queries NEW this round — the quarantine /
+# (a) first-certifies the 5 queries NEW this round — the quarantine /
 # dead-letter gate family (operators/quality.py: per-rule violation
 # report over lineitem with referential checks, per-row verdicts over
-# orders, the streaming ingest gate, and the embeddings vector-domain
-# gate that enforces the finite-component contract);
+# orders, the streaming ingest gate, the embeddings vector-domain gate
+# that enforces the finite-component contract, and the documents
+# corpus-domain gate incl. the oversize rule);
 # (b) RE-CERTIFIES every query whose semantics changed in the r12
 # hostile-input packages (NULL user/ts/value + duplicate-timestamp
 # total order on events; NULL-key rank/concat/map/count-distinct
@@ -47,6 +48,7 @@ _PRIORITY = [
     "orders_quarantine_verdicts",
     "streaming_quarantine_gate",
     "embeddings_quarantine_report",
+    "documents_quarantine_report",
     # ---- (b) r12 hostile-events-fix re-certs + kaplan_meier ----
     "events_sessionization",
     "events_type_transitions",
@@ -91,14 +93,14 @@ _PRIORITY = [
     "text_cdc_chunks",
     "events_hist_quantile_rollup",
     "events_countmin_topk",
-    # ---- (d) rows-only freshness: the 4 stalest r06 no-oracle rows ----
+    # ---- (d) rows-only freshness: the 3 stalest r06 no-oracle rows ----
     "dedup_lsh_quality_report",
     "text_compression_ratio",
     "multimodal_features",
-    "corpus_bpe_learn",
     # ---- overflow: remaining rows-only freshness, the 8 relational-fix
     # re-certs, then the 45 r07-stale oracled rows in registry order
     # (r13's window base) ----
+    "corpus_bpe_learn",
     "corpus_bpe_encode",
     "profile_approx_quantiles_lineitem",
     "dedup_incremental_neardup",

@@ -276,3 +276,72 @@ def embeddings_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_label": F.col("label").isNull(),
     }
     return quarantine_report(e, rules)
+
+
+# ---------------------------------------------------------------------------
+# documents quarantine: the text-corpus domain contract, enforced
+# ---------------------------------------------------------------------------
+
+_DOC_MAX_CHARS = 200_000  # oversize gate (chars); tune per-corpus
+
+_DOC_RULES_SQL = [
+    (
+        "char_count_mismatch",
+        "n_chars IS DISTINCT FROM length(text)",
+    ),
+    ("null_lang", "lang IS NULL"),
+    ("null_source", "source IS NULL"),
+    ("null_text", "text IS NULL"),
+    (
+        "oversized",
+        f"COALESCE(length(text) > {_DOC_MAX_CHARS}, FALSE)",
+    ),
+    (
+        "zero_tokens",
+        "text IS NOT NULL AND len(list_filter("
+        "string_split_regex(text, '\\s+'), t -> t <> '')) = 0",
+    ),
+]
+
+_DOC_REPORT_SQL = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule,"
+        f" CAST(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_checked FROM documents"
+        for name, pred in _DOC_RULES_SQL
+    )
+    + "\nUNION ALL\nSELECT 'clean', CAST(SUM(CASE WHEN NOT ("
+    + " OR ".join(f"COALESCE({pred}, FALSE)" for _, pred in _DOC_RULES_SQL)
+    + ") THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM documents"
+)
+
+
+@_register("documents_quarantine_report", _DOC_REPORT_SQL)
+def documents_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-corpus gate, completing the quarantine family across all
+    four salted tables: NULL text, ZERO-TOKEN docs (empty/whitespace-
+    only/exotic-whitespace — the r11 sweep's phantom-token classes,
+    detected with the engine's own non-empty-token tokenizer spec so
+    the gate and the corpus statistics agree on what "no tokens"
+    means), NULL lang/source, an n_chars-vs-length consistency check
+    (null-safe: IS DISTINCT FROM in SQL, negated eqNullSafe in Spark),
+    and an oversize gate (a single multi-MB document dominates shingle
+    posting lists and Arrow batch sizes downstream — cap and route to
+    a long-document pipeline instead).
+
+    Scale: pure map-side predicates (the tokenizer is one JVM regex
+    pass), one conditional aggregation, |rules|+1 rows out.
+    """
+    from dffoo_data_pipeline_spark.functions import text as TXT
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = {
+        "char_count_mismatch": ~F.col("n_chars").eqNullSafe(F.length("text")),
+        "null_lang": F.col("lang").isNull(),
+        "null_source": F.col("source").isNull(),
+        "null_text": F.col("text").isNull(),
+        "oversized": F.length("text") > _DOC_MAX_CHARS,
+        "zero_tokens": F.col("text").isNotNull()
+        & (F.size(TXT.tokens("text")) == 0),
+    }
+    return quarantine_report(d, rules)

@@ -53,6 +53,7 @@ HOSTILE_QUERIES = [
     "multimodal_image_pixel_stats",  # empty payload emitted a bogus row
     "multimodal_audio_rms",        # char-vs-byte oracle read (NBSP)
     "multimodal_phash_neardup",    # char-vs-byte oracle read
+    "documents_quarantine_report",  # the gate must COUNT every r11 row class
 ]
 
 
@@ -552,6 +553,52 @@ def test_embeddings_quarantine_flags_every_vector_domain_break(
         "null_label": 1,
         "clean": base,
     }
+
+
+def test_documents_quarantine_flags_mismatch_and_oversize(
+    spark, tmp_path_factory
+):
+    """The documents gate's two rules the shared hostile fixture cannot
+    exercise: an n_chars row that LIES about its length (null-safe
+    consistency check) and an oversized document (>200k chars).  The
+    oversize gate is load-bearing: the r12 long-doc sweep measured one
+    500KB degenerate document slowing EVERY corpus query ~60x (and
+    making stride-1 span/self-join shapes quadratic in both engines) —
+    such rows route to a long-document pipeline, not the corpus stats."""
+    import __spark_entry__ as entrymod
+
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("doc_quarantine")
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE d AS SELECT * FROM read_parquet('{src}/documents.parquet')"
+    )
+    mx = con.execute("SELECT max(doc_id) FROM d").fetchone()[0]
+    big = ("lorem ipsum dolor sit amet " * 8000).strip()  # ~216k chars
+    con.execute(
+        "INSERT INTO d VALUES (?, ?, 'en', 'src2', 9999)",
+        [mx + 1, "this row claims the wrong character count on purpose"],
+    )
+    con.execute(
+        "INSERT INTO d VALUES (?, ?, 'en', 'src0', ?)", [mx + 2, big, len(big)]
+    )
+    con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    name = "documents_quarantine_report"
+    duck = duckdb_conn(str(dst))
+    df = q[name](spark, str(dst))
+    errs = compare(df, duck.execute(o[name]).fetchdf(), name)
+    duck.close()
+    assert not errs, "\n".join(errs)
+    got = {r.rule: r.n_rows for r in df.collect()}
+    assert got["char_count_mismatch"] == 1
+    assert got["oversized"] == 1
+    n_checked = {r.rule: r.n_checked for r in df.collect()}["clean"]
+    assert got["clean"] == n_checked - 2
 
 
 def test_gapfill_refuses_grid_explosion(spark, extreme_ts_sf):
