@@ -1403,7 +1403,14 @@ def lsh_verified_pairs(
     ).localCheckpoint(eager=False)  # feeds both sides of the verify join once
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    # Verify-join strategy pinned (guide §3.1): broadcast the CANDIDATE
+    # keys (small by LSH construction) and stream the shingle relation
+    # through them; the doc_b attach is a shuffled hash join.  Left to
+    # itself the planner broadcast the checkpointed CORPUS shingle
+    # relation for the second attach — a corpus-sized broadcast build
+    # per run, never sane at scale and 3× the whole verify cost at sf0.1
+    # (measured 3.57 s → 1.18 s, identical output).
+    joined = F.broadcast(cand).join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
     isect = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - isect
     jac = isect / union
@@ -1474,16 +1481,29 @@ def prefix_filter_pairs(
     sh = df.select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)
+    # Candidate generation runs on xxhash64(shingle) — the three
+    # full-posting-volume exchanges (df window, per-doc rank, posting
+    # lists) move an 8-byte key instead of a ~20-byte 3-gram string, and
+    # both window Sorts compare longs (guide §2.3: narrower shuffle
+    # types).  Losslessness is ORDER-INDEPENDENT: the prefix-filter proof
+    # only needs both docs of a pair to rank their shingles by the same
+    # consistent global order, which (df, h) is; shared strings map to
+    # shared hashes, so hash-space overlap ≥ string-space overlap and the
+    # candidate set stays a superset.  A 64-bit collision can only ADD a
+    # candidate (more overlap, never less); verification is exact string
+    # Jaccard, so emitted pairs are unchanged.  sz stays the STRING
+    # distinct count — plen/length/positional bounds computed from it are
+    # ≥ their hash-universe values, preserving every prune's proof.
     posts = sh.select(
         F.col(id_col).alias("id"),
         F.size("sh").alias("sz"),
         F.explode("sh").alias("shingle"),
-    )
-    # df as a COUNT window over the shingle partition instead of a
-    # groupBy + join-back: same shuffle on shingle, one fewer join of
-    # the corpus-shingle relation (measured ~15% off the whole query)
-    wdf = Window.partitionBy("shingle")
-    w = Window.partitionBy("id").orderBy("df", "shingle")
+    ).select("id", "sz", F.xxhash64("shingle").alias("h"))
+    # df as a COUNT window over the hash partition instead of a
+    # groupBy + join-back: same shuffle, one fewer join of the
+    # corpus-shingle relation (measured ~15% off the whole query)
+    wdf = Window.partitionBy("h")
+    w = Window.partitionBy("id").orderBy("df", "h")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = (
         posts.withColumn("df", F.count(F.lit(1)).over(wdf))
@@ -1491,8 +1511,8 @@ def prefix_filter_pairs(
         .where(F.col("rn") <= plen)
     )
     lists = (
-        prefix.select(F.struct("id", "sz", "rn").alias("d"), "shingle")
-        .groupBy("shingle")
+        prefix.select(F.struct("id", "sz", "rn").alias("d"), "h")
+        .groupBy("h")
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
@@ -1526,7 +1546,11 @@ def prefix_filter_pairs(
     cand = (
         lists.select(F.explode(combos).alias("p"))
         .where(
-            (
+            # a.id != b.id: two same-doc shingles colliding to one hash
+            # would otherwise emit a degenerate self-pair (impossible in
+            # string space, where per-doc shingles are distinct)
+            (F.col("p.a.id") != F.col("p.b.id"))
+            & (
                 F.least("p.a.sz", "p.b.sz")
                 >= F.lit(threshold) * F.greatest("p.a.sz", "p.b.sz")
             )
@@ -1537,7 +1561,11 @@ def prefix_filter_pairs(
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    # Same verify-join pinning as lsh_verified_pairs (guide §3.1):
+    # broadcast the candidate keys, shuffle-hash the second array
+    # attach — the planner otherwise broadcasts the corpus-sized shingle
+    # relation (measured: the verify alone 3.57 s → 1.18 s at sf0.1).
+    joined = F.broadcast(cand).join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
     isect = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - isect
     jac = isect / union
@@ -1846,7 +1874,10 @@ def minhash_portable_pairs(
     cand = _portable_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    # Same verify-join pinning as lsh_verified_pairs (guide §3.1):
+    # broadcast the candidate keys, shuffle-hash the second array attach
+    # — never broadcast the corpus-sized shingle relation.
+    joined = F.broadcast(cand).join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
     isect = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - isect
     jac = isect / union
