@@ -182,6 +182,13 @@ def connected_components(
         # frames + a subgraph-sized agg) evaluates twice inside the one
         # checkpoint below, which is cheaper than a second per-round
         # materialization + job barrier.
+        # The convergence test rides INSIDE the checkpointed frame as a
+        # `__chg` flag (one more equi-join of two materialized label
+        # frames in the same job) so the per-round `changed` count is a
+        # scan of the just-materialized blocks instead of its own
+        # join+count job — one Spark job per round, not two (at bench
+        # scale job dispatch, not data, dominates the loop; at cluster
+        # scale the fused join is subgraph-sized either way).
         new_labels, new_ids = _checkpoint(
             prop.alias("a")
             .join(
@@ -198,13 +205,21 @@ def connected_components(
                     F.coalesce(F.col("__lcl"), F.col("a.cluster_id")),
                 ).alias("cluster_id"),
             )
+            .alias("n")
+            .join(
+                labels.select(
+                    F.col("id").alias("__oid"), F.col("cluster_id").alias("__ocl")
+                ),
+                F.col("n.id") == F.col("__oid"),
+            )
+            .select(
+                "n.id",
+                "n.cluster_id",
+                (F.col("n.cluster_id") != F.col("__ocl")).alias("__chg"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = new_labels.where("__chg").count()
+        new_labels = new_labels.drop("__chg")
         _unpersist(labels_ids)  # superseded label generation
         labels, labels_ids = new_labels, new_ids
         if changed == 0:
