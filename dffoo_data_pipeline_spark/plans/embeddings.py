@@ -706,6 +706,27 @@ def _l2sq(a, b) -> F.Column:
     )
 
 
+def _l2sq_unrolled(ax, bx, dim: int) -> F.Column:
+    """Σ (ax(i) − bx(i))² as an UNROLLED left-associated sum over a fixed
+    width — the codegen form of `_l2sq`.  Higher-order folds
+    (`zip_with`+`aggregate`) are interpreted per element in Spark; on the
+    fixed-width vector domain (the embeddings contract pins 64 dims) the
+    same sum spelled as a flat expression compiles into whole-stage
+    codegen.  Bit-identical to the fold: terms add in the same order
+    (IEEE `0.0 + t0` ≡ `t0` for the non-negative squares), and `F.get`
+    yields NULL past the end exactly as zip_with's NULL padding did.
+    Callers pass element accessors so the terms can read RAW attribute
+    columns (scan side) or broadcast-materialized arrays (build side) —
+    never a computed `transform(...)` projection that CollapseProject
+    would duplicate once per term."""
+    s = None
+    for i in range(dim):
+        d = ax(i) - bx(i)
+        t = d * d
+        s = t if s is None else s + t
+    return s
+
+
 def _pq_codes_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The shared PQ encode stage: (codes, lut) — codes = each indexed
     vector's nearest codebook entry per subspace, lut = every probe's
@@ -715,18 +736,38 @@ def _pq_codes_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     cb = _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
         "cid", "m", F.col("sub").alias("cvec")
     )
-    idx_sub = _pq_subspaces(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
-    d2 = N.round_det(_l2sq(F.col("sub"), F.col("cvec")), 9)
+    # Stream sides keep the RAW embedding and read sub-vector elements
+    # straight off it (element j of sub-vector m = embedding[m·SUB + j],
+    # float→double cast per element — the exact doubles `_pq_subspaces`
+    # produced); `cvec` is concrete in the broadcast relation.  The
+    # unrolled sum replaces the interpreted 8-dim zip_with fold that
+    # dominated the PQ stage (guide §4.1: prefer codegen expressions).
+    def _m_rows(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+            "embedding",
+        )
+
+    d2 = N.round_det(
+        _l2sq_unrolled(
+            lambda j: F.get("embedding", F.col("m") * _PQ_SUB + j).cast("double"),
+            lambda j: F.get("cvec", j),
+            _PQ_SUB,
+        ),
+        9,
+    )
     wcode = Window.partitionBy("index_id", "m").orderBy("d2", "cid")
     codes = (
-        idx_sub.join(F.broadcast(cb), "m")
+        _m_rows(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
+        .join(F.broadcast(cb), "m")
         .select("index_id", "m", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(wcode))
         .where(F.col("rn") == 1)
         .select("index_id", "m", "cid")
     )
     lut = (
-        _pq_subspaces(e, "vec_id")
+        _m_rows(e, "vec_id")
         .join(F.broadcast(cb), "m")
         .select(
             "vec_id",
