@@ -159,7 +159,18 @@ def ngram_jaccard_pairs(
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
     base = ensure_min_partitions(df, id_col).select(
-        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("__sh")
+        F.col(id_col),
+        # asNondeterministic (guide §4.4): this plan needs BOTH |A| and
+        # the exploded shingles from one UDF call, so the array must be
+        # a named column — but exploding a UDF-computed column lets
+        # Catalyst infer size(__sh)>0 below the Generate and push it
+        # through the projection, re-evaluating the Arrow shingler once
+        # more per row (two stacked ArrowEvalPython in the plan).  The
+        # marked expression cannot be duplicated; the shingler runs once
+        # and the inferred filter stays above it as a cheap size(attr)
+        # check.  The function is pure; `df` is pre-filtered by callers,
+        # so no predicate needs to push past it.
+        _shingles_udf(n).asNondeterministic()(F.col(text_col)).alias("__sh"),
     )
     posts = base.select(
         F.struct(F.col(id_col).alias("id"), F.size("__sh").alias("sz")).alias("d"),
@@ -1323,7 +1334,10 @@ def shingle_containment_pairs(
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
     base = ensure_min_partitions(df, id_col).select(
-        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("__sh")
+        F.col(id_col),
+        # asNondeterministic: same single-evaluation pin as
+        # ngram_jaccard_pairs — see the comment there (guide §4.4)
+        _shingles_udf(n).asNondeterministic()(F.col(text_col)).alias("__sh"),
     )
     posts = base.select(
         F.struct(F.col(id_col).alias("id"), F.size("__sh").alias("sz")).alias("d"),
@@ -1584,17 +1598,28 @@ def prefix_filter_pairs(
     )
 
 
-def _portable_bands_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+def _portable_bands_from_posts(
+    posts: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band_id, band_hash) from a (id, sh: array<string>) frame via
-    the md5-string-min portable hash family: h_i = MIN over shingles of
-    md5('<i>:'||shingle); band key = md5 of the '|'-joined signature
-    slice.  One grouped aggregation (the mins partial-combine map-side)
-    plus a projection — shared by `minhash_portable_pairs` (self-pairing)
-    and `portable_neardup_against_index` (batch-vs-index probing), and
-    this band table IS the persistable cross-engine near-dup index (any
-    engine with md5 can rebuild or probe it)."""
+    """(id, band_id, band_hash) from an exploded (id, shingle) posting
+    frame via the md5-string-min portable hash family: h_i = MIN over
+    shingles of md5('<i>:'||shingle); band key = md5 of the '|'-joined
+    signature slice.  One grouped aggregation (the mins partial-combine
+    map-side) plus a projection — shared by `minhash_portable_pairs`
+    (self-pairing) and `portable_neardup_against_index` (batch-vs-index
+    probing), and this band table IS the persistable cross-engine
+    near-dup index (any engine with md5 can rebuild or probe it).
+
+    Takes POSTS, not the shingle array: callers that shingle inline
+    build them with `_shingle_rows` (explode directly over the UDF
+    call), because exploding a UDF-computed array COLUMN lets
+    InferFiltersFromGenerate add `size(sh)>0 AND sh IS NOT NULL` below
+    the Generate, and pushing that filter through the projection
+    re-evaluates the Arrow shingler once more per row (two stacked
+    ArrowEvalPython nodes per site — guide §4.4's duplication, measured
+    in the r12 before-plans).  Exploding the UDF expression directly is
+    exempt from the inference (SPARK-36715), and the inferred filter
+    only dropped rows explode discards anyway."""
     if bands <= 0 or num_hashes % bands:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands "
@@ -1603,7 +1628,6 @@ def _portable_bands_from_shingles(
             "band key, quietly weakening recall instead of failing loudly"
         )
     rows_per_band = num_hashes // bands
-    posts = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     sig = posts.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
@@ -1634,8 +1658,8 @@ def _portable_bands_from_shingles(
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
-def _portable_candidates_from_shingles(
-    sh: DataFrame,
+def _portable_candidates_from_posts(
+    posts: DataFrame,
     id_col: str,
     num_hashes: int,
     bands: int,
@@ -1643,9 +1667,9 @@ def _portable_candidates_from_shingles(
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs sharing ≥1 portable band
     key — the bucketed posting-list pairing over
-    `_portable_bands_from_shingles`, shared by the pair operator and the
+    `_portable_bands_from_posts`, shared by the pair operator and the
     banding quality report."""
-    banded = _portable_bands_from_shingles(sh, id_col, num_hashes, bands)
+    banded = _portable_bands_from_posts(posts, id_col, num_hashes, bands)
     lists = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
@@ -1681,12 +1705,9 @@ def minhash_portable_candidates(
     verify — the raw S-curve output, for quality measurement
     (dedup_portable_quality_report) and for pipelines that verify
     downstream."""
-    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
-
-    sh = ensure_min_partitions(df, id_col).select(
-        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    return _portable_candidates_from_posts(
+        _shingle_rows(df, id_col, text_col, n), id_col, num_hashes, bands, max_bucket
     )
-    return _portable_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
 
 
 def portable_band_index(
@@ -1703,16 +1724,16 @@ def portable_band_index(
     band key — `sources/writers.write_bucketed`) and probes per ingest
     batch via `portable_neardup_against_index(index_bands=...)`, so only
     the batch is shingled/hashed per run and the probe join shuffles the
-    batch side only.  Any engine with md5 can rebuild or probe it."""
-    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+    batch side only.  Any engine with md5 can rebuild or probe it.
 
-    # fan out before the shingler + 15-md5 min aggregation (measured at
-    # sf0.1: 2.64 s → 1.65 s for the 1-file ledger build; no-op on a
-    # properly split cluster input)
-    sh = ensure_min_partitions(df, id_col).select(
-        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    `_shingle_rows` fans the scan out before the shingler + 15-md5 min
+    aggregation (measured at sf0.1: 2.64 s → 1.65 s for the 1-file
+    ledger build; no-op on a properly split cluster input) and explodes
+    the UDF directly, so the shingler runs ONCE per row (see
+    `_portable_bands_from_posts` on the inferred-filter duplication)."""
+    return _portable_bands_from_posts(
+        _shingle_rows(df, id_col, text_col, n), id_col, num_hashes, bands
     )
-    return _portable_bands_from_shingles(sh, id_col, num_hashes, bands)
 
 
 def portable_neardup_against_index(
@@ -1767,12 +1788,9 @@ def portable_neardup_against_index(
     if (index_df is None) == (index_bands is None):
         raise ValueError("pass exactly one of index_df (raw docs) or index_bands "
                          "(a persisted portable_band_index table)")
-    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
-
-    probe_sh = ensure_min_partitions(new_df, id_col).select(
-        F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
+    probe = _portable_bands_from_posts(
+        _shingle_rows(new_df, id_col, text_col, n), id_col, num_hashes, bands
     )
-    probe = _portable_bands_from_shingles(probe_sh, id_col, num_hashes, bands)
     if index_bands is not None:
         if validate_index:
             # every indexed doc emits one row per band, so any non-empty
@@ -1823,12 +1841,9 @@ def portable_neardup_against_index(
             F.col(id_col).alias("matched_id"), "band_id", "band_hash"
         )
     else:
-        idx_sh = ensure_min_partitions(index_df, id_col).select(
-            F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
-        )
-        idx = _portable_bands_from_shingles(idx_sh, id_col, num_hashes, bands).select(
-            F.col(id_col).alias("matched_id"), "band_id", "band_hash"
-        )
+        idx = _portable_bands_from_posts(
+            _shingle_rows(index_df, id_col, text_col, n), id_col, num_hashes, bands
+        ).select(F.col(id_col).alias("matched_id"), "band_id", "band_hash")
     hits = (
         probe.join(idx, ["band_id", "band_hash"])
         .groupBy(id_col, "matched_id")
@@ -1897,7 +1912,12 @@ def minhash_portable_pairs(
     sh = ensure_min_partitions(df, id_col).select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)  # feeds signatures + both verify sides
-    cand = _portable_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
+    # exploding the CHECKPOINTED array is duplication-safe: the inferred
+    # size(sh)>0 filter lands on a materialized attribute, not the UDF
+    cand = _portable_candidates_from_posts(
+        sh.select(F.col(id_col), F.explode("sh").alias("shingle")),
+        id_col, num_hashes, bands, max_bucket,
+    )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     # Same verify-join pinning as lsh_verified_pairs (guide §3.1):

@@ -180,8 +180,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each triangle {x<y<z} is enumerated exactly once by orienting every
     edge low→high and joining oriented 2-paths (x→y→z) against the
-    closing edge (x→z); per-node counts are the union of the three
-    corners.
+    closing edge (x→z); per-node counts come from exploding the three
+    corners of each enumerated triangle.
 
     Scale: triangle enumeration is the standard two-shuffle oriented
     join — edge orientation caps each node's join fan-out by its
@@ -224,10 +224,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .select("x", "y", "z")
     )
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # one pass over the triangle join: the former 3-way unionAll of
+    # per-corner projections gave the 2-SMJ triangle subtree three
+    # consumers, and Spark clones unshared subtrees per consumer — the
+    # whole enumeration ran three times (r12 before-plan: 6 SortMergeJoin
+    # for a 2-join algorithm).  explode(array(x,y,z)) emits the same
+    # three corner rows per triangle from a single enumeration.
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 

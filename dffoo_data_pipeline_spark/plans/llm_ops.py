@@ -3050,17 +3050,26 @@ def ingest_day_verdicts(
     (doc_id, verdict, matched_id).  See pipeline_ingest_day for the
     full design notes."""
     seen = ledger.select(TX.fingerprint_md5("text").alias("fp"))
-    novel = dedup.dedup_against_seen_bloom(
-        batch, seen, bitmap=bitmap
-    ).localCheckpoint(eager=False)
-    flags = gopher_rule_flags(novel, extra_cols=("text",))
+    novel = dedup.dedup_against_seen_bloom(batch, seen, bitmap=bitmap)
     # NULL-text docs get NULL gopher metrics → NULL passes_gopher; both
     # plain where() branches would drop the row (no verdict emitted)
     # while the oracle's CASE routes it to 'low_quality'.  Coalesce to
     # False so undecidable == rejected, matching the oracle.
     passes = F.coalesce(F.col("passes_gopher"), F.lit(False))
-    qualified = flags.where(passes).select("doc_id", "text")
-    lowq = flags.where(~passes).select("doc_id")
+    # The gopher battery rides INSIDE the stage-boundary checkpoint: its
+    # three consumers (the qualified probe side, the low-quality verdict,
+    # the dup_exact anti-set) read one materialized (doc_id, text,
+    # passes) frame, so the ~8-regex tokenization battery runs once per
+    # doc instead of once per consumer — previously each where() branch
+    # re-inlined the whole battery above the checkpoint (r12 before-plan,
+    # Filter node ~19), doubling the regex work per surviving row.
+    gated = (
+        gopher_rule_flags(novel, extra_cols=("text",))
+        .select("doc_id", "text", passes.alias("__passes"))
+        .localCheckpoint(eager=False)
+    )
+    qualified = gated.where(F.col("__passes")).select("doc_id", "text")
+    lowq = gated.where(~F.col("__passes")).select("doc_id")
     if index_bands is not None:
         probe = dedup.portable_neardup_against_index(
             qualified, None, id_col="doc_id", text_col="text",
@@ -3073,21 +3082,27 @@ def ingest_day_verdicts(
             n=3, num_hashes=15, bands=5,
         )
     nulid = F.lit(None).cast("bigint")
-    dup_exact = batch.join(novel.select("doc_id"), "doc_id", "left_anti").select(
+    dup_exact = batch.join(gated.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.lit("dup_exact").alias("verdict"), nulid.alias("matched_id")
     )
     low_quality = lowq.select(
         "doc_id", F.lit("low_quality").alias("verdict"), nulid.alias("matched_id")
     )
-    near = probe.where(F.col("novel") == 0).select(
-        "doc_id", F.lit("near_dup").alias("verdict"), "matched_id"
+    # ONE pass over the probe result: the former near/admitted where()
+    # pair gave the whole probe subtree (batch shingler, 15-md5 minhash
+    # aggregation, band join, best-match window) two consumers, and
+    # Spark clones unshared subtrees per consumer — every probe stage
+    # ran twice (r12 before-plan: 2× the band-probe tree).  novel is
+    # 0/1 by construction and matched_id IS NULL exactly when novel=1,
+    # so a single projection emits the identical verdict rows.
+    probed = probe.select(
+        "doc_id",
+        F.when(F.col("novel") == 0, F.lit("near_dup"))
+        .otherwise(F.lit("admitted"))
+        .alias("verdict"),
+        "matched_id",
     )
-    admitted = probe.where(F.col("novel") == 1).select(
-        "doc_id", F.lit("admitted").alias("verdict"), nulid.alias("matched_id")
-    )
-    return (
-        dup_exact.unionByName(low_quality).unionByName(near).unionByName(admitted)
-    )
+    return dup_exact.unionByName(low_quality).unionByName(probed)
 
 
 @_register("pipeline_ingest_day", _ingest_day_oracle())
@@ -3107,8 +3122,9 @@ def pipeline_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe dedup_incremental_portable's — and the composition itself
     is value-hash oracled.
 
-    Scale: the novel set is lazily checkpointed at the stage boundary
-    (consumed by the gate AND by the dup_exact verdict anti-set — a real
+    Scale: the novel set — with the gopher verdict fused in — is lazily
+    checkpointed at the stage boundary (consumed by the probe side, the
+    low-quality verdict AND the dup_exact verdict anti-set — a real
     pipeline materializes stage outputs anyway); each stage's join
     inputs shrink monotonically; verdict assembly is a union of
     disjoint-by-construction sets, no final dedup needed.

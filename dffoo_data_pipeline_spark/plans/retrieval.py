@@ -528,7 +528,18 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 4.4 s → 1.5 s at sf0.1)
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
-    shingler = dedup._shingles_udf(3)
+    # asNondeterministic: this query needs BOTH size(__sh) and
+    # explode(__sh) from one UDF call, so the array must be a named
+    # column — but exploding a UDF-computed column lets Catalyst infer
+    # size(__sh)>0 below the Generate and push it through the
+    # projection, re-evaluating the Arrow shingler once more per row
+    # (two stacked ArrowEvalPython per side in the r12 before-plan).
+    # The guide-§4.4 fix: a nondeterministic-marked expression cannot be
+    # duplicated or reordered, so the shingler runs once and the
+    # inferred filter stays above it as a cheap size(attr) check.  The
+    # function itself is pure; no filters need to push past it (both
+    # sides filter BEFORE shingling).
+    shingler = dedup._shingles_udf(3).asNondeterministic()
     base = ensure_min_partitions(d, "doc_id").select(
         "doc_id", shingler(F.col("text")).alias("__sh")
     )

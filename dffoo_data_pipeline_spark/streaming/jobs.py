@@ -1034,7 +1034,7 @@ def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: foreachBatch re-plans the index side per batch (a growing
     index is picked up without restart); in steady state the index is
-    the PERSISTED band table (`_portable_bands_from_shingles` output,
+    the PERSISTED band table (`_portable_bands_from_posts` output,
     hash-bucketed on the band key at write time) so only the batch is
     shingled/hashed per trigger, and the probe join shuffles the batch
     against the colliding index slice only.  The parquet sink stands in
