@@ -55,6 +55,7 @@ def remove_repeated_units(
     unit_fn: Callable[[str], Column] = line_units,
     max_occurrences: int = 2,
     joiner: str = " ",
+    stage_units: bool = False,
 ) -> DataFrame:
     """Drop every unit occurring more than `max_occurrences` times across
     the corpus (C4 drops lines seen ≥3 times ⇒ default keeps ≤2), then
@@ -68,9 +69,13 @@ def remove_repeated_units(
     all-units-dropped docs come from a separate NO-explode projection of
     the input (one O(n) array build per document).  At 100 TB you either
     accept the 2× explode recompute (scan-bound, embarrassingly
-    parallel) or stage the exploded frame to storage yourself; this
-    operator deliberately does not cache — a corpus-sized `.persist()`
-    hidden inside an operator is how clusters fall over.
+    parallel) or stage the exploded frame once; ``stage_units=True`` does
+    the latter via a lazy localCheckpoint — EXPLICIT caller opt-in, never
+    a default, because a corpus-sized persist hidden inside an operator
+    is how clusters fall over.  (Per-doc totals must NOT be derived from
+    the exploded frame even when staged: a NULL-text doc's unit array is
+    NULL, the explode drops it, and the doc would vanish from the output
+    instead of reporting n_units = NULL.)
     """
     # The exploded frame carries ONLY (id, unit_no, unit): any per-doc
     # scalar (like the unit total) must NOT ride through the generator —
@@ -82,6 +87,8 @@ def remove_repeated_units(
     units = docs.select(
         id_col, F.posexplode(unit_fn(text_col)).alias("unit_no", "unit")
     )
+    if stage_units:
+        units = units.localCheckpoint(eager=False)
     counts = units.groupBy("unit").agg(F.count(F.lit(1)).alias("unit_count"))
     kept = units.join(
         counts.where(F.col("unit_count") <= max_occurrences).select("unit"), "unit"

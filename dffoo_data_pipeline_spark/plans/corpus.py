@@ -196,24 +196,33 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tf shuffles on (doc_id, term); df falls out of tf (one row
     per (doc, term)) as a plain count per term — map-side combine makes
-    that aggregation skew-proof — and joins back on term.  The tf⋈df
-    join DOES re-run the scan→explode→tf subtree for the df side
-    (Catalyst prunes the two references differently, so ReuseExchange
-    never fires); a window-over-term would be single-lineage but pins
-    every pair of a stop-word term into ONE task with no recourse —
-    unsplittable at 100 TB — while a skewed JOIN key is exactly what AQE
-    skew-join splits.  Same decision, same reasoning as
-    operators/boilerplate.py; df stays vocabulary-sized, far too big to
-    broadcast.  D arrives via a one-row broadcast cross join, not a
-    driver collect.  Ranked winner is deterministic: tfidf rounded at
-    1e-6, ties broken by term.
+    that aggregation skew-proof — and joins back on term.  tf is
+    checkpointed at the stage boundary so the df side reads the
+    materialized table instead of re-running the scan→explode→tf
+    subtree; the JOIN layout stays (a window-over-term would be
+    single-lineage but pins every pair of a stop-word term into ONE
+    task with no recourse — unsplittable at 100 TB — while a skewed
+    JOIN key is exactly what AQE skew-join splits).  df stays
+    vocabulary-sized, far too big to broadcast.  D arrives via a
+    one-row broadcast cross join, not a driver collect.  Ranked winner
+    is deterministic: tfidf rounded at 1e-6, ties broken by term.
     """
     # no fan-out: exchange outweighs the cheap map stage (A/B at sf0.1)
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpoint: tf feeds BOTH the df aggregation and the scoring join;
+    # unshared consumers each re-ran the scan→tokenize→explode→agg
+    # subtree (2 corpus tokenizations in the r12 before-plan).  The
+    # materialized (doc, term, tf) table keeps the tf⋈df JOIN layout the
+    # docstring defends (AQE-splittable skew) while the tokenize pass
+    # runs once (guide §2.4).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     d_total = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
@@ -585,6 +594,10 @@ def corpus_repeated_unit_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         unit_fn=lambda c: token_window_units(c, _UNIT_N),
         max_occurrences=_MAX_OCC,
+        # stage the exploded unit frame once (lazy localCheckpoint): its
+        # two consumers otherwise re-ran the scan→tokenize→window
+        # subtree (2 of the 3 documents scans in the r12 before-plan)
+        stage_units=True,
     )
 
 
@@ -785,13 +798,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE explode feeds a (doc, tok) term-frequency aggregation;
     the vocab frequency table falls out of tf with a skew-proof
     map-side-combined shuffle, and scoring joins DISTINCT (doc, tok)
-    pairs weighted by tf rather than touching every instance.  The
-    tf⋈freq join recomputes the scan→explode→tf subtree for the freq
-    side (pruning divergence defeats ReuseExchange) — accepted
-    deliberately: the single-lineage alternative (SUM over a tok window)
-    pins every pair of a stop-word token into one unsplittable task,
-    while a skewed join partition is what AQE skew-join splits (same
-    decision as operators/boilerplate.py).  The total-token denominator
+    pairs weighted by tf rather than touching every instance.  tf is
+    checkpointed at the stage boundary so the freq side reads the
+    materialized table instead of recomputing the scan→explode→tf
+    subtree; the JOIN layout stays (the single-lineage alternative — a
+    SUM over a tok window — pins every pair of a stop-word token into
+    one unsplittable task, while a skewed join partition is what AQE
+    skew-join splits).  The total-token denominator
     is the SUM of the vocab counts — a window over the vocab-sized freq
     frame, not another scan of documents.  Determinism: each ln() is rounded
     at 1e-6 (`round_det`'s floor form is mode-independent for negatives
@@ -802,7 +815,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tok")
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpoint: tf feeds BOTH the vocab aggregation and the scoring
+    # join — unshared consumers re-ran the tokenize pass (2 corpus scans
+    # in the r12 before-plan); the materialized table keeps the join
+    # layout (AQE-splittable skew, per the docstring) at one pass
+    tf = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     freq = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cnt"))
     freq = freq.withColumn(
         "n", F.sum("cnt").over(Window.partitionBy()).cast("bigint")

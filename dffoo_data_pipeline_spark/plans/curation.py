@@ -524,10 +524,12 @@ def curation_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: stage 3 is one shuffle on fp (content-hash keys are uniform —
     no skew); stage 4's cut table is |langs| rows broadcast back; every
     other stage is map-side.  The report shuffle is (split, lang) —
-    bounded.  The whole thing is ONE Catalyst plan: the scan is shared,
-    filters push into it, and no intermediate materialization exists
-    anywhere (contrast with the reference's staged CSV temp files,
-    web_scraper.py's per-stage outputs).
+    bounded.  Stages 1-3 compose into one Catalyst plan (the scan is
+    shared, filters push into it); the post-dedup frame — four narrow
+    columns — is the single stage boundary, checkpointed so the p99 cut
+    table and the length gate share one evaluation instead of each
+    re-running the pipeline (contrast with the reference's staged CSV
+    temp files, web_scraper.py's per-stage outputs).
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     staged = d.select(
@@ -549,8 +551,16 @@ def curation_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = scored.where(F.col("quality") >= 0.5)
     w = Window.partitionBy("fp").orderBy("doc_id")
+    # checkpoint the NARROW post-dedup frame: its two consumers (the p99
+    # cut table and the length gate) otherwise each re-ran the whole
+    # scan→tokenize→quality→window-dedup pipeline (the r12 before-plan
+    # is two identical full-pipeline branches — 2 scans, 2 window
+    # dedups).  Only the four columns the tail needs are materialized.
     deduped = (
-        gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "n_tok")
+        .localCheckpoint(eager=False)
     )
     from dffoo_data_pipeline_spark.functions.numeric import round_det
 

@@ -124,8 +124,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lucene's formulation); per-term score = idf · tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl)) with k1=1.2, b=0.75.
 
-    Scale: one explode feeds the (doc, term) tf rollup (map-side
-    combine); df is a second aggregation over tf keyed by term only.
+    Scale: ONE corpus tokenization — the (doc, term) tf rollup (map-side
+    combine) is checkpointed at the stage boundary and every downstream
+    (corpus stats, df, scoring) reads the materialized table; df is a
+    second aggregation over tf keyed by term only.
     The query side is broadcast twice — qt into the vocab-sized df agg
     (the join output is |query terms| rows) and the resulting qidf dim
     into tf — so the only corpus-sized shuffles are the two tf/df
@@ -146,16 +148,36 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t")).select(
         "doc_id", "t", F.size("t").cast("bigint").alias("dl")
     )
+    # ONE corpus tokenization.  The naive layout (tf from staged, stats
+    # from staged, dfreq from tf, scored from tf) gives the tokenize
+    # subtree three unshared consumers, and Spark clones unshared
+    # subtrees per consumer — the full regexp_extract_all pass ran three
+    # times (r12 before-plan: 3 scans of documents.parquet).  The fix:
+    # explode_OUTER keeps one NULL-term row per empty/NULL-text doc, so
+    # the checkpointed tf table alone carries the complete doc set and
+    # every downstream — corpus stats, document frequency, scoring —
+    # reads the materialized rows (guide §2.4: share one pass; the
+    # checkpoint is the batch analog of writing the stage output).
+    # Value-identical: docs = distinct (doc_id, dl) over tf equals
+    # staged's doc set (doc_id is unique, dl functionally depends on
+    # it); NULL-term rows never reach dfreq (filtered) or scoring (the
+    # inner term join drops them).
     tf = (
-        staged.select("doc_id", "dl", F.explode("t").alias("term"))
+        staged.select("doc_id", "dl", F.explode_outer("t").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    stats = staged.agg(
+    docs = tf.select("doc_id", "dl").distinct()
+    stats = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         round_det(F.sum("dl").cast("double") / F.count(F.lit(1)), 6).alias("avgdl"),
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    dfreq = (
+        tf.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
     qt = spark.createDataFrame(list(BM25_QUERIES), "query_id string, qtext string").select(
         "query_id", F.explode(F.split("qtext", " ")).alias("term")
     )
@@ -361,8 +383,14 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reading text.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    staged = d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t")).select(
-        "doc_id", "t", F.size("t").alias("n")
+    # checkpoint: the tokenized frame feeds BOTH the cut scan and the
+    # token-position explode — unshared consumers each re-ran the
+    # scan→tokenize pass (2 documents scans in the r12 before-plan);
+    # one materialized pass serves both explodes
+    staged = (
+        d.select("doc_id", TX.tokens(TX.normalized_text("text")).alias("t"))
+        .select("doc_id", "t", F.size("t").alias("n"))
+        .localCheckpoint(eager=False)
     )
     n = F.col("n")
     cut_positions = F.when(

@@ -116,11 +116,12 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles.  Two hash shuffles: COUNT per window hash (map-side
     combine folds each task's repeats first) and the wins⋈dup-hashes
     join (AQE handles a skewed hash — a boilerplate span shared by
-    millions of docs — by splitting its partition).  The join recomputes
-    the scan→explode subtree for the count side — same accepted tradeoff
-    as plans/corpus.py's unigram LM (a window-over-h alternative would
-    pin each hot hash into one unsplittable task; at 100 TB you stage
-    `wins` to storage once instead).  The final per-doc rollup shuffles
+    millions of docs — by splitting its partition).  `wins` is
+    checkpointed at the stage boundary (the batch analog of "stage
+    `wins` to storage once") so the count side, the dup join and the
+    per-doc window total all read one materialized pass; the JOIN
+    layout stays (a window-over-h alternative would pin each hot hash
+    into one unsplittable task).  The final per-doc rollup shuffles
     doc_id-sized keys only.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -128,6 +129,11 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.tokens(TX.normalized_text("text")).alias("t")
     ).where(F.size("t") >= W_SPAN)
     n = F.size("t")
+    # wins IS the docstring's "stage `wins` to storage once" artifact —
+    # checkpointed so its three consumers (the hash count, the dup join,
+    # the per-doc window total) share ONE tokenize+window+md5 pass; the
+    # naive lineage ran the scan→tokenize→explode subtree three times
+    # (3 documents scans in the r12 before-plan).
     wins = staged.select(
         "doc_id",
         "t",
@@ -135,7 +141,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), W_SPAN))).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     dup_hashes = (
         wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2).select("h")
     )
@@ -144,7 +150,12 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
     )
-    perdoc = staged.select("doc_id", (n - W_SPAN + 1).cast("bigint").alias("n_windows"))
+    # every staged doc emits exactly n − W + 1 window rows, so the
+    # per-doc window total is a COUNT over the materialized wins — not
+    # another tokenization of the corpus
+    perdoc = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
     n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint")
     dup_frac = round_det(n_dup / F.col("n_windows"), 4)
     return (
@@ -224,11 +235,10 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one explode feeds a (doc, bucket) term-frequency aggregation
     (map-side combine; ≤64 distinct buckets per doc survive the
-    shuffle).  The bucket LM dim is exactly 64 rows — built with a
-    second aggregation over the same exploded frame (recomputes the
-    scan→explode subtree, same accepted tradeoff as the unigram LM in
-    plans/corpus.py) and broadcast back, so scoring adds no shuffle
-    beyond the tf rollup.  Smoothed count ratios cast each int64 factor
+    shuffle), checkpointed at the stage boundary.  The bucket LM dim is
+    exactly 64 rows — derived from the materialized tf rollup (sums of
+    tf, not a second tokenize pass) and broadcast back, so scoring adds
+    no shuffle beyond the tf rollup.  Smoothed count ratios cast each int64 factor
     to double BEFORE multiplying (each factor exact below 2^53; the
     product correctly rounded once — an int64 product would overflow at
     corpus scale, an ANSI ARITHMETIC_OVERFLOW), divided once
@@ -246,9 +256,30 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    dim = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cs"),
-        F.count(F.when(F.col("lang") == _TARGET_LANG, 1)).alias("ct"),
+    # ONE tokenization: the naive layout (dim and pdb both aggregate the
+    # exploded frame, tot re-aggregates dim) ran the scan→tokenize→
+    # bucket subtree three times (3 documents scans in the r12
+    # before-plan).  pdb — the per-(doc, bucket) tf rollup every
+    # consumer can be derived from — is checkpointed at the stage
+    # boundary; dim falls out of it as sums of tf (identical integers:
+    # cs = Σ tf over the bucket, ct = Σ tf over its target-lang rows,
+    # coalesced to 0 where count-of-when yielded 0 for bucketless
+    # matches), and the 64-row dim is checkpointed too so tot and lr
+    # share one evaluation (guide §2.4).
+    pdb = (
+        b.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dim = (
+        pdb.groupBy("bucket")
+        .agg(
+            F.sum("tf").alias("cs"),
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == _TARGET_LANG, F.col("tf"))), F.lit(0)
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = dim.agg(
         F.sum("cs").alias("total_s"),
@@ -269,7 +300,6 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("lr"),
     )
-    pdb = b.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
         pdb.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "lang")
