@@ -145,28 +145,25 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_hashes = (
         wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2).select("h")
     )
-    perdoc_dup = (
-        wins.join(dup_hashes, "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+    # BOTH per-doc counts fall out of ONE aggregation over the
+    # dup-flagged windows: every staged doc emits exactly n − W + 1
+    # window rows, so n_windows = COUNT(*) and n_dup_windows = count of
+    # rows whose hash matched the dup set (dup_hashes is distinct, so
+    # the left join never multiplies rows).  The former three-consumer
+    # layout (inner-join count + separate totals + final doc join) cost
+    # two extra doc-keyed shuffles.
+    flagged = wins.join(dup_hashes.withColumn("__dup", F.lit(1)), "h", "left")
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.count("__dup").cast("bigint").alias("n_dup_windows"),
     )
-    # every staged doc emits exactly n − W + 1 window rows, so the
-    # per-doc window total is a COUNT over the materialized wins — not
-    # another tokenization of the corpus
-    perdoc = wins.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_windows")
-    )
-    n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint")
-    dup_frac = round_det(n_dup / F.col("n_windows"), 4)
-    return (
-        perdoc.join(perdoc_dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_windows",
-            n_dup.alias("n_dup_windows"),
-            dup_frac.alias("dup_frac"),
-            (dup_frac >= DUP_FRAC_DROP).cast("int").alias("drop_flag"),
-        )
+    dup_frac = round_det(F.col("n_dup_windows") / F.col("n_windows"), 4)
+    return per.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= DUP_FRAC_DROP).cast("int").alias("drop_flag"),
     )
 
 
