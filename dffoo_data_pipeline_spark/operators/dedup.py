@@ -216,7 +216,19 @@ def minhash_signatures(
     The signature is 64 column-wise MINs in one grouped aggregation
     (map-side partial combine).
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
+    return _minhash_signatures_from_posts(
+        _shingle_rows(df, id_col, text_col, n), id_col, num_hashes
+    )
+
+
+def _minhash_signatures_from_posts(
+    sh: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """`minhash_signatures` over an exploded (id, shingle) posting frame —
+    the seam that lets a caller holding a checkpointed shingle relation
+    (e.g. `lsh_verified_pairs`, which also needs the arrays for its
+    verify join) feed the signature pipeline WITHOUT a second Arrow
+    shingler pass over the corpus."""
     base = sh.select(id_col, F.xxhash64("shingle").alias("h"))
     hashed = base.select(
         id_col,
@@ -352,7 +364,22 @@ def minhash_lsh_candidates(
     stop-shingle guard.  Testdata buckets are ≤7 docs, far under the
     guard, so results are identical.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return _lsh_candidates_from_posts(
+        _shingle_rows(df, id_col, text_col, n), id_col, num_hashes, bands, max_bucket
+    )
+
+
+def _lsh_candidates_from_posts(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """`minhash_lsh_candidates` over an exploded (id, shingle) posting
+    frame — the seam for callers that already hold a (checkpointed)
+    shingle relation and must not pay a second shingler pass."""
+    sig = _minhash_signatures_from_posts(sh, id_col, num_hashes)
     banded = band_signatures(sig, id_col, num_hashes, bands)
     lists = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
@@ -1411,15 +1438,20 @@ def lsh_verified_pairs(
     """
     from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
 
-    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands).select(
-        "doc_a", "doc_b"
-    )
     # fan the narrow scan out BEFORE the Arrow shingler (same rule as
     # _shingle_rows): a single-file corpus otherwise runs the UDF and
-    # everything up to the first exchange on one core
+    # everything up to the first exchange on one core.  ONE shingler
+    # pass: the checkpointed relation feeds the signature/banding
+    # pipeline (via the posts seam) AND both sides of the verify join —
+    # the former layout shingled the corpus twice, once inside
+    # minhash_lsh_candidates and once here.
     sh = ensure_min_partitions(df, id_col).select(
         F.col(id_col), _shingles_udf(n)(F.col(text_col)).alias("sh")
-    ).localCheckpoint(eager=False)  # feeds both sides of the verify join once
+    ).localCheckpoint(eager=False)
+    cand = _lsh_candidates_from_posts(
+        sh.select(F.col(id_col), F.explode("sh").alias("shingle")),
+        id_col, num_hashes, bands, 1000,
+    ).select("doc_a", "doc_b")
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     # Verify-join strategy pinned (guide §3.1): broadcast the CANDIDATE
