@@ -884,6 +884,15 @@ def dedup_against_seen_bloom(
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
     if bitmap is None:
+        # no pre-built bitmap ⇒ the ledger fp relation has TWO consumers
+        # (the bitmap fold here AND the exact anti-join below), and its
+        # scan+md5 subtree would run once per consumer — checkpoint it so
+        # the ledger is fingerprinted once.  Batch-only API, so skipped
+        # for streaming frames (every streaming caller goes through
+        # foreachBatch with a pre-built bitmap anyway); unnecessary on
+        # the amortized path, where the anti-join is seen's only reader.
+        if not seen_fingerprints.isStreaming:
+            seen_fingerprints = seen_fingerprints.localCheckpoint(eager=False)
         # lazy checkpoint: the 1-row bitmap is consumed by BOTH union
         # branches (proven-novel filter + maybe-side verify); without it
         # each branch re-runs the full ledger scan + bit fold.
@@ -922,6 +931,12 @@ def dedup_against_seen_bloom(
         )
         .drop("bloom")
     )
+    # the stamped batch feeds BOTH union branches; un-staged, each branch
+    # re-runs the batch scan + md5 + 4-probe bloom test (guide §2.4 —
+    # share one pass).  Batch-only API: foreachBatch callers pass batch
+    # frames, so the streaming guard keeps the operator stream-safe.
+    if not stamped.isStreaming:
+        stamped = stamped.localCheckpoint(eager=False)
     proven_novel = stamped.where(~F.col("__maybe_seen"))
     verified_novel = stamped.where(F.col("__maybe_seen")).join(
         seen_fingerprints.select(fp_col), fp_col, "left_anti"
@@ -1259,6 +1274,12 @@ def dedup_against_seen_bloom_sharded(
     from dffoo_data_pipeline_spark.functions.text import fingerprint_md5
 
     if bitmaps is None:
+        # same two-consumer rule as the 1-row variant: the ledger fp
+        # relation feeds the shard fold AND the exact anti-join —
+        # checkpoint so the ledger is fingerprinted once (batch-only
+        # API; streaming callers pass pre-built bitmaps via foreachBatch)
+        if not seen_fingerprints.isStreaming:
+            seen_fingerprints = seen_fingerprints.localCheckpoint(eager=False)
         bitmaps = bloom_bitmap_sharded(
             seen_fingerprints,
             fp_col=fp_col,
@@ -1290,6 +1311,13 @@ def dedup_against_seen_bloom_sharded(
         )
         .drop("bloom", "__shard")
     )
+    # the stamped batch is NOT checkpointed here, unlike the 1-row
+    # variant: the broadcast=False contract pins the bitmap equi-join's
+    # strategy in the FINAL executed plan
+    # (tests/test_scale_behaviors.py::test_sharded_bloom_broadcast_knob_
+    # switches_to_shuffle_join), and a checkpoint would hide the join
+    # behind a Scan ExistingRDD.  The cost is one extra batch
+    # scan+md5+probe pass — batch-sized, not ledger-sized.
     proven_novel = stamped.where(~F.col("__maybe_seen"))
     verified_novel = stamped.where(F.col("__maybe_seen")).join(
         seen_fingerprints.select(fp_col), fp_col, "left_anti"
