@@ -368,17 +368,21 @@ def test_neardup_index_args_are_mutually_exclusive(spark, sf_dir):
 
 
 def test_bloom_prefilter_plan_materializes_bitmap_once(spark, sf_dir):
-    """The executed bloom-prefilter plan must read the checkpointed
-    1-row bitmap (ExistingRDD) in BOTH union branches instead of
-    re-running the ledger scan + bit fold per branch: exactly 3 parquet
-    scans (batch ×2 for the disjoint verdict branches + ledger ×1 for
-    the exact anti-join), and both bitmap cross-joins are broadcast
-    nested loops over the checkpoint, never a ledger re-scan."""
+    """The executed bloom-prefilter plan must evaluate every shared
+    relation ONCE: the stamped batch (scan + md5 + bloom test) and the
+    ledger fingerprints are lazy-checkpointed alongside the 1-row
+    bitmap (r12 optimization), so the final plan reads THREE
+    checkpointed RDDs — stamped ×2 (the disjoint verdict branches) +
+    ledger fp ×1 (the exact anti-join) — and contains NO parquet
+    re-scan and no bitmap re-fold at all (the former shape paid the
+    batch scan twice and the ledger scan twice).  The bitmap
+    cross-joins live inside the stamped checkpoint now, so no
+    nested-loop join survives in the outer plan either."""
     from dffoo_data_pipeline_spark.plans.llm_ops import QUERIES
 
     df = QUERIES["dedup_bloom_prefilter_novel"](spark, sf_dir)
-    df.count()  # materialize the lazy checkpoint so the final plan is real
+    df.count()  # materialize the lazy checkpoints so the final plan is real
     plan = _physical_plan(df)
-    assert plan.count("Scan parquet") == 3, plan
-    assert plan.count("ExistingRDD") == 2, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("ExistingRDD") == 3, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
