@@ -99,30 +99,32 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
     )
 
     as_int = lambda c: F.regexp_replace(F.trim(c), "%", "").cast("int")
-    # cap accumulation (A1): every line contributes, gated by regex
-    cap_contrib = F.when(F.col("line").rlike("- MAX BRV Cap"), as_int(F.col("l6"))).otherwise(
+    # cap accumulation (A1): every line contributes, gated by a literal
+    # substring probe (`contains` — an unanchored literal rlike is the
+    # same predicate, but pays a UTF-16 conversion + regex engine per row)
+    cap_contrib = F.when(F.col("line").contains("- MAX BRV Cap"), as_int(F.col("l6"))).otherwise(
         0
-    ) + F.when(F.col("line").rlike("MAX BRV Cap Up by"), as_int(F.col("l2"))).otherwise(0)
+    ) + F.when(F.col("line").contains("MAX BRV Cap Up by"), as_int(F.col("l2"))).otherwise(0)
 
     # hit gate: icon line, not a skipped source-descriptor icon
-    is_hit = F.col("line").contains("inline HP") & ~F.col("p2").rlike("Attack")
+    is_hit = F.col("line").contains("inline HP") & ~F.col("p2").contains("Attack")
 
     # AOE from context lines i-1 ++ i-3 ++ i+2 (web_scraper.py:403-405)
-    ctx_aoe = F.concat(F.col("p1"), F.col("p3"), F.col("l2")).rlike("Group")
+    ctx_aoe = F.concat(F.col("p1"), F.col("p3"), F.col("l2")).contains("Group")
 
     # attack-info line resolution (+2 / +6-by-name / +11 / +13 / +6)
-    info0 = F.when(F.col("ability_name").rlike("Crystal Generation"), F.col("l6")).otherwise(
+    info0 = F.when(F.col("ability_name").contains("Crystal Generation"), F.col("l6")).otherwise(
         F.col("l2")
     )
     extra = F.col("l6")
-    stored = (info0.rlike("Damage by") | info0.rlike("Damage to")) & extra.rlike(
+    stored = (info0.contains("Damage by") | info0.contains("Damage to")) & extra.contains(
         "of stored value from"
     )
     info1 = F.when(stored, F.col("l11")).otherwise(info0)
-    statlike = (info1.rlike(" by") | info1.rlike(" based on")) & extra.rlike("of ")
+    statlike = (info1.contains(" by") | info1.contains(" based on")) & extra.contains("of ")
     info = (
         F.when(
-            statlike & F.col("l13").rlike("to non-targets") & F.col("l11").rlike("inline BREAK"),
+            statlike & F.col("l13").contains("to non-targets") & F.col("l11").contains("inline BREAK"),
             F.col("l13"),
         )
         .when(statlike, F.col("l6"))
@@ -133,7 +135,7 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
     # when-chain producing (main_add, non_add, is_copy, sub_one, ladder_aoe)
     branch = (
         F.when(
-            info.rlike("Damage to non-targets after each HP Attack, except last"),
+            info.contains("Damage to non-targets after each HP Attack, except last"),
             F.struct(
                 F.lit(0).alias("m"),
                 F.lit(0).alias("nn"),
@@ -143,7 +145,7 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
             ),
         )
         .when(
-            info.rlike("Damage to non-targets after each HP Attack"),
+            info.contains("Damage to non-targets after each HP Attack"),
             F.struct(F.lit(0).alias("m"), F.lit(0).alias("nn"), F.lit(True).alias("cp"),
                      F.lit(False).alias("s1"), F.lit(False).alias("la")),
         )
@@ -156,7 +158,7 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
             ),
         )
         .when(
-            info.rlike("Group"),
+            info.contains("Group"),
             F.struct(F.lit(1).alias("m"), F.lit(0).alias("nn"), F.lit(False).alias("cp"),
                      F.lit(False).alias("s1"), F.lit(True).alias("la")),
         )
@@ -178,7 +180,7 @@ def parse_ability_lines(lines_df: DataFrame) -> DataFrame:
             ),
         )
         .when(
-            info.rlike("to non-targets") | info.rlike("to non-trap triggered targets"),
+            info.contains("to non-targets") | info.contains("to non-trap triggered targets"),
             F.struct(F.lit(0).alias("m"), F.lit(1).alias("nn"), F.lit(False).alias("cp"),
                      F.lit(False).alias("s1"), F.lit(False).alias("la")),
         )

@@ -96,11 +96,11 @@ def parse_bt_lines(lines_df: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("char_name", "game_version").orderBy("line_no")
     l6 = F.coalesce(F.lead("line", 6).over(w), F.lit(""))
-    is_party = F.col("line").rlike("- Party MAX BRV Cap Up")
-    is_personal = F.col("line").rlike("- MAX BRV Cap Up") & ~is_party
+    is_party = F.col("line").contains("- Party MAX BRV Cap Up")
+    is_personal = F.col("line").contains("- MAX BRV Cap Up") & ~is_party
     val6 = F.trim(l6).cast("int")
     enemies = F.when(
-        F.col("line").rlike("Applies based on enemy count:"),
+        F.col("line").contains("Applies based on enemy count:"),
         F.transform(
             F.split(F.regexp_extract("line", r"enemy count: (.*)$", 1), r",\s*"),
             lambda x: x.cast("int"),
@@ -127,8 +127,8 @@ def parse_ha_lines(lines_df: DataFrame) -> DataFrame:
     its base-page scan and the ≥5 scrolled HA+ divs)."""
     w = Window.partitionBy("char_name", "game_version").orderBy("line_no")
     l2 = F.coalesce(F.lead("line", 2).over(w), F.lit(""))
-    is_party = F.col("line").rlike("- Party HP DMG Cap Up")
-    is_personal = F.col("line").rlike("- HP DMG Cap Up") & ~is_party
+    is_party = F.col("line").contains("- Party HP DMG Cap Up")
+    is_personal = F.col("line").contains("- HP DMG Cap Up") & ~is_party
     val2 = F.trim(l2).cast("int")
     staged = lines_df.select(
         "char_name",
