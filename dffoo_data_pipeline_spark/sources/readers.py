@@ -18,6 +18,27 @@ from dffoo_data_pipeline_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-process parquet schema memo, keyed by resolved table path.  A bare
+# `spark.read.parquet(path)` runs a footer-reading schema-inference JOB at
+# DataFrame-construction time — ~0.25s + one Spark job per call on this
+# host (measured; guide §1.4/§6: metadata work is not engine work).  Every
+# query constructs its scans fresh, so repeated plans re-paid that job per
+# table per run.  The first read of a path still infers (keeping the
+# physical-type adaptivity the events table needs — see the ts handling
+# below); later reads pass the memoized schema explicitly, which skips the
+# footer job exactly like the explicit-schema contract the JSONL/XML
+# readers already document.  Schema only — never data, never results: the
+# scan itself re-reads the files on every execution.  The memo assumes a
+# path's schema is stable within one process (true for the driver corpus
+# and every test fixture; a process that rewrites one path with a NEW
+# schema must call `_SCHEMA_CACHE.clear()`).
+_SCHEMA_CACHE: dict[str, object] = {}
+
+# Per-process scan-partition-count memo for `ensure_min_partitions`,
+# keyed by (sorted input-file tuple, min_parts).  Same metadata-only
+# contract as _SCHEMA_CACHE: never rows, never results.
+_PARTS_CACHE: dict[tuple, int] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
@@ -53,7 +74,13 @@ def load_table(
     # a non-UTC host session.  The ntz variant is wall-time and already
     # tz-invariant; this makes both variants driver-tz-proof.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -91,7 +118,27 @@ def ensure_min_partitions(df: DataFrame, *cols: str, min_parts: int | None = Non
     round-robin otherwise.
     """
     min_parts = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_parts:
+    # `df.rdd` runs the full physical planner on every fresh frame
+    # (~0.1-0.2s of driver time per call on this host); the partition
+    # count of a scan+narrow-ops frame is a function of its input file
+    # set and the session's split config, so memoize it per file set.
+    # Frames without input files (local relations, 0-file scans) skip the
+    # memo — their keys would collide.  A stale memo can only mis-decide
+    # the fan-out (perf, never correctness): the repartition itself is
+    # what guarantees layout, not the probe.
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (tuple(sorted(files)), min_parts)
+    except Exception:  # streaming/foreign frames: fall through to df.rdd
+        pass
+    n_parts = _PARTS_CACHE.get(key) if key else None
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        if key:
+            _PARTS_CACHE[key] = n_parts
+    if n_parts >= min_parts:
         return df
     from pyspark.sql import functions as F
 
