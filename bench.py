@@ -104,6 +104,12 @@ HEADLINE += [
     "streaming_quarantine_gate",     # the battery as an ingest stream gate
     "embeddings_quarantine_report",  # vector finite-domain gate (HOFs, no UDF)
     "documents_quarantine_report",   # corpus-domain gate incl. oversize rule
+    # round-13: the PQ persisted-codes steady-state path (r12 verdict
+    # item 6) — same output/oracle as similarity_pq_topk, but the
+    # codebook + codes are built and PERSISTED in-query and the probe
+    # scans `embeddings` exactly once; the number certifies the
+    # build+probe cost against the 3-scan in-query sibling above
+    "similarity_pq_indexed",
 ]
 
 

@@ -1438,6 +1438,60 @@ def shingle_containment_pairs(
     )
 
 
+# Candidate-broadcast row bound for the near-dup verify joins.  A
+# broadcast build of the (doc_a, doc_b) candidate set is the fast verify
+# shape (neither corpus-shingle side shuffles for the first attach), but
+# the candidate count is corpus-dependent — LINEAR in corpus size for the
+# banded generators (per-bucket quadratic work is max_bucket-capped, but
+# the number of buckets grows with the corpus) and potentially quadratic
+# in near-duplicate density for the lossless prefix-filter audit — so an
+# UNCONDITIONAL broadcast trades the old corpus-broadcast scale bug for a
+# candidate-broadcast OOM on dup-heavy corpora (r12 verdict, what's-wrong
+# #1).  10M rows of two ids is tens-to-hundreds of MB built — comfortably
+# under the 8 GB / 512M-row broadcast relation cap with headroom for
+# string ids; override per deployment via
+# SPARK_GRAFT_VERIFY_BROADCAST_MAX_ROWS.
+_VERIFY_BROADCAST_MAX_ROWS = 10_000_000
+
+
+def _verify_exact_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against the
+    (lazily checkpointed) shingle relation `sh` — the shared verify join
+    behind lsh_verified_pairs / prefix_filter_pairs /
+    minhash_portable_pairs.
+
+    Join strategy (guide §3.1), SIZE-GUARDED: the candidate set is
+    materialized (lazy localCheckpoint + count — candidate generation ran
+    exactly once either way, the count just fronts it) and broadcast only
+    while it fits (`_VERIFY_BROADCAST_MAX_ROWS`); past the bound both
+    attaches run as shuffled hash joins, whose build side is
+    per-partition-bounded instead of whole-relation-in-every-executor.
+    The corpus-sized shingle relation is NEVER the broadcast side in
+    either branch (the r12 fix), and the second attach stays a shuffled
+    hash join (sort-merge would re-sort doc-length arrays).
+    """
+    import os
+
+    cand = cand.localCheckpoint(eager=False)
+    limit = int(
+        os.environ.get(
+            "SPARK_GRAFT_VERIFY_BROADCAST_MAX_ROWS", str(_VERIFY_BROADCAST_MAX_ROWS)
+        )
+    )
+    lhs = F.broadcast(cand) if cand.count() <= limit else cand.hint("shuffle_hash")
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = lhs.join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
+    isect = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - isect
+    jac = isect / union
+    return joined.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -1480,22 +1534,13 @@ def lsh_verified_pairs(
         sh.select(F.col(id_col), F.explode("sh").alias("shingle")),
         id_col, num_hashes, bands, 1000,
     ).select("doc_a", "doc_b")
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    # Verify-join strategy pinned (guide §3.1): broadcast the CANDIDATE
-    # keys (small by LSH construction) and stream the shingle relation
-    # through them; the doc_b attach is a shuffled hash join.  Left to
-    # itself the planner broadcast the checkpointed CORPUS shingle
-    # relation for the second attach — a corpus-sized broadcast build
-    # per run, never sane at scale and 3× the whole verify cost at sf0.1
-    # (measured 3.57 s → 1.18 s, identical output).
-    joined = F.broadcast(cand).join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
-    isect = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - isect
-    jac = isect / union
-    return joined.where(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    # Verify-join strategy pinned + size-guarded (guide §3.1, r12 fix +
+    # r13 guard): see _verify_exact_jaccard.  Left to itself the planner
+    # broadcast the checkpointed CORPUS shingle relation for the second
+    # attach — a corpus-sized broadcast build per run, never sane at
+    # scale and 3× the whole verify cost at sf0.1 (measured 3.57 s →
+    # 1.18 s, identical output).
+    return _verify_exact_jaccard(cand, sh, id_col, threshold)
 
 
 def prefix_filter_pairs(
@@ -1643,19 +1688,11 @@ def prefix_filter_pairs(
         .select(F.col("p.a.id").alias("doc_a"), F.col("p.b.id").alias("doc_b"))
         .distinct()
     )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    # Same verify-join pinning as lsh_verified_pairs (guide §3.1):
-    # broadcast the candidate keys, shuffle-hash the second array
-    # attach — the planner otherwise broadcasts the corpus-sized shingle
-    # relation (measured: the verify alone 3.57 s → 1.18 s at sf0.1).
-    joined = F.broadcast(cand).join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
-    isect = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - isect
-    jac = isect / union
-    return joined.where(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    # Same verify-join pinning as lsh_verified_pairs, size-guarded — this
+    # operator's candidate set is by contract a LOSSLESS all-pairs audit,
+    # unbounded on dup-heavy corpora, so the guard matters most here
+    # (guide §3.1; see _verify_exact_jaccard).
+    return _verify_exact_jaccard(cand, sh, id_col, threshold)
 
 
 def _portable_bands_from_posts(
@@ -1978,18 +2015,10 @@ def minhash_portable_pairs(
         sh.select(F.col(id_col), F.explode("sh").alias("shingle")),
         id_col, num_hashes, bands, max_bucket,
     )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    # Same verify-join pinning as lsh_verified_pairs (guide §3.1):
-    # broadcast the candidate keys, shuffle-hash the second array attach
-    # — never broadcast the corpus-sized shingle relation.
-    joined = F.broadcast(cand).join(a, "doc_a").join(b.hint("shuffle_hash"), "doc_b")
-    isect = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - isect
-    jac = isect / union
-    return joined.where(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    # Same verify-join pinning as lsh_verified_pairs, size-guarded
+    # (guide §3.1; see _verify_exact_jaccard) — never broadcast the
+    # corpus-sized shingle relation.
+    return _verify_exact_jaccard(cand, sh, id_col, threshold)
 
 
 def simhash_portable_pairs(

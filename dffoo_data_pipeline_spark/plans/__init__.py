@@ -16,90 +16,24 @@ stands).  Rotate this list each round until every query has a green row.
 
 from __future__ import annotations
 
-# Round-12 window (50 slots + overflow).  The r11 window came back all
-# green (fourth consecutive).  This rotation, per the r11 verdict:
-# (a) first-certifies the 5 queries NEW this round — the quarantine /
-# dead-letter gate family (operators/quality.py: per-rule violation
-# report over lineitem with referential checks, per-row verdicts over
-# orders, the streaming ingest gate, the embeddings vector-domain gate
-# that enforces the finite-component contract, and the documents
-# corpus-domain gate incl. the oversize rule);
-# (b) RE-CERTIFIES every query whose semantics changed in the r12
-# hostile-input packages (NULL user/ts/value + duplicate-timestamp
-# total order on events; NULL-key rank/concat/map/count-distinct
-# parity on the relational tables — all spelled identically in both
-# engines) plus the de-trivialized events_kaplan_meier (1-day censor
-# horizon; it had been vacuously green on 0 = 0 rows since r06) — 21
-# queries, three of which (streaming error-rate/pit/rollup) were also
-# r06-stale (the 8 relational-fix queries are certified fresh r08-r11
-# and re-verified locally; they queue behind the staleness frontier);
-# (c) retires the r06 oracled staleness frontier ENTIRELY: the
-# remaining 21 r06 rows, in registry order;
-# (d) spends the last 5 slots on rows-only freshness for the stalest
-# r06 no-oracle entries (6 rounds stale).
-# Overflow queues the remaining r06/r07 rows-only entries, the 8
-# relational-fix re-certs, then the 45 r07-stale oracled rows in
-# registry order — r13's window base.
-# Everything previously verified follows in module order via
-# all_queries()'s tail append, so its existing green row stands.
+# Round-13 window (50 slots + overflow).  The r12 window came back all
+# green (47 oracled PASS + 3 rows-only, CORRECTNESS_r12.json).  This
+# rotation, per the r12 verdict item 9 (keep the rotation running; the
+# r07-stale oracled rows are next):
+# (a) first-certifies the 1 query NEW this round — similarity_pq_indexed,
+# the PQ persisted-codes steady-state path (r12 verdict item 6; same
+# oracle as similarity_pq_topk, so the driver value-checks that
+# persisting the codes changes nothing);
+# (b) promotes the r12 overflow queue IN ORDER: the remaining rows-only
+# freshness entries, the 8 relational-fix re-certs, then the r07-stale
+# oracled rows in registry order.
+# The last 10 overflow entries queue as r14's window base.  Everything
+# previously verified follows in module order via all_queries()'s tail
+# append, so its existing green row stands.
 _PRIORITY = [
-    # ---- (a) NEW this round: the quarantine / dead-letter gate ----
-    "lineitem_quarantine_report",
-    "orders_quarantine_verdicts",
-    "streaming_quarantine_gate",
-    "embeddings_quarantine_report",
-    "documents_quarantine_report",
-    # ---- (b) r12 hostile-events-fix re-certs + kaplan_meier ----
-    "events_sessionization",
-    "events_type_transitions",
-    "events_top_paths",
-    "events_dau_wau",
-    "scd2_user_tier",
-    "events_pit_enrich",
-    "events_exp_smoothing",
-    "events_isotonic_daily_rate",
-    "events_gapfill_interpolate",
-    "events_kaplan_meier",
-    "window_lead_lag_gap",
-    "window_rolling_frame",
-    "join_asof_generic",
-    "join_asof_last_click",
-    "streaming_tumbling_hourly",
-    "streaming_session_window",
-    "streaming_custom_sessionizer",
-    "streaming_stateful_user_totals",
-    "streaming_error_rate_alert",
-    "streaming_pit_enrich",
-    "streaming_continuous_rollup",
-    # ---- (b) the remaining 21 r06-stale oracled rows, registry order --
-    "streaming_db_exactly_once",
-    "streaming_quality_gate",
-    "streaming_embedding_assign",
-    "streaming_interval_join_outer",
-    "streaming_countmin_topk",
-    "multimodal_feature_bins",
-    "embedding_centroid_dist",
-    "corpus_zipf_heaps",
-    "corpus_bigram_logprob",
-    "corpus_data_card",
-    "text_langid_confusion",
-    "corpus_drift_psi",
-    "corpus_loo_source_ablation",
-    "profile_corr_lineitem",
-    "profile_sample_estimate",
-    "profile_benford_audit",
-    "corpus_duplicate_span_removal",
-    "text_classifier_score",
-    "text_cdc_chunks",
-    "events_hist_quantile_rollup",
-    "events_countmin_topk",
-    # ---- (d) rows-only freshness: the 3 stalest r06 no-oracle rows ----
-    "dedup_lsh_quality_report",
-    "text_compression_ratio",
-    "multimodal_features",
-    # ---- overflow: remaining rows-only freshness, the 8 relational-fix
-    # re-certs, then the 45 r07-stale oracled rows in registry order
-    # (r13's window base) ----
+    # ---- (a) NEW this round: the PQ persisted-codes path ----
+    "similarity_pq_indexed",
+    # ---- (b) the r12 overflow queue, promoted in order ----
     "corpus_bpe_learn",
     "corpus_bpe_encode",
     "profile_approx_quantiles_lineitem",

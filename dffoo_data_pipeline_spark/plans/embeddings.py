@@ -727,29 +727,31 @@ def _l2sq_unrolled(ax, bx, dim: int) -> F.Column:
     return s
 
 
-def _pq_codes_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The shared PQ encode stage: (codes, lut) — codes = each indexed
-    vector's nearest codebook entry per subspace, lut = every probe's
-    partial squared-L2 to every codebook entry (floor-rounded into
-    DECIMAL(18,6) so downstream sums are exact).  See
-    similarity_pq_topk's docstring for the full design notes."""
-    cb = _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(cid, m, cvec): the deterministic sampled codebook — sub-vectors of
+    vec_id < _PQ_K (see similarity_pq_topk's docstring)."""
+    return _pq_subspaces(e.where(F.col("vec_id") < _PQ_K), "cid").select(
         "cid", "m", F.col("sub").alias("cvec")
     )
-    # Stream sides keep the RAW embedding and read sub-vector elements
-    # straight off it (element j of sub-vector m = embedding[m·SUB + j],
-    # float→double cast per element — the exact doubles `_pq_subspaces`
-    # produced); `cvec` is concrete in the broadcast relation.  The
-    # unrolled sum replaces the interpreted 8-dim zip_with fold that
-    # dominated the PQ stage (guide §4.1: prefer codegen expressions).
-    def _m_rows(df: DataFrame, id_alias: str) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias(id_alias),
-            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
-            "embedding",
-        )
 
-    d2 = N.round_det(
+
+def _pq_m_rows(df: DataFrame, id_alias: str) -> DataFrame:
+    """One row per (vector, subspace), RAW embedding kept — stream sides
+    read sub-vector elements straight off it (element j of sub-vector m =
+    embedding[m·SUB + j], float→double cast per element — the exact
+    doubles `_pq_subspaces` produces); the codebook side is concrete in
+    the broadcast relation."""
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        "embedding",
+    )
+
+
+# The unrolled sum replaces the interpreted 8-dim zip_with fold that
+# dominated the PQ stage (guide §4.1: prefer codegen expressions).
+def _pq_d2() -> F.Column:
+    return N.round_det(
         _l2sq_unrolled(
             lambda j: F.get("embedding", F.col("m") * _PQ_SUB + j).cast("double"),
             lambda j: F.get("cvec", j),
@@ -757,26 +759,60 @@ def _pq_codes_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         ),
         9,
     )
+
+
+def _pq_codes(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """(index_id, m, cid): each indexed vector's nearest codebook entry
+    per subspace — the persistable PQ codes relation."""
     wcode = Window.partitionBy("index_id", "m").orderBy("d2", "cid")
-    codes = (
-        _m_rows(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
+    return (
+        _pq_m_rows(e.where(F.col("vec_id") < _PQ_N_INDEX), "index_id")
         .join(F.broadcast(cb), "m")
-        .select("index_id", "m", "cid", d2.alias("d2"))
+        .select("index_id", "m", "cid", _pq_d2().alias("d2"))
         .withColumn("rn", F.row_number().over(wcode))
         .where(F.col("rn") == 1)
         .select("index_id", "m", "cid")
     )
-    lut = (
-        _m_rows(e, "vec_id")
+
+
+def _pq_lut(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid, pd): every probe's partial squared-L2 to every
+    codebook entry, floor-rounded into DECIMAL(18,6) so downstream ADC
+    sums are exact."""
+    return (
+        _pq_m_rows(e, "vec_id")
         .join(F.broadcast(cb), "m")
         .select(
             "vec_id",
             "m",
             "cid",
-            N.round_det(d2, 6).cast("decimal(18,6)").alias("pd"),
+            N.round_det(_pq_d2(), 6).cast("decimal(18,6)").alias("pd"),
         )
     )
-    return codes, lut
+
+
+def _pq_codes_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared PQ encode stage: (codes, lut).  See similarity_pq_topk's
+    docstring for the full design notes."""
+    cb = _pq_codebook(e)
+    return _pq_codes(e, cb), _pq_lut(e, cb)
+
+
+def _pq_rank_topk(adc: DataFrame) -> DataFrame:
+    """Final PQ ranking: top-_PQ_TOPK by asymmetric distance per probe —
+    shared by similarity_pq_topk and its persisted-index twin so the two
+    cannot diverge."""
+    wrank = Window.partitionBy("vec_id").orderBy("adist", "index_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select(
+            "vec_id",
+            "index_id",
+            F.col("adist").cast("double").alias("approx_dist"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
 
 
 def _pq_adc(e: DataFrame) -> DataFrame:
@@ -819,18 +855,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,6) for the LUT) so the decimal ADC sum is exact and
     partition-order-independent; ranks tiebreak on index_id.
     """
-    adc = _pq_adc(load_table(spark, sf_dir, "embeddings"))
-    wrank = Window.partitionBy("vec_id").orderBy("adist", "index_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(wrank))
-        .where(F.col("rn") <= _PQ_TOPK)
-        .select(
-            "vec_id",
-            "index_id",
-            F.col("adist").cast("double").alias("approx_dist"),
-            F.col("rn").cast("int").alias("rank"),
-        )
-    )
+    return _pq_rank_topk(_pq_adc(load_table(spark, sf_dir, "embeddings")))
 
 
 _PQ_SHORTLIST = 8  # ADC candidates per probe that pay the exact rerank

@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from dffoo_data_pipeline_spark.functions import numeric as N
 from dffoo_data_pipeline_spark.functions import text as TX
 from dffoo_data_pipeline_spark.operators import dedup, similarity
+from dffoo_data_pipeline_spark.plans.embeddings import (
+    _PQ_TOPK_ORACLE as _PQ_TOPK_ORACLE_FOR_INDEXED,
+)
 from dffoo_data_pipeline_spark.sources.readers import load_table
 
 QUERIES: dict = {}
@@ -3142,25 +3145,28 @@ def pipeline_ingest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is built, final one removed at interpreter exit.  The lifecycle lives
 # in sources/writers.RunScopedTable so the band (dedup) and bucket (ANN)
 # indexes share it.
-_BAND_INDEX = None  # lazily constructed RunScopedTable
-_ANN_INDEX = None
+_RUN_SCOPED: dict = {}  # lazily constructed RunScopedTables, one per logical index
+_RUN_SCOPED_NAMES = {
+    "band": "sg_portable_band_index",
+    "ann": "sg_ann_bucket_index",
+    "pq_codebook": "sg_pq_codebook",
+    "pq_codes": "sg_pq_codes",
+}
 
 
 def _run_scoped(which: str):
-    global _BAND_INDEX, _ANN_INDEX
     from dffoo_data_pipeline_spark.sources.writers import RunScopedTable
 
-    if which == "band":
-        if _BAND_INDEX is None:
-            _BAND_INDEX = RunScopedTable("sg_portable_band_index")
-        return _BAND_INDEX
-    if which == "ann":
-        if _ANN_INDEX is None:
-            _ANN_INDEX = RunScopedTable("sg_ann_bucket_index")
-        return _ANN_INDEX
     # a typo'd key silently returning the wrong live index would let
     # replace() drop the other family's table — fail loudly instead
-    raise ValueError(f"unknown run-scoped index {which!r}: expected 'band' or 'ann'")
+    if which not in _RUN_SCOPED_NAMES:
+        raise ValueError(
+            f"unknown run-scoped index {which!r}: expected one of "
+            f"{sorted(_RUN_SCOPED_NAMES)}"
+        )
+    if which not in _RUN_SCOPED:
+        _RUN_SCOPED[which] = RunScopedTable(_RUN_SCOPED_NAMES[which])
+    return _RUN_SCOPED[which]
 
 
 @_register("dedup_incremental_indexed", _incremental_portable_oracle())
@@ -3261,6 +3267,70 @@ def similarity_lsh_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from the catalog — the data-domain check would be weaker + a scan
         validate_index=False,
     )
+
+
+@_register("similarity_pq_indexed", _PQ_TOPK_ORACLE_FOR_INDEXED)
+def similarity_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_pq_topk through the STEADY-STATE path — the PQ member
+    of the persisted-index family (r12 verdict item 6; siblings:
+    dedup_incremental_indexed, similarity_lsh_probe_indexed): the
+    codebook and the PQ CODES of the indexed vectors are built once and
+    PERSISTED (plain bucketed parquet tables with the build parameters
+    in TBLPROPERTIES), and the probe batch scores the index by joining
+    its LUT against the persisted codes — the in-query path's 2 extra
+    embeddings scans (codebook + index encode) become table reads, so
+    the indexed plan scans `embeddings` exactly ONCE (the probes).
+    Output — and oracle — are identical to similarity_pq_topk:
+    persisting the codes must not change a single neighbor or distance.
+
+    Scale: this is how PQ is actually deployed — encode the corpus once
+    (the expensive argmin over K codebook entries per subspace), then
+    every query batch pays only its own LUT build (|batch|·M·K partial
+    distances) plus the broadcast-join ADC sum over the M-byte codes.
+    The codes table is 32× smaller than the float vectors, so the
+    broadcastable-index ceiling moves 32× up; past it the same plan
+    shuffle-joins on (m, cid).  The probe refuses a codes table whose
+    stored (m, sub, k, n_index) differ from its own — codes from a
+    different quantizer family would 'work' and return garbage."""
+    from dffoo_data_pipeline_spark.plans.embeddings import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_N_INDEX,
+        _PQ_SUB,
+        _pq_codebook,
+        _pq_codes,
+        _pq_lut,
+        _pq_rank_topk,
+    )
+    from dffoo_data_pipeline_spark.sources.writers import expect_table_properties
+
+    e = load_table(spark, sf_dir, "embeddings")
+    params = {
+        "sg.pq_m": str(_PQ_M),
+        "sg.pq_sub": str(_PQ_SUB),
+        "sg.pq_k": str(_PQ_K),
+        "sg.pq_n_index": str(_PQ_N_INDEX),
+    }
+    cb = _pq_codebook(e).localCheckpoint(eager=False)  # feeds codes + its write
+    cb_table = _run_scoped("pq_codebook").replace(
+        spark, cb, ["m"], num_buckets=4, properties=params
+    )
+    codes_table = _run_scoped("pq_codes").replace(
+        spark,
+        _pq_codes(e, spark.table(cb_table)),
+        ["m", "cid"],
+        num_buckets=8,
+        properties=params,
+    )
+    expect_table_properties(spark, cb_table, params)
+    expect_table_properties(spark, codes_table, params)
+    lut = _pq_lut(e, spark.table(cb_table))
+    adc = (
+        lut.join(F.broadcast(spark.table(codes_table)), ["m", "cid"])
+        .groupBy("vec_id", "index_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    return _pq_rank_topk(adc)
 
 
 @_register("similarity_ann_recall_report")  # rows-only: LSH/IVF are seed-specific

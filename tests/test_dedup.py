@@ -1175,3 +1175,37 @@ def test_shingler_uses_ascii_whitespace_spec(spark):
     # \x0b (vertical tab) stays INSIDE a token too: RE2 \s does not
     # match it, so neither may the UDF (fast path AND regex path)
     assert any("v\x0bv" in sh for sh in got)
+
+
+def test_verify_join_size_guard_switches_off_broadcast(spark, monkeypatch):
+    """r13 (verdict item 2): past SPARK_GRAFT_VERIFY_BROADCAST_MAX_ROWS
+    the candidate attach must plan as a shuffled hash join — no
+    BroadcastExchange of an unbounded candidate set — and the emitted
+    pairs must be identical to the broadcast path's."""
+    from dffoo_data_pipeline_spark.operators.dedup import prefix_filter_pairs
+
+    # dup-heavy corpus: three near-dup clusters → multiple candidates
+    rows = []
+    for c in range(3):
+        base = f"cluster{c} alpha beta gamma delta epsilon zeta eta theta"
+        for i in range(4):
+            rows.append((c * 10 + i, base + f" tail{i}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def pairs():
+        df = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}, plan
+
+    monkeypatch.delenv("SPARK_GRAFT_VERIFY_BROADCAST_MAX_ROWS", raising=False)
+    broadcast_pairs, broadcast_plan = pairs()
+    assert broadcast_pairs, "fixture produced no verified pairs"
+
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_BROADCAST_MAX_ROWS", "1")
+    guarded_pairs, guarded_plan = pairs()
+    assert guarded_pairs == broadcast_pairs  # guard cannot change results
+    assert "ShuffledHashJoin" in guarded_plan
+    # the only broadcast allowed in the guarded plan is none at all: with
+    # the candidate build past the bound, neither verify attach may build
+    # a broadcast relation (the corpus side was already pinned off it)
+    assert "BroadcastExchange" not in guarded_plan

@@ -236,3 +236,104 @@ def test_foreign_session_timezone_cannot_shift_results(spark, sf_dir):
         base = sorted(map(tuple, q[name](spark, sf_dir).collect()))
         shifted = sorted(map(tuple, q[name](foreign, sf_dir).collect()))
         assert base == shifted, f"{name} shifted under a non-UTC host session"
+
+
+def test_footer_schema_matches_spark_inference(spark, tmp_path):
+    """_footer_schema (driver-side pyarrow footer read, r13: kills the
+    schema-inference Spark JOB on every load_table read) must equal
+    Spark's own parquet inference under this engine's session invariants
+    for every driver table AND the fixture variants the suite writes —
+    the nanos→bigint events variant, a 3-column lineitem, nested
+    arrays/structs.  Any divergence falls back to inference, so a gap
+    here is perf-only; equality is what lets the fast path carry every
+    read."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from dffoo_data_pipeline_spark.sources.readers import _footer_schema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def check(path):
+        got = _footer_schema(path)
+        assert got is not None, f"footer path fell back for {path}"
+        expect = spark.read.parquet(path).schema
+        assert got == expect, f"{path}: {got} != {expect}"
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        import os
+
+        d = f"/root/testdata/{sf}"
+        for f in sorted(os.listdir(d)):
+            check(f"{d}/{f}")
+
+    # nanos-stored events variant (the physical type the ts adapter handles)
+    ns = tmp_path / "events_ns.parquet"
+    papq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([1700000000000000000], pa.timestamp("ns"))}),
+        str(ns),
+    )
+    check(str(ns))
+
+    # variant-shape fixture (3-column lineitem written as a DIRECTORY by
+    # a spark writer, like test_properties.py's integrity fixture)
+    spark.createDataFrame(
+        [(1, 10, 5.0)], "l_linenumber long, l_orderkey long, l_quantity double"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    check(str(tmp_path / "lineitem.parquet"))
+
+    # nested struct + map + decimal + ntz timestamp
+    deep = tmp_path / "deep.parquet"
+    papq.write_table(
+        pa.table({
+            "s": pa.array([{"a": 1, "b": ["x"]}],
+                          pa.struct([("a", pa.int32()), ("b", pa.list_(pa.string()))])),
+            "m": pa.array([{"k": 2}], pa.map_(pa.string(), pa.int64())),
+            "d": pa.array([1], pa.decimal128(18, 6)),
+            "t": pa.array([1700000000000000], pa.timestamp("us")),
+            "tz": pa.array([1700000000000000], pa.timestamp("us", tz="UTC")),
+        }),
+        str(deep),
+    )
+    check(str(deep))
+
+
+def test_schema_memo_self_invalidates_on_rewrite(spark, tmp_path):
+    """An in-place path rewrite with a NEW schema must re-derive the
+    schema (r12 ADVICE: the old memo served the stale one)."""
+    import time as _time
+
+    from dffoo_data_pipeline_spark.sources.readers import load_table
+
+    d = str(tmp_path)
+    spark.createDataFrame([(1,)], "a long").write.parquet(f"{d}/widget.parquet")
+    first = load_table(spark, d, "widget").schema
+    assert [f.name for f in first.fields] == ["a"]
+    _time.sleep(0.05)  # ensure a distinct mtime_ns token
+    spark.createDataFrame([(1, "x")], "a long, b string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/widget.parquet")
+    second = load_table(spark, d, "widget").schema
+    assert [f.name for f in second.fields] == ["a", "b"]
+
+
+def test_parts_memo_keyed_by_plan_not_files(spark, tmp_path):
+    """A derived wide frame and a raw 1-partition scan over the SAME file
+    set must not share a partition-count memo entry (r12 ADVICE: the old
+    inputFiles key collided, so a cached wide count skipped the raw
+    scan's fan-out and serialized the Arrow stage onto one core)."""
+    from dffoo_data_pipeline_spark.sources.readers import ensure_min_partitions
+
+    p = str(tmp_path / "one.parquet")
+    spark.createDataFrame([(i,) for i in range(100)], "a long").coalesce(
+        1
+    ).write.parquet(p)
+    raw = spark.read.parquet(p)
+    assert raw.rdd.getNumPartitions() == 1
+    wide = raw.repartition(32)
+    # prime the memo with the wide frame (32 partitions, no fan-out needed)
+    assert ensure_min_partitions(wide, min_parts=32) is wide
+    # the raw scan over the same files must still get its fan-out
+    out = ensure_min_partitions(raw, min_parts=32)
+    assert out.rdd.getNumPartitions() >= 32

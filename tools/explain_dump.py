@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for bench queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain('formatted') for bench queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/explain_dump.py <tag> [query ...]
 With no query names, dumps every bench HEADLINE query.  The driver/judge
@@ -26,7 +26,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(_REPO) / "plans" / "r12"
+    out_dir = Path(_REPO) / "plans" / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("explain-dump")
     queries, _ = all_queries()

@@ -66,11 +66,21 @@ def make_session():
     )
 
 
+def attach_checkpoint_dir(spark) -> None:
+    # mirror session.get_spark: iterative operators (graph/CC) need a
+    # checkpoint dir when SPARK_GRAFT_CHECKPOINT_DIR is set — without the
+    # passthrough those queries could not be profiled (r12 ADVICE)
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+
+
 def main() -> None:
     name = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     os.makedirs(LOGDIR, exist_ok=True)
     spark = make_session()
+    attach_checkpoint_dir(spark)
     from dffoo_data_pipeline_spark.plans import all_queries
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,20 +95,23 @@ def main() -> None:
 
     sc.setJobDescription(f"warm:{name}")
     walls = [run()]  # warm
-    marks = []
     for i in range(reps):
         sc.setJobDescription(f"rep{i}:{name}")
-        t_start = time.time() * 1000
         walls.append(run())
-        marks.append((t_start, time.time() * 1000))
     spark.stop()
 
     # Spark 4 rolling layout: eventlog_v2_<appId>/events_*_<appId>; fall
-    # back to the single-file layout of older versions
+    # back to the single-file layout of older versions.  Segments sort
+    # NUMERICALLY by index (events_10 would lexicographically sort before
+    # events_2 and apply stage updates out of order; r12 ADVICE).
+    def _seg_index(p: Path) -> tuple:
+        parts = p.name.split("_")
+        return (int(parts[1]),) if len(parts) > 1 and parts[1].isdigit() else (0,)
+
     lines_iter: list[str] = []
     v2 = Path(LOGDIR) / f"eventlog_v2_{app_id}"
     if v2.is_dir():
-        for f in sorted(v2.glob("events_*")):
+        for f in sorted(v2.glob("events_*"), key=_seg_index):
             lines_iter.extend(f.read_bytes().decode().splitlines())
     else:
         cands = sorted(Path(LOGDIR).glob(f"{app_id}*"))
@@ -108,47 +121,45 @@ def main() -> None:
         lines_iter = cands[0].read_text().splitlines()
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    if True:
-        for line in lines_iter:
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                desc = ev.get("Properties", {}).get("spark.job.description", "")
-                jobs[jid] = {
-                    "t0": ev["Submission Time"],
-                    "desc": desc,
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
-                }
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["t1"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stages[si["Stage ID"]] = dict(
-                    stages.get(si["Stage ID"], {}),
-                    name=si["Stage Name"].split("\n")[0][:70],
-                    tasks=si["Number of Tasks"],
-                    t0=si.get("Submission Time"),
-                    t1=si.get("Completion Time"),
-                )
-            elif e == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                tm = ev.get("Task Metrics") or {}
-                st = stages.setdefault(sid, {"run_ms": 0, "deser_ms": 0})
-                st["run_ms"] = st.get("run_ms", 0) + tm.get("Executor Run Time", 0)
-                st["deser_ms"] = st.get("deser_ms", 0) + tm.get(
-                    "Executor Deserialize Time", 0
-                )
+    for line in lines_iter:
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            desc = ev.get("Properties", {}).get("spark.job.description", "")
+            jobs[jid] = {
+                "t0": ev["Submission Time"],
+                "desc": desc,
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+            }
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["t1"] = ev["Completion Time"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            stages[si["Stage ID"]] = dict(
+                stages.get(si["Stage ID"], {}),
+                name=si["Stage Name"].split("\n")[0][:70],
+                tasks=si["Number of Tasks"],
+                t0=si.get("Submission Time"),
+                t1=si.get("Completion Time"),
+            )
+        elif e == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            tm = ev.get("Task Metrics") or {}
+            st = stages.setdefault(sid, {"run_ms": 0, "deser_ms": 0})
+            st["run_ms"] = st.get("run_ms", 0) + tm.get("Executor Run Time", 0)
+            st["deser_ms"] = st.get("deser_ms", 0) + tm.get(
+                "Executor Deserialize Time", 0
+            )
 
     print(f"query={name} walls={['%.3f' % w for w in walls]} (first=warm)")
-    for ri, (m0, m1) in enumerate(marks):
-        rjobs = {
-            j: v
-            for j, v in jobs.items()
-            if v.get("t0", 0) >= m0 - 50 and v.get("t1", m1) <= m1 + 100
-        }
+    for ri in range(reps):
+        # attribute jobs by the thread-local rep tag each run sets (exact),
+        # not by wall-clock windows (the old ±50/100ms heuristic could
+        # misassign jobs; r12 ADVICE)
+        rjobs = {j: v for j, v in jobs.items() if v.get("desc") == f"rep{ri}:{name}"}
         tot_job_wall = sum((v["t1"] - v["t0"]) for v in rjobs.values() if "t1" in v)
         print(
             f"-- rep{ri}: wall={walls[ri+1]:.3f}s jobs={len(rjobs)} "
