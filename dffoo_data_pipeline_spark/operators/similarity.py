@@ -393,9 +393,16 @@ def _rank_topk_int(ids_q, Q, n2_q, ids_i, M, n2_i, k: int, emit_key: bool):
     tie-breaking contract."""
     by_id = np.argsort(ids_i, kind="stable")  # column order = id asc
     ids_i, M, n2_i = ids_i[by_id], M[by_id], n2_i[by_id]
-    D = Q @ M.T  # exact: |entries| ≤ 128²·dim < 2³¹
+    # Exact integer dot computed THROUGH float64 BLAS (r13): numpy's
+    # int64 matmul has no BLAS path (naive loops — measured the dominant
+    # cost of every int-ANN kernel at sf1).  Exactness is unchanged:
+    # per-element products ≤ 128² and row sums ≤ 128²·dim < 2²¹, so every
+    # partial sum is an integer far below 2⁵³ — float64 accumulation is
+    # exact for ANY summation order, and rint only normalizes the sign of
+    # zero.  D then carries the same integers the int64 product carried.
+    D = np.rint(Q.astype(np.float64) @ M.T.astype(np.float64))
     den = np.outer(n2_q, n2_i)  # ≤ 2⁴⁰, exact in int64 AND float64
-    key = (D * np.abs(D)).astype(np.float64) / den.astype(np.float64)
+    key = (D * np.abs(D)) / den.astype(np.float64)
     key[ids_q[:, None] == ids_i[None, :]] = -np.inf
     kk = min(k, D.shape[1])
     part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]

@@ -636,19 +636,33 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_contamination_overlap measures after the fact; this op prevents
     it structurally).
 
-    Plan: exact shared-shingle Jaccard pairs (operators/dedup.py posting-
-    list plan — at corpus scale the same decision runs over MinHash-LSH
+    Plan: exact Jaccard pairs at the threshold via the LOSSLESS
+    prefix-filter all-pairs plan (operators/dedup.py:prefix_filter_pairs
+    — at corpus scale the same decision runs over MinHash-LSH
     candidates) → connected components (operators/graph.py iterative
     min-label propagation, lineage-checkpointed) → md5-of-cluster-id
     split, the same join-free deterministic draw as the other curation
     ops.  Singleton docs are their own cluster (cluster_id = doc_id), so
     ratios converge to the 75/12.5/12.5 cuts as dedup removes mass.
+
+    r13: the pair generator was `ngram_jaccard_pairs` — full posting
+    lists over EVERY shingle, whose hot-shingle combos made this the
+    4th-worst sf1 scaler (28.4 s cold).  `prefix_filter_pairs` emits the
+    IDENTICAL pair set at the threshold (Bayardo/Chaudhuri losslessness;
+    pinned equal on this corpus by
+    tests/test_dedup.py::test_prefix_filter_lossless_and_hot_shingle_safe
+    and the 0.6-threshold twin below it) while indexing only each doc's
+    rarest ``|x| − ⌈t|x|⌉ + 1`` shingles — hot boilerplate shingles never
+    enter a posting list.  Float-ceil note: 0.6's double is strictly
+    below the rational 0.6, so ⌈t·sz⌉ can only round DOWN to the exact
+    value — the prefix can only lengthen, keeping the filter lossless;
+    verification is exact Jaccard either way.
     """
     from dffoo_data_pipeline_spark.operators import dedup
     from dffoo_data_pipeline_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    pairs = dedup.prefix_filter_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.6)
     # raise, not warn: a PARTIAL cluster id here scatters one near-dup
     # cluster across train and test — exactly the leakage this split
     # exists to prevent, so non-convergence must abort, not degrade

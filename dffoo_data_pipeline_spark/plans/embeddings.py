@@ -609,9 +609,16 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = pdf["n2"].to_numpy(dtype=np.int64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         dup = np.zeros(len(pdf), dtype=bool)
+        # the dot itself runs through float64 BLAS (numpy int64 matmul
+        # has no BLAS path — r13, same fix as _rank_topk_int): |G| ≤
+        # 128²·64 = 2²⁰, so every partial sum is exact in float64 and the
+        # rint→int64 round-trip reproduces the integer product bit-for-
+        # bit; the G²·10⁴ comparison below then runs in int64 as before
+        # (it can exceed 2⁵³, so THAT part must not be float)
+        Cf = C.astype(np.float64)
         for lo_i in range(0, len(pdf), 1024):
             hi_i = min(lo_i + 1024, len(pdf))
-            G = C[lo_i:hi_i] @ C.T  # exact int64
+            G = np.rint(Cf[lo_i:hi_i] @ Cf.T).astype(np.int64)  # exact int64
             ok = (G > 0) & (G * G * 10000 >= _SEM_TAU2_X1E4 * n2[lo_i:hi_i, None] * n2[None, :])
             # j is a dup when some i < j (by vec_id order) is similar
             for r, j in enumerate(range(lo_i, hi_i)):

@@ -97,13 +97,28 @@ def linkage_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, candidate volume = Σ per-block |dirty|·|clean|, bounded
     by block granularity (add more blocking attributes, or union several
     blocking passes, to shrink blocks; recall survives any perturbation
-    that leaves at least one pass's key intact).  The O(len²) edit
-    distance runs only on blocked candidates, codegen'd JVM-side.
-    ``levenshtein``'s threshold form (early-exit at >2) is the
-    production variant; the plain form keeps the DuckDB oracle
-    bit-identical at test scale.
+    that leaves at least one pass's key intact).
+
+    r13 (measured at sf1, where this query was the worst real scaler:
+    70 s cold, 100× the pair volume of sf0.1):
+    - the edit distance runs in ``levenshtein``'s THRESHOLD form — a
+      banded O(len·t) DP that early-exits past t=2 instead of filling
+      the O(len²) table for pairs that are then discarded anyway.  The
+      form returns −1 past the bound and the EXACT distance under it,
+      so with the ``dist >= 0`` guard the surviving rows (and their
+      emitted edit_dist) are bit-identical to the plain form — the
+      DuckDB oracle stays value-exact (verified sf0.001/sf0.01).
+    - ``n_candidates`` (count of blocked candidates per dirty row) is by
+      construction the CLEAN side's block size, so it now comes from a
+      125-row block aggregate broadcast back onto the dirty feed —
+      the old count window shuffled the ENTIRE candidate pair relation
+      (guide §2.4: that was the plan's largest exchange) just to count
+      rows per block.  The row_number window now sorts survivors only.
     """
     c = load_table(spark, sf_dir, "customer")
+    bsz = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
     dirty = (
         c.where(F.col("c_custkey") % 10 == 0)
         .select(
@@ -112,18 +127,18 @@ def linkage_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
         )
+        .join(F.broadcast(bsz), ["c_nationkey", "c_mktsegment"])
     )
     cand = dirty.join(c, ["c_nationkey", "c_mktsegment"]).select(
         "dirty_id",
         F.col("c_custkey").alias("matched_id"),
-        F.levenshtein("dirty_name", "c_name").alias("dist"),
-    )
-    cand = cand.withColumn(
-        "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("dirty_id"))
+        F.levenshtein("dirty_name", "c_name", 2).alias("dist"),
+        "n_candidates",
     )
     w = Window.partitionBy("dirty_id").orderBy("dist", "matched_id")
     return (
-        cand.where(F.col("dist") <= 2)
+        # threshold form: −1 means "> 2", so the guard is two-sided
+        cand.where((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(

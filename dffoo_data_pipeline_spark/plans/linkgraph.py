@@ -106,17 +106,24 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    edges = (
+    # aggregate on the 4-byte nationkey ints and attach names to the
+    # ≤25×24-row RESULT (guide §2.3: the fact-fact l_orderkey exchange
+    # used to carry the src nation NAME string through the whole tree;
+    # n_name is unique per n_nationkey, so filter and counts transfer)
+    iedges = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")),
-              F.col("s_nationkey") == F.col("sk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy("s_nationkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = (
+        iedges.join(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")),
+                    F.col("s_nationkey") == F.col("sk"))
         .join(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")),
               F.col("c_nationkey") == F.col("ck"))
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .select("src", "dst", "w")
     )
     # run the big join tree exactly once: the operator materializes its
     # inputs, but both `nodes` and `edges` here share the same expensive
@@ -197,17 +204,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    dedges = (
+    # distinct on the 4-byte nationkey ints, names attached to the
+    # ≤25×24-row result (guide §2.3 — same int-key edge build as
+    # graph_pagerank_nations; n_name is unique per n_nationkey, so the
+    # self-edge filter and the distinct edge SET transfer exactly)
+    idedges = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")),
-              F.col("s_nationkey") == F.col("sk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select("s_nationkey", "c_nationkey")
+        .distinct()
+    )
+    dedges = (
+        idedges.join(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")),
+                     F.col("s_nationkey") == F.col("sk"))
         .join(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")),
               F.col("c_nationkey") == F.col("ck"))
-        .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
     und = (
         dedges.select(

@@ -1209,3 +1209,29 @@ def test_verify_join_size_guard_switches_off_broadcast(spark, monkeypatch):
     # the candidate build past the bound, neither verify attach may build
     # a broadcast relation (the corpus side was already pinned off it)
     assert "BroadcastExchange" not in guarded_plan
+
+
+def test_prefix_filter_lossless_at_leakage_threshold(spark, sf_dir):
+    """r13: curation_leakage_safe_split swapped its pair generator from
+    ngram_jaccard_pairs to prefix_filter_pairs at t=0.6 — a NON-dyadic
+    threshold, so pin the losslessness equality at exactly that t (the
+    float ceil of 0.6·sz can only round down to the exact value, which
+    lengthens the prefix; this test is the empirical half of that
+    argument)."""
+    from dffoo_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.6, max_doc_frequency=None
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(d, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert pref == exact
